@@ -1,0 +1,975 @@
+"""Analytics-layer query surface (SURVEY §2.2) with DuckDB oracle SQL.
+
+Every entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``;
+``ORACLE_SQL`` holds the equivalent ANSI SQL for DuckDB. Column names AND
+dtypes are aligned pairwise — the correctness gate hash-compares values
+after sorting columns by name.
+
+Cross-engine determinism rules used throughout (the hard-won part):
+
+* **Never aggregate raw doubles.** Summation order differs between engines;
+  instead cast inputs to exact DECIMAL first (prices/quantities are 2dp by
+  construction), sum exactly, and cast the final aggregate back to DOUBLE.
+  Identical exact decimals → bit-identical doubles.
+* **Derived ratios** (averages, stddev) are computed in DOUBLE *from exact
+  decimal sums* with the same IEEE operation sequence in both engines.
+* **Every LIMIT/top-k query totally orders** its rows (unique tiebreak
+  column) so both engines select the same set.
+* **Events timestamps are nanosecond-precision parquet** (TIMESTAMP(NANOS))
+  which Spark only reads via ``spark.sql.legacy.parquet.nanosAsLong``; all
+  events-derived time columns are emitted as BIGINT epoch-micros
+  (``ts div 1000`` — truncating division, matching DuckDB ``epoch_ns//1000``)
+  to be timezone-agnostic.
+
+Scale design notes are on each query; the common themes: group-by keys with
+bounded cardinality (partial aggregation does the heavy lifting map-side),
+dimension joins are broadcast, big-big joins shuffle on the join key only,
+and window functions partition on high-cardinality keys (no single-partition
+global windows except on already-tiny aggregates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def dec(c: Column | str, prec: int = 12, scale: int = 2) -> Column:
+    """Exact-decimal view of a 2dp-by-construction double column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def dsum(c: Column, alias: str) -> Column:
+    """Deterministic double sum: exact decimal sum → double."""
+    return F.sum(c).cast("double").alias(alias)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet: read ts as raw int64 nanoseconds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return load_table(spark, sf_dir, name)
+
+
+def ts_us(col_name: str = "ts") -> Column:
+    """ns → µs with truncating integer division (matches DuckDB
+    ``epoch_ns(ts)//1000``; float division would round and drift by 1µs)."""
+    return F.expr(f"{col_name} div 1000").cast("long")
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): scan → filter → hash agg.
+# Scale: 4-group agg ⇒ map-side partial aggregation reduces 100 TB to a few
+# rows per task before the single tiny shuffle; filter + 7-column projection
+# push down to the parquet scan.
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    tax = dec(F.lit(1.0) + F.col("l_tax"), 4, 2)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity"), "sum_qty"),
+            dsum(dec("l_extendedprice"), "sum_base_price"),
+            dsum(dec("l_extendedprice") * disc, "sum_disc_price"),
+            dsum(dec("l_extendedprice") * disc * tax, "sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1.0 - l_discount AS DECIMAL(4,2))
+           * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority: 3-way join, agg, total-order top-k.
+# Scale: customer filter before join (pushdown); orders⋈lineitem shuffles on
+# orderkey; top-10 via TakeOrdered (no global sort materialization).
+# --------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    disc = dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(dec("l_extendedprice") * disc, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way join incl. two broadcast dims.
+# Scale: region+nation are broadcast (tiny); supplier is broadcast;
+# orders⋈lineitem is the only big-big shuffle.
+# --------------------------------------------------------------------------
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc = dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (cust.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(dec("l_extendedprice") * disc, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+# --------------------------------------------------------------------------
+# Join family: outer / semi / anti / range / as-of.
+# --------------------------------------------------------------------------
+
+
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + agg: customers keep a row even with zero orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)
+            ).alias("total_spent"),
+        )
+    )
+
+
+JOIN_OUTER_SQL = """
+SELECT
+  c_custkey,
+  c_name,
+  COUNT(o_orderkey) AS n_orders,
+  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+    AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the whitelist op at table scale (SURVEY §2.1 op 8)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+"""
+
+
+def join_anti_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the blacklist op at table scale."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: parts binned into literal price bands.
+
+    Scale: the band table is tiny → Spark picks BroadcastNestedLoopJoin,
+    which is the right physical plan for band assignment at any scale.
+    """
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 1000.0),
+            ("mid", 1000.0, 1500.0),
+            ("high", 1500.0, 2000.0),
+            ("lux", 2000.0, 1e9),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (
+                F.sum(dec("p_retailprice")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT
+  band,
+  COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    AS avg_price
+FROM part
+JOIN (VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 1500.0),
+             ('high', 1500.0, 2000.0), ('lux', 2000.0, 1000000000.0))
+     AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    Spark has no native ASOF JOIN; the scalable composition is a tagged
+    union + running ``last(…, ignorenulls)`` window — ONE shuffle on
+    (user_id), no cross product, no per-row lookup. Oracle uses the
+    identical window formulation (DuckDB's ASOF JOIN has different tie
+    semantics, so we pin ties explicitly: at equal ts the click sorts
+    first, i.e. a same-instant click is visible to the purchase).
+    """
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us().alias("ts_us"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("src"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("src") == 0, F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    click_id = F.last(
+        F.when(F.col("src") == 0, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("click_ts_us", click_ts)
+        .withColumn("click_event_id", click_id)
+        .filter(F.col("src") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            "click_event_id",
+            "click_ts_us",
+        )
+    )
+
+
+JOIN_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000 AS ts_us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS src
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), marked AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN src = 0 THEN ts_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, src, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_us,
+    LAST_VALUE(CASE WHEN src = 0 THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, src, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id
+  FROM tagged
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       ts_us    AS purchase_ts_us,
+       click_event_id,
+       click_ts_us
+FROM marked
+WHERE src = 1
+"""
+
+# --------------------------------------------------------------------------
+# Aggregation family: distinct, stats (exact-sum stddev), rollup, cube.
+# --------------------------------------------------------------------------
+
+
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def agg_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev per event_type — stddev from EXACT decimal sums
+    evaluated in double with the same IEEE op sequence as the oracle (raw
+    double stddev would drift by engine-dependent summation order)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(dec("value")).cast("double").alias("_s"),
+        F.sum(dec("value", 12, 2) * dec("value", 12, 2))
+        .cast("double")
+        .alias("_s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n").cast("double")
+    avg = F.col("_s") / n
+    var = (F.col("_s2") - (F.col("_s") * F.col("_s")) / n) / (n - F.lit(1.0))
+    return agg.select(
+        "event_type",
+        "min_value",
+        "max_value",
+        avg.alias("avg_value"),
+        F.sqrt(var).alias("stddev_value"),
+        "n",
+    ).orderBy("event_type")
+
+
+AGG_STATS_SQL = """
+WITH g AS (
+  SELECT event_type,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT event_type, min_value, max_value,
+       s / CAST(n AS DOUBLE) AS avg_value,
+       SQRT((s2 - (s * s) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+         AS stddev_value,
+       n
+FROM g
+ORDER BY event_type
+"""
+
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with sentinel-coalesced levels (priority → priority+status)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+ROLLUP_SQL = """
+SELECT
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COALESCE(o_orderstatus, 'ALL') AS status,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dec("l_quantity"), "sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias(
+                "returnflag"
+            ),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias(
+                "linestatus"
+            ),
+            "n_items",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+CUBE_SQL = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+# --------------------------------------------------------------------------
+# Window family: ranked top-k per group, running frames, sessionization.
+# --------------------------------------------------------------------------
+
+
+def window_topk_orders_per_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_priority", F.row_number().over(w))
+        .filter(F.col("rank_in_priority") <= 3)
+        .select(
+            "o_orderpriority", "rank_in_priority", "o_orderkey", "o_totalprice"
+        )
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey)
+           AS rank_in_priority
+  FROM orders
+) WHERE rank_in_priority <= 3
+"""
+
+
+def window_running_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal-exact cumulative sum + lag, per user by event time."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id", ts_us().alias("ts_us"), "value"
+        )
+        .withColumn(
+            "running_value", F.sum(dec("value")).over(w).cast("double")
+        )
+        .withColumn("prev_value", F.lag("value").over(wl))
+        .withColumn("row_in_user", F.row_number().over(wl))
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+  CAST(SUM(CAST(value AS DECIMAL(12,2)))
+       OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_value,
+  LAG(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+    AS prev_value,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+    AS row_in_user
+FROM events
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) as lag + cumulative flag sum —
+    the batch equivalent of a streaming session window, one shuffle on
+    user_id."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us().alias("ts_us"), "value"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(wo)) > gap_us, 1
+    ).otherwise(0)
+    sess = ev.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(wrun)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            dsum(dec("value"), "session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN ts_us - LAG(ts_us) OVER
+           (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), sessed AS (
+  SELECT *,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+FROM sessed
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set ops / distinct.
+# --------------------------------------------------------------------------
+
+
+def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+SORT_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with urgent orders but no low-priority orders."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.subtract(low)
+
+
+SET_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 2000."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_custs(y: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == y).select(
+            F.col("o_custkey").alias("custkey")
+        )
+
+    return year_custs(1996).intersect(year_custs(2000))
+
+
+SET_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 2000
+"""
+
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+    )
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+# --------------------------------------------------------------------------
+# Scalar-function families: strings, dates, JSON.
+# --------------------------------------------------------------------------
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.upper("source").alias("source_upper"),
+        F.substring("text", 1, 20).alias("snippet"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+        (F.instr("text", "spark") > 0).alias("mentions_spark"),
+        F.regexp_replace("text", "[aeiou]", "").alias("devoweled"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS text_len,
+       upper(source) AS source_upper,
+       substring(text, 1, 20) AS snippet,
+       concat_ws('|', lang, source) AS lang_source,
+       COALESCE(regexp_extract(text, '^([a-z]+)', 1), '') AS first_word,
+       strpos(text, 'spark') > 0 AS mentions_spark,
+       regexp_replace(text, '[aeiou]', '', 'g') AS devoweled
+FROM documents
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.dayofmonth("o_orderdate")).alias("first_dom"),
+            F.max(F.dayofmonth("o_orderdate")).alias("last_dom"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS y,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       COUNT(*) AS n_orders,
+       CAST(MIN(day(o_orderdate)) AS INT) AS first_dom,
+       CAST(MAX(day(o_orderdate)) AS INT) AS last_dom
+FROM orders
+GROUP BY 1, 2, 3, 4
+ORDER BY y, m
+"""
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over events.props (SURVEY §2.2 json fns)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_FUNCS_SQL = """
+SELECT event_type,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# Tumbling-window aggregation (batch form of the streaming op) —
+# pure integer bucket arithmetic so both engines agree exactly.
+# --------------------------------------------------------------------------
+
+
+def tumbling_quarter_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket_us = 15 * 60 * 1_000_000
+    bucket = (ts_us() - (ts_us() % F.lit(bucket_us))).alias("bucket_start_us")
+    return (
+        ev.select(bucket, "event_type", "value")
+        .groupBy("bucket_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value"), "sum_value"),
+        )
+        .orderBy("bucket_start_us", "event_type")
+    )
+
+
+TUMBLING_SQL = """
+SELECT (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000) % 900000000)
+         AS bucket_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start_us, event_type
+"""
+
+# --------------------------------------------------------------------------
+# Parity-shaped routing over the events table: regex validation + key
+# derivation + 2-topic fan-out as a union of projections (the reference's
+# router, SURVEY §2.1 ops 6, 12, 13, exercised under the oracle).
+# --------------------------------------------------------------------------
+
+
+def parity_event_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    valid = ev.filter(F.col("event_type").rlike("^[a-zA-Z0-9._-]+$"))
+    base = valid.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("key"),
+        F.format_string(
+            '{"event_id":%d,"event_type":"%s"}',
+            F.col("event_id"),
+            F.col("event_type"),
+        ).alias("value"),
+        F.col("event_type"),
+    )
+    to_all = base.select(
+        F.lit("app_events_all").alias("topic"), "event_id", "key", "value"
+    )
+    to_specific = base.select(
+        F.format_string("app_events.app.%s", F.col("event_type")).alias(
+            "topic"
+        ),
+        "event_id",
+        "key",
+        "value",
+    )
+    return to_all.unionByName(to_specific)
+
+
+PARITY_ROUTING_SQL = """
+WITH valid AS (
+  SELECT * FROM events WHERE regexp_matches(event_type, '^[a-zA-Z0-9._-]+$')
+), base AS (
+  SELECT event_id,
+         CAST(user_id AS VARCHAR) AS key,
+         printf('{"event_id":%d,"event_type":"%s"}', event_id, event_type)
+           AS value,
+         event_type
+  FROM valid
+)
+SELECT 'app_events_all' AS topic, event_id, key, value FROM base
+UNION ALL
+SELECT 'app_events.app.' || event_type AS topic, event_id, key, value FROM base
+"""
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "join_outer_order_counts": join_outer_order_counts,
+    "join_semi_big_spenders": join_semi_big_spenders,
+    "join_anti_no_urgent": join_anti_no_urgent,
+    "join_range_price_bands": join_range_price_bands,
+    "join_asof_purchase_click": join_asof_purchase_click,
+    "agg_distinct_users": agg_distinct_users,
+    "agg_value_stats": agg_value_stats,
+    "rollup_order_revenue": rollup_order_revenue,
+    "cube_lineitem_flags": cube_lineitem_flags,
+    "window_topk_orders_per_priority": window_topk_orders_per_priority,
+    "window_running_user_spend": window_running_user_spend,
+    "sessionize_events": sessionize_events,
+    "sort_topk_orders": sort_topk_orders,
+    "set_except_customers": set_except_customers,
+    "set_intersect_customers": set_intersect_customers,
+    "distinct_segments": distinct_segments,
+    "string_functions": string_functions,
+    "date_functions": date_functions,
+    "json_functions": json_functions,
+    "tumbling_quarter_hour": tumbling_quarter_hour,
+    "parity_event_routing": parity_event_routing,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "join_outer_order_counts": JOIN_OUTER_SQL,
+    "join_semi_big_spenders": JOIN_SEMI_SQL,
+    "join_anti_no_urgent": JOIN_ANTI_SQL,
+    "join_range_price_bands": JOIN_RANGE_SQL,
+    "join_asof_purchase_click": JOIN_ASOF_SQL,
+    "agg_distinct_users": AGG_DISTINCT_SQL,
+    "agg_value_stats": AGG_STATS_SQL,
+    "rollup_order_revenue": ROLLUP_SQL,
+    "cube_lineitem_flags": CUBE_SQL,
+    "window_topk_orders_per_priority": WINDOW_TOPK_SQL,
+    "window_running_user_spend": WINDOW_RUNNING_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "sort_topk_orders": SORT_TOPK_SQL,
+    "set_except_customers": SET_EXCEPT_SQL,
+    "set_intersect_customers": SET_INTERSECT_SQL,
+    "distinct_segments": DISTINCT_SQL,
+    "string_functions": STRING_FUNCS_SQL,
+    "date_functions": DATE_FUNCS_SQL,
+    "json_functions": JSON_FUNCS_SQL,
+    "tumbling_quarter_hour": TUMBLING_SQL,
+    "parity_event_routing": PARITY_ROUTING_SQL,
+}
