@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same answer shape:
+
+* **brute force** — broadcast the (small) query set, score every candidate
+  with JVM-side ``zip_with``/``aggregate`` cosine, rank per query. Correct
+  baseline; O(queries × corpus).
+* **LSH-bucketed (random hyperplanes)** — project each vector onto k
+  signed hyperplanes → k-bit signature; candidates share a signature band.
+  Scales as O(corpus × bands) + per-bucket scoring; recall is tunable via
+  (k, bands). The hyperplanes are generated from a seeded RNG on the
+  driver, so the operator is deterministic.
+
+An IVF variant would cluster first (KMeans) and probe nearest centroids;
+the banded-LSH path covers the same scale goal without an ML-fit stage.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.functions.vector import cosine
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (excluding self-matches).
+
+    Ranking uses the 6dp-rounded cosine with the candidate id as tiebreak —
+    fully deterministic across partitionings/engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cos_sim")
+    )
+
+
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact; for bounded corpora /
+    verification of the LSH path)."""
+    a = corpus.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_signatures(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature: bit j = sign(v · plane_j)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        sig.alias("lsh_sig"),
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 16,
+    band_size: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 signature band with the
+    query; exact cosine re-rank within candidates.
+
+    At 100 TB the join is on (band, slice) — corpus-side fan-out is
+    n_bands rows per vector, and only bucket-mates are scored.
+    """
+    n_bands = n_planes // band_size
+    mask = (1 << band_size) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sigs = lsh_signatures(df, dim, n_planes, seed, id_col, vec_col)
+        out = None
+        for b in range(n_bands):
+            s = sigs.select(
+                F.col("vec_id").alias(f"{role}_id"),
+                F.col("embedding").alias(f"{role}_vec"),
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("lsh_sig"), b * band_size)
+                .bitwiseAND(F.lit(mask))
+                .alias("slice"),
+            )
+            out = s if out is None else out.unionByName(s)
+        return out
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "cand")
+    cands = (
+        qb.join(cb, ["band", "slice"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "query_vec", "cand_id", "cand_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cos_sim")
+    )

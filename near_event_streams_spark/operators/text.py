@@ -1,0 +1,115 @@
+"""Text-analysis operators: quality scoring, token counting, language ID,
+document fingerprinting. All built-in expressions (no UDFs) — the whole
+family runs inside whole-stage codegen and scales as a narrow map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.operators.dedup import words_col
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# deterministic marker lists for the language-ID heuristic; ties resolve in
+# this declaration order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_col(text))
+
+
+TOKEN_REGEX = "[a-z]+|[0-9]+"
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_REGEX), 0))
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + a boolean keep-gate.
+
+    Mirrors the heuristics common in LLM-corpus cleaning (length bounds,
+    stopword density, mean word length).
+    """
+    words = words_col(F.col("text"))
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    )
+    avg_word_len = F.round(
+        total_chars.cast("double") / n_words.cast("double"), 6
+    )
+    stop_ratio = F.round(
+        n_stop.cast("double") / n_words.cast("double"), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n_words >= 5)
+            & (n_words <= 10000)
+            & (n_distinct.cast("double") / n_words.cast("double") > 0.2)
+        ).alias("keep"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    words = words_col(F.lower(text))
+    return {
+        lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits with
+    deterministic tie-break in LANG_MARKERS declaration order."""
+    scores = lang_scores(F.col("text"))
+    langs = list(scores)
+    pred = F.lit(langs[-1])
+    best = scores[langs[-1]]
+    # fold right-to-left so earlier languages win ties (>=)
+    for lang in reversed(langs[:-1]):
+        cond = scores[lang] >= best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, scores[lang]).otherwise(best)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+    return out.withColumn("lang_match", F.col("pred_lang") == F.col("lang"))
+
+
+def rolling_fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over characters (base 31, mod 1e9+7) —
+    the classic document fingerprint, computed as a fold so it stays
+    JVM-side. Not oracle-gated (no DuckDB fold equivalent guaranteed);
+    md5-based fingerprints (dedup.fingerprint_prefix) are the gated path."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % mod,
+    )

@@ -1,0 +1,396 @@
+"""LLM-data-pipeline query surface: dedup, similarity, text, multimodal.
+
+Oracle-gated wherever the computation is SQL-expressible in DuckDB with
+bit-identical results; approximate/hash-based operators (MinHash-LSH,
+SimHash, hyperplane-LSH ANN) are registered without oracle SQL — the
+driver records the weaker rows-only check for those, and the exact
+variants (``dedup_ngram_jaccard``, ``ann_cosine_topk``) gate the same
+semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.operators import dedup, multimodal, similarity, text
+from near_event_streams_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(
+        docs, dedup.normalized_text(F.col("text"))
+    ).select("dedup_key", "keep_doc_id", "n_copies")
+
+
+DEDUP_EXACT_SQL = """
+SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS dedup_key,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dedup.fingerprint_prefix(F.col("text"), n_words=5)
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+DEDUP_FINGERPRINT_SQL = """
+WITH norm AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+') AS w
+  FROM documents
+)
+SELECT md5(array_to_string(w[1:5], ' ')) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs
+FROM norm
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        dedup.doc_shingles(docs), threshold=0.8
+    ).orderBy("a_doc_id", "b_doc_id")
+
+
+DEDUP_JACCARD_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+  FROM words, unnest(range(1, len(w))) t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_doc_id, b_doc_id,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON a_doc_id = sa.doc_id
+JOIN sizes sb ON b_doc_id = sb.doc_id
+WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8
+ORDER BY a_doc_id, b_doc_id
+"""
+
+
+def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only check: xxhash64 has no DuckDB
+    equivalent; the exact-jaccard verification step reuses the gated
+    semantics of dedup_ngram_jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, threshold=0.8).orderBy(
+        "a_doc_id", "b_doc_id"
+    )
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs)
+    return dedup.simhash_near_pairs(sigs, max_hamming=2).orderBy(
+        "a_doc_id", "b_doc_id"
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(emb, threshold=0.35).orderBy(
+        "a_id", "b_id"
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+), norms AS (
+  SELECT vec_id, SUM(v*v) AS nsq FROM flat GROUP BY 1
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.v * b.v) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cos_sim
+FROM dots
+JOIN norms na ON a_id = na.vec_id
+JOIN norms nb ON b_id = nb.vec_id
+WHERE ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= 0.35
+ORDER BY a_id, b_id
+"""
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(queries, emb, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+ANN_TOPK_SQL = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+), norms AS (
+  SELECT vec_id, SUM(v*v) AS nsq FROM flat GROUP BY 1
+), q AS (
+  SELECT * FROM flat WHERE vec_id < 10
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+  FROM q JOIN flat c ON q.i = c.i AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, cand_id,
+         ROUND(dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 6) AS cos_sim
+  FROM dots
+  JOIN norms nq ON query_id = nq.vec_id
+  JOIN norms nc ON cand_id = nc.vec_id
+), ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, cand_id, cos_sim FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (rows-only check; recall measured
+    against ann_cosine_topk in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(queries, emb, dim=64, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_features(docs)
+
+
+TEXT_QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(words) AS INT) AS n_words,
+  CAST(len(list_distinct(words)) AS INT) AS n_distinct_words,
+  ROUND(CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+        / CAST(len(words) AS DOUBLE), 6) AS avg_word_len,
+  ROUND(CAST(len(list_filter(words,
+          x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+        / CAST(len(words) AS DOUBLE), 6) AS stopword_ratio,
+  len(words) >= 5 AND len(words) <= 10000
+    AND CAST(len(list_distinct(words)) AS DOUBLE)
+        / CAST(len(words) AS DOUBLE) > 0.2 AS keep
+FROM w
+"""
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        text.token_count_ws(F.col("text")).alias("ws_tokens"),
+        text.token_count_regex(F.col("text")).alias("re_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("re_tokens").alias("total_re_tokens"),
+            F.round(
+                F.sum("ws_tokens").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_TOKENS_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS re_tokens
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
+       ROUND(CAST(SUM(ws_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_tokens_per_doc
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs)
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"x -> x IN ({quoted}))) AS INT)"
+    )
+
+
+_SCORES = {
+    lang: _lang_score_sql(markers)
+    for lang, markers in text.LANG_MARKERS.items()
+}
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {_SCORES['en']} AS score_en,
+    {_SCORES['es']} AS score_es,
+    {_SCORES['de']} AS score_de,
+    {_SCORES['fr']} AS score_fr,
+    {_SCORES['zh']} AS score_zh
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_es, score_de, score_fr, score_zh,
+  CASE
+    WHEN score_en >= GREATEST(score_es, score_de, score_fr, score_zh) THEN 'en'
+    WHEN score_es >= GREATEST(score_de, score_fr, score_zh) THEN 'es'
+    WHEN score_de >= GREATEST(score_fr, score_zh) THEN 'de'
+    WHEN score_fr >= score_zh THEN 'fr'
+    ELSE 'zh'
+  END AS pred_lang,
+  CASE
+    WHEN score_en >= GREATEST(score_es, score_de, score_fr, score_zh) THEN 'en'
+    WHEN score_es >= GREATEST(score_de, score_fr, score_zh) THEN 'es'
+    WHEN score_de >= GREATEST(score_fr, score_zh) THEN 'de'
+    WHEN score_fr >= score_zh THEN 'fr'
+    ELSE 'zh'
+  END = lang AS lang_match
+FROM scored
+"""
+
+
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash per doc (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.rolling_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(docs)
+    return media.select(
+        "media_id", "media_type", "n_bytes", "magic_hex"
+    ).orderBy("media_id")
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id,
+       CASE lower(hex(substring(text, 1, 4)))
+         WHEN '89504e47' THEN 'image/png'
+         WHEN 'ffd8ffe0' THEN 'image/jpeg'
+         WHEN '52494646' THEN 'audio/wav'
+         WHEN '00000018' THEN 'video/mp4'
+         ELSE 'application/octet-stream'
+       END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lower(hex(substring(text, 1, 4))) AS magic_hex
+FROM documents
+ORDER BY media_id
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (rows-only check: Python-side fake
+    decode has no SQL equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(
+        multimodal.as_media_table(docs)
+    ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_fingerprint_docs": dedup_fingerprint_docs,
+    "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+    "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "text_quality_docs": text_quality_docs,
+    "text_token_counts": text_token_counts,
+    "lang_id_docs": lang_id_docs,
+    "text_fingerprint_rolling": text_fingerprint_rolling,
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "dedup_fingerprint_docs": DEDUP_FINGERPRINT_SQL,
+    "dedup_ngram_jaccard_docs": DEDUP_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+    "ann_cosine_topk": ANN_TOPK_SQL,
+    "text_quality_docs": TEXT_QUALITY_SQL,
+    "text_token_counts": TEXT_TOKENS_SQL,
+    "lang_id_docs": LANG_ID_SQL,
+    "multimodal_metadata": MULTIMODAL_META_SQL,
+}

@@ -1,0 +1,84 @@
+"""LLM-pipeline operator tests: oracle compare for gated queries; semantic
+checks (recall vs exact baseline, determinism) for the hash-based ones."""
+
+import pytest
+
+from near_event_streams_spark.plans.llm_ops import ORACLE_SQL, QUERIES
+from tests.conftest import SF_DIR
+from tests.oracle import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_llm_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    compare(df, duck, ORACLE_SQL[name], name=name)
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(spark):
+    """LSH candidates verified at tau=0.8 must equal the exact-join answer:
+    16 hashes / 4 bands at s=0.8 -> P(candidate) = 1-(1-0.8^4)^4 ~ 0.93
+    per band set; with verify the only risk is a false negative, so assert
+    superset-of-recall >= 0.9 on the planted near-dups."""
+    exact = {
+        (r["a_doc_id"], r["b_doc_id"])
+        for r in QUERIES["dedup_ngram_jaccard_docs"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["a_doc_id"], r["b_doc_id"])
+        for r in QUERIES["dedup_minhash_lsh_docs"](spark, SF_DIR).collect()
+    }
+    assert lsh <= exact, "LSH+verify produced a pair the exact join did not"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} too low"
+
+
+def test_simhash_deterministic_and_bounded(spark):
+    a = QUERIES["dedup_simhash_docs"](spark, SF_DIR).collect()
+    b = QUERIES["dedup_simhash_docs"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        assert r["hamming"] <= 2
+
+
+def test_ann_lsh_recall_against_brute_force(spark):
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH ANN recall {recall} unreasonably low"
+
+
+def test_multimodal_features_plumbing(spark):
+    rows = QUERIES["multimodal_features"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:10]:
+        assert 1 <= r["width"] <= 64
+        assert 1 <= r["height"] <= 48
+        assert r["checksum"] >= 0
+        assert r["n_bytes"] > 0
+
+
+def test_rolling_fingerprint_deterministic(spark):
+    a = {
+        r["doc_id"]: r["fingerprint"]
+        for r in QUERIES["text_fingerprint_rolling"](spark, SF_DIR).collect()
+    }
+    b = {
+        r["doc_id"]: r["fingerprint"]
+        for r in QUERIES["text_fingerprint_rolling"](spark, SF_DIR).collect()
+    }
+    assert a == b
+    assert all(0 <= v < 1_000_000_007 for v in a.values())
