@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total-sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized via count() on a cached-nothing plan (no
+collect of full results — we time the engine, not the driver pickle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from near_event_streams_spark.plans import analytics, llm_ops  # noqa: E402
+from near_event_streams_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scale-sensitive shapes (scans, shuffles, joins,
+# windows, dedup joins, vector scoring).
+HEADLINE = [
+    ("q1_pricing_summary", analytics.QUERIES["q1_pricing_summary"]),
+    ("q3_shipping_priority", analytics.QUERIES["q3_shipping_priority"]),
+    ("q5_local_supplier", analytics.QUERIES["q5_local_supplier"]),
+    ("join_outer_order_counts", analytics.QUERIES["join_outer_order_counts"]),
+    ("join_asof_purchase_click", analytics.QUERIES["join_asof_purchase_click"]),
+    ("window_running_user_spend", analytics.QUERIES["window_running_user_spend"]),
+    ("sessionize_events", analytics.QUERIES["sessionize_events"]),
+    ("tumbling_quarter_hour", analytics.QUERIES["tumbling_quarter_hour"]),
+    ("parity_event_routing", analytics.QUERIES["parity_event_routing"]),
+    ("dedup_ngram_jaccard_docs", llm_ops.QUERIES["dedup_ngram_jaccard_docs"]),
+    ("dedup_minhash_lsh_docs", llm_ops.QUERIES["dedup_minhash_lsh_docs"]),
+    ("ann_cosine_topk", llm_ops.QUERIES["ann_cosine_topk"]),
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="nes-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing once, outside timed region
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in HEADLINE:
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

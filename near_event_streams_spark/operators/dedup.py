@@ -62,6 +62,30 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def doc_shingle_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct 64-bit shingle ids per document (xxhash64 of the bigram).
+
+    All pairwise machinery below runs on long ids, not strings — long-array
+    intersection and long-key joins are several times cheaper. A 64-bit
+    collision between two of the corpus's distinct shingles would be needed
+    to change any Jaccard count (P ≈ n_shingles²/2^65 — negligible, and the
+    oracle test would catch it deterministically).
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    word_bigrams(words_col(F.col(text_col))),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("sid"),
+    ).filter(F.col("sid").isNotNull())
+
+
 # ---------------------------------------------------------------------------
 # exact + fingerprint
 # ---------------------------------------------------------------------------
@@ -93,47 +117,137 @@ def fingerprint_prefix(text: Column, n_words: int = 5) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(
-    shingles: DataFrame, threshold: float = 0.8
+def shingle_id_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """All doc pairs with shingle-set Jaccard ≥ threshold.
+    """Per-doc sorted array of distinct shingle ids + size — computed
+    entirely row-local (transform + array_distinct), NO shuffle.
 
-    inverted-index self-join on shingle (shuffle on shingle), partial
-    count per pair, then a broadcast join against per-doc sizes. Output:
-    (a_doc_id, b_doc_id, jaccard) with a < b, jaccard rounded to 6dp.
+    The input is round-robin repartitioned first: corpus files are often
+    few/large, and the per-row hashing work would otherwise run on as few
+    cores as there are input splits.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    arr = F.sort_array(
+        F.array_distinct(
+            F.transform(
+                word_bigrams(words_col(F.col(text_col))),
+                lambda s: F.xxhash64(s),
+            )
         )
-        .groupBy(
-            F.col("a.doc_id").alias("a_doc_id"),
-            F.col("b.doc_id").alias("b_doc_id"),
+    )
+    return spread.select(
+        F.col(id_col).alias("doc_id"),
+        arr.alias("sh"),
+        F.size(arr).alias("sz"),
+    )
+
+
+def _pairs_from_bucket(doc_list: Column) -> Column:
+    """All ordered pairs (a<b) from one bucket's element array — generated
+    in-row, replacing a bucket self-join (which would recompute the whole
+    upstream plan once per join side). Elements are sorted first so pair
+    order is deterministic (struct elements sort by leading field)."""
+    ds = F.array_sort(doc_list)
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("a_doc_id"), F.col("sz").alias("sz_a")
+
+
+def _verify_pairs(
+    cands: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via array_intersect on the per-doc
+    shingle arrays (JVM-side set intersection, no second shingle shuffle)."""
+    a_sets = sets.select(
+        F.col("doc_id").alias("a_doc_id"),
+        F.col("sh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
     )
-    sb = sizes.select(
-        F.col("doc_id").alias("b_doc_id"), F.col("sz").alias("sz_b")
+    b_sets = sets.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("sh").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
     )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = F.round(
-        F.col("inter").cast("double")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter),
         6,
     )
+    # sets is one (small) row per doc — broadcast both sides so the pair
+    # stream never shuffles the shingle arrays. At corpus sizes where the
+    # doc->set map outgrows broadcast, bucket both sides by doc_id instead.
+    # The explicit repartition matters: the candidate stream is only a few
+    # MB of (long,long) pairs, so AQE would coalesce it to ~1 partition and
+    # run the (CPU-heavy) per-pair intersection single-threaded.
     return (
-        inter.join(F.broadcast(sa), "a_doc_id")
-        .join(F.broadcast(sb), "b_doc_id")
+        cands.repartition(64, "a_doc_id")
+        .join(F.broadcast(a_sets), "a_doc_id")
+        .join(F.broadcast(b_sets), "b_doc_id")
         .select("a_doc_id", "b_doc_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold — EXACT, via
+    prefix filtering (PPJoin-style).
+
+    The naive inverted-index self-join costs Ω(Σ_shingle df²), which
+    explodes when common shingles appear in most documents. Prefix
+    filtering is the exact fix: sort each doc's shingles by ascending
+    document frequency; any pair with Jaccard ≥ τ MUST share a shingle
+    within the first ⌊(1-τ)·|A|⌋+1 of each doc's ordering (pigeonhole on
+    the overlap bound). Candidates are generated only from those rarest
+    prefix shingles, then verified exactly with long-array intersection.
+    Output is identical to the naive join; only the physical plan changes.
+    Scale: this is the 100 TB exact path; minhash_lsh_dedup is the
+    approximate one.
+    """
+    from pyspark.sql import Window
+
+    # sets is referenced 4x in this DAG (df-counts, prefix, both verify
+    # sides); without persist Spark re-derives the shingle arrays from raw
+    # text each time. A few MB per 100k docs — safe to keep in memory.
+    sets = shingle_id_sets(docs, id_col, text_col).persist()
+    ids = sets.select(
+        "doc_id", "sz", F.explode("sh").alias("sid")
+    )
+    dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sid")
+    prefix_len = F.floor(
+        F.lit(1.0 - threshold) * F.col("sz").cast("double")
+    ).cast("int") + F.lit(1)
+    prefix = (
+        ids.join(dfreq, "sid")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= prefix_len)
+        .select("doc_id", "sid")
+    )
+    cands = (
+        prefix.groupBy("sid")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
+        .select(
+            F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id")
+        )
+        .distinct()
+    )
+    return _verify_pairs(cands, sets, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -142,18 +256,16 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 16
+    shingle_ids: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """k minhash slots per doc: slot j = min over shingles of
-    xxhash64(j-salted shingle). One shuffle (groupBy doc_id); each slot is
-    a map-side partial min."""
+    """k minhash slots per doc: slot j = min over shingle ids of the
+    j-salted rehash. One shuffle (groupBy doc_id); each slot is a map-side
+    partial min over long keys."""
     aggs = [
-        F.min(
-            F.xxhash64(F.concat(F.lit(f"mh{j}|"), F.col("shingle")))
-        ).alias(f"h{j}")
+        F.min(F.xxhash64(F.lit(j), F.col("sid"))).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return shingle_ids.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -176,18 +288,13 @@ def lsh_candidate_pairs(
     buckets = bands[0]
     for extra in bands[1:]:
         buckets = buckets.unionByName(extra)
-    a = buckets.alias("a")
-    b2 = buckets.alias("b")
     return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
         .select(
-            F.col("a.doc_id").alias("a_doc_id"),
-            F.col("b.doc_id").alias("b_doc_id"),
+            F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id")
         )
         .distinct()
     )
@@ -201,48 +308,14 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH buckets → exact-Jaccard verify
     of candidates only. Returns verified (a_doc_id, b_doc_id, jaccard)."""
-    sh = doc_shingles(docs)
+    sets = shingle_id_sets(docs).persist()
+    sh = sets.select("doc_id", F.explode("sh").alias("sid"))
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes), num_hashes, band_size
     )
-    # verify candidates with exact jaccard: join candidate pairs back to
-    # shingle sets (shuffle bounded by candidate count, not all pairs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a_sh = sh.select(F.col("doc_id").alias("a_doc_id"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("b_doc_id"), "shingle")
-    inter = (
-        cands.join(a_sh, "a_doc_id")
-        .join(b_sh, ["b_doc_id", "shingle"])
-        .groupBy("a_doc_id", "b_doc_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = F.round(
-        F.col("inter").cast("double")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        6,
-    )
-    return (
-        inter.join(
-            F.broadcast(
-                sizes.select(
-                    F.col("doc_id").alias("a_doc_id"),
-                    F.col("sz").alias("sz_a"),
-                )
-            ),
-            "a_doc_id",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("doc_id").alias("b_doc_id"),
-                    F.col("sz").alias("sz_b"),
-                )
-            ),
-            "b_doc_id",
-        )
-        .select("a_doc_id", "b_doc_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    # verify candidates with exact jaccard via per-doc shingle-id arrays
+    # (bounded by candidate count, not all pairs)
+    return _verify_pairs(cands, sets, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -250,8 +323,11 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """Signed-bit-vote simhash over distinct words (xxhash64 word hashes)."""
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Signed-bit-vote simhash over distinct words (xxhash64 word hashes).
+
+    32 bits: enough to separate merely-similar bags of words (which this
+    corpus is full of) from true near-duplicates; 16 bits collapses."""
     tokens = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("w")
     ).distinct()
@@ -271,7 +347,7 @@ def simhash_signatures(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_near_pairs(
-    signatures: DataFrame, max_hamming: int = 2, bits: int = 16, bands: int = 4
+    signatures: DataFrame, max_hamming: int = 1, bits: int = 32, bands: int = 2
 ) -> DataFrame:
     """Candidate pairs share at least one of ``bands`` signature slices
     (pigeonhole: hamming ≤ bands-1 implies a shared slice when
@@ -289,21 +365,20 @@ def simhash_near_pairs(
             .alias("slice"),
         )
         slices = s if slices is None else slices.unionByName(s)
-    a = slices.alias("a")
-    b2 = slices.alias("b")
+    members = slices.select(
+        "band", "slice", F.struct("doc_id", "simhash").alias("m")
+    )
     ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
     )
     return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.slice") == F.col("b.slice"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        members.groupBy("band", "slice")
+        .agg(F.collect_list("m").alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
         .select(
-            F.col("a.doc_id").alias("a_doc_id"),
-            F.col("b.doc_id").alias("b_doc_id"),
+            F.col("p.a.doc_id").alias("a_doc_id"),
+            F.col("p.b.doc_id").alias("b_doc_id"),
             ham.alias("hamming"),
         )
         .distinct()

@@ -70,9 +70,9 @@ GROUP BY 1
 
 def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(
-        dedup.doc_shingles(docs), threshold=0.8
-    ).orderBy("a_doc_id", "b_doc_id")
+    return dedup.jaccard_pairs(docs, threshold=0.8).orderBy(
+        "a_doc_id", "b_doc_id"
+    )
 
 
 DEDUP_JACCARD_SQL = """
@@ -112,7 +112,7 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.simhash_signatures(docs)
-    return dedup.simhash_near_pairs(sigs, max_hamming=2).orderBy(
+    return dedup.simhash_near_pairs(sigs, max_hamming=1).orderBy(
         "a_doc_id", "b_doc_id"
     )
 

@@ -45,7 +45,7 @@ def test_simhash_deterministic_and_bounded(spark):
     b = QUERIES["dedup_simhash_docs"](spark, SF_DIR).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     for r in a:
-        assert r["hamming"] <= 2
+        assert r["hamming"] <= 1
 
 
 def test_ann_lsh_recall_against_brute_force(spark):
