@@ -1,0 +1,197 @@
+"""Structured Streaming parity tests: file-source pipeline end-to-end,
+rejected side stream, watermark aggregation, streaming dedup, checkpoint
+restart (sync-from-interruption)."""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.config import NesConfig
+from near_event_streams_spark.sources.streamer import stream_messages_json
+from near_event_streams_spark.streaming import job
+
+
+def _stream_dirs(tmp_path, fixture_messages_path):
+    src = tmp_path / "blocks"
+    src.mkdir()
+    shutil.copy(fixture_messages_path, src / "blocks.jsonl")
+    return str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def test_stream_to_parquet_end_to_end(spark, fixture_messages_path, tmp_path):
+    src, out, ckpt = _stream_dirs(tmp_path, fixture_messages_path)
+    msgs = stream_messages_json(spark, src)
+    q = job.start_to_parquet(msgs, NesConfig(), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # 4 valid events x 2 topics
+    assert got.count() == 8
+    topics = {r["topic"] for r in got.select("topic").distinct().collect()}
+    assert "near_events_all" in topics
+    assert "near_events.nep171.nft_mint" in topics
+
+
+def test_stream_restart_is_incremental(spark, fixture_messages_path, tmp_path):
+    """Checkpoint restart = the reference's sync-from-interruption
+    (configs.rs:101-117): a restarted query must not reprocess old files
+    and must pick up new ones."""
+    src, out, ckpt = _stream_dirs(tmp_path, fixture_messages_path)
+    msgs = stream_messages_json(spark, src)
+    job.start_to_parquet(msgs, NesConfig(), out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # add one new block file, restart from the same checkpoint
+    extra = {
+        "block": {"header": {"height": 200, "timestamp": 1}},
+        "shards": [
+            {
+                "shard_id": 0,
+                "receipt_execution_outcomes": [
+                    {
+                        "receipt": {"receipt_id": "rX", "receiver_id": "c.near"},
+                        "execution_outcome": {
+                            "outcome": {
+                                "logs": [
+                                    'EVENT_JSON:{"standard":"nep171",'
+                                    '"version":"1.0.0","event":"nft_burn",'
+                                    '"data":{"x":1}}'
+                                ]
+                            }
+                        },
+                    }
+                ],
+            }
+        ],
+    }
+    with open(os.path.join(src, "more.jsonl"), "w") as f:
+        f.write(json.dumps(extra) + "\n")
+    msgs2 = stream_messages_json(spark, src)
+    job.start_to_parquet(msgs2, NesConfig(), out, ckpt).awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == n1 + 2  # exactly the new event x 2 topics
+    assert got.filter(F.col("topic") == "near_events.nep171.nft_burn").count() == 1
+
+
+def test_rejected_side_stream(spark, fixture_messages_path, tmp_path):
+    src, out, ckpt = _stream_dirs(tmp_path, fixture_messages_path)
+    msgs = stream_messages_json(spark, src)
+    q = job.start_rejected_sink(msgs, NesConfig(), out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    reasons = sorted(r["reject_reason"] for r in got.collect())
+    assert reasons == ["parse_error", "validation_error"]
+
+
+def test_whitelist_applies_in_stream(spark, fixture_messages_path, tmp_path):
+    src, out, ckpt = _stream_dirs(tmp_path, fixture_messages_path)
+    msgs = stream_messages_json(spark, src)
+    cfg = NesConfig(whitelist_contract_ids=["nft.contract-a.near"])
+    job.start_to_parquet(msgs, cfg, out, ckpt).awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 4  # 2 events from contract-a x 2 topics
+    assert {r["key"] for r in got.collect()} == {"nft.contract-a.near"}
+
+
+def test_windowed_contract_counts_with_watermark(
+    spark, fixture_messages_path, tmp_path
+):
+    src, _, ckpt = _stream_dirs(tmp_path, fixture_messages_path)
+    msgs = stream_messages_json(spark, src)
+    from near_event_streams_spark.operators.extract import extract_events
+
+    collected = []
+
+    def sink(batch, batch_id):
+        collected.extend(batch.collect())
+
+    def transform(stream_df):
+        events, _ = extract_events(stream_df)
+        return job.windowed_contract_counts(events)
+
+    q = job.run_batches(msgs, transform, ckpt, sink)
+    q.awaitTermination(120)
+    counts = {
+        (r["contract_account_id"], r["n_events"]) for r in collected
+    }
+    assert ("nft.contract-a.near", 2) in counts or (
+        "nft.contract-a.near",
+        1,
+    ) in counts  # two blocks may fall in different windows
+    assert any(c[0] == "app.other.near" for c in counts)
+
+
+def test_streaming_dedup_receipts(spark, tmp_path):
+    """Duplicate delivery of the same block collapses to one event."""
+    block = {
+        "block": {"header": {"height": 1, "timestamp": 1_700_000_000_000_000_000}},
+        "shards": [
+            {
+                "shard_id": 0,
+                "receipt_execution_outcomes": [
+                    {
+                        "receipt": {"receipt_id": "dup", "receiver_id": "c.near"},
+                        "execution_outcome": {
+                            "outcome": {
+                                "logs": [
+                                    'EVENT_JSON:{"standard":"nep171",'
+                                    '"version":"1.0.0","event":"nft_mint",'
+                                    '"data":[{"owner_id":"o","token_ids":["1"]}]}'
+                                ]
+                            }
+                        },
+                    }
+                ],
+            }
+        ],
+    }
+    src = tmp_path / "dupblocks"
+    src.mkdir()
+    with open(src / "b.jsonl", "w") as f:
+        f.write(json.dumps(block) + "\n")
+        f.write(json.dumps(block) + "\n")  # redelivered
+
+    from near_event_streams_spark.operators.extract import extract_events
+
+    collected = []
+
+    def sink(batch, batch_id):
+        collected.extend(batch.collect())
+
+    def transform(stream_df):
+        events, _ = extract_events(stream_df)
+        return job.dedup_receipts(events)
+
+    msgs = stream_messages_json(spark, str(src))
+    q = job.run_batches(msgs, transform, str(tmp_path / "ck2"), sink)
+    q.awaitTermination(120)
+    assert len(collected) == 1
+
+
+def test_stats_listener_reports_throughput(
+    spark, fixture_messages_path, tmp_path
+):
+    from near_event_streams_spark.streaming.stats import BlockStatsListener
+
+    listener = BlockStatsListener(
+        tip_provider=lambda: 1000,
+        last_height_provider=lambda: 101,
+        emit=lambda line: None,
+    )
+    spark.streams.addListener(listener)
+    try:
+        src, out, ckpt = _stream_dirs(tmp_path, fixture_messages_path)
+        msgs = stream_messages_json(spark, src)
+        q = job.start_to_parquet(msgs, NesConfig(), out, ckpt)
+        q.awaitTermination(120)
+        # listener events are async; wait briefly
+        import time
+
+        for _ in range(40):
+            if listener.lines:
+                break
+            time.sleep(0.25)
+        assert any("blocks in batch" in line for line in listener.lines)
+    finally:
+        spark.streams.removeListener(listener)
