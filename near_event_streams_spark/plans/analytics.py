@@ -917,6 +917,315 @@ SELECT 'app_events.app.' || event_type AS topic, event_id, key, value FROM base
 """
 
 # --------------------------------------------------------------------------
+# Subquery shapes: EXISTS (semi), scalar-min-per-group, correlated avg.
+# Spark-first: correlated subqueries decorrelate into joins/windows — we
+# write the decorrelated plan directly (what Catalyst would produce).
+# --------------------------------------------------------------------------
+
+
+def subquery_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having ≥1 lineitem shipped >60d after order
+    date, counted per priority. EXISTS ⇒ left-semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SUBQ_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def subquery_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: parts priced at the minimum within their brand.
+    Correlated scalar subquery ⇒ window min (no join, one shuffle)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_min", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("brand_min"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+SUBQ_MIN_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p_partkey
+"""
+
+
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with acctbal above their nation's average — correlated
+    aggregate ⇒ broadcast join against the per-nation aggregate.
+    avg is exact-decimal / count, evaluated identically in the oracle."""
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+    )
+
+
+SUBQ_AVG_SQL = """
+WITH na AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c_nationkey, c_acctbal, nation_avg
+FROM customer JOIN na USING (c_nationkey)
+WHERE c_acctbal > nation_avg
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between supplier and customer
+    nations per year. Two broadcast dim joins + the big orders⋈lineitem
+    shuffle."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(n1, supplier.s_nationkey == F.col("s_nk"))
+        .join(n2, cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(dec("l_extendedprice") * disc, "volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# --------------------------------------------------------------------------
+# GROUPING SETS + extended window analytics + math/array function families
+# + approximate distinct.
+# --------------------------------------------------------------------------
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (priority), (status) — distinct from
+    rollup/cube; expressed via spark.sql on a registered view."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY priority, status
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+ORDER BY priority, status
+"""
+
+
+def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lead / ntile / frame-avg in one pass — the
+    remaining ranking+analytic window families over a bounded frame."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    wo = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    frame = wo.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(wo).alias("rnk"),
+        F.dense_rank().over(wo).alias("drnk"),
+        F.lead("o_orderkey").over(wo).alias("next_orderkey"),
+        F.ntile(4).over(wo).alias("quartile"),
+        (
+            F.sum(dec("o_totalprice")).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame).cast("double")
+        ).alias("avg_last3"),
+    )
+
+
+WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  LEAD(o_orderkey) OVER w AS next_orderkey,
+  NTILE(4) OVER w AS quartile,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(COUNT(*)
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS avg_last3
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math family over part prices — all IEEE-deterministic ops."""
+    part = _t(spark, sf_dir, "part")
+    p = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.round(p, 1).alias("price_round1"),
+        F.abs(p - 1500.0).alias("dist_from_1500"),
+        F.ceil(p).cast("long").alias("price_ceil"),
+        F.floor(p).cast("long").alias("price_floor"),
+        F.sqrt(p).alias("price_sqrt"),
+        F.log(p).alias("price_ln"),
+        F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("size_sq"),
+        (F.col("p_partkey") % 7).cast("long").alias("key_mod7"),
+        F.signum(p - 1500.0).alias("sign_vs_1500"),
+    )
+
+
+MATH_FUNCS_SQL = """
+SELECT p_partkey,
+       ROUND(p_retailprice, 1) AS price_round1,
+       ABS(p_retailprice - 1500.0) AS dist_from_1500,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+       SQRT(p_retailprice) AS price_sqrt,
+       LN(p_retailprice) AS price_ln,
+       POW(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+       CAST(p_partkey % 7 AS BIGINT) AS key_mod7,
+       CASE WHEN p_retailprice - 1500.0 > 0 THEN 1.0
+            WHEN p_retailprice - 1500.0 < 0 THEN -1.0 ELSE 0.0 END
+         AS sign_vs_1500
+FROM part
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over embeddings: size/slice/contains-style ops with
+    integer outputs (deterministic; float reductions live in the cosine
+    queries)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(e, lambda x: x < 0)).alias("n_negative"),
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                F.slice(e, 1, 8),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            6,
+        ).alias("head8_sum"),
+        ((F.col("label") % 2) == 0).alias("label_even"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       CAST(len(list_filter(embedding, x -> x < 0)) AS INT) AS n_negative,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       ROUND(list_sum(list_transform(embedding[1:8],
+                                     x -> CAST(x AS DOUBLE))), 6)
+         AS head8_sum,
+       (label % 2) = 0 AS label_even
+FROM embeddings
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (rows-only: the estimator differs
+    from DuckDB's approx_count_distinct by construction; the exact variant
+    agg_distinct_users gates the semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -945,9 +1254,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_functions": json_functions,
     "tumbling_quarter_hour": tumbling_quarter_hour,
     "parity_event_routing": parity_event_routing,
+    "subquery_exists_late_orders": subquery_exists_late_orders,
+    "subquery_min_price_part": subquery_min_price_part,
+    "subquery_above_nation_avg": subquery_above_nation_avg,
+    "q7_nation_volume": q7_nation_volume,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "window_analytics_suite": window_analytics_suite,
+    "math_functions": math_functions,
+    "array_functions": array_functions,
+    "agg_approx_distinct": agg_approx_distinct,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "subquery_exists_late_orders": SUBQ_EXISTS_SQL,
+    "subquery_min_price_part": SUBQ_MIN_SQL,
+    "subquery_above_nation_avg": SUBQ_AVG_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
+    "window_analytics_suite": WINDOW_ANALYTICS_SQL,
+    "math_functions": MATH_FUNCS_SQL,
+    "array_functions": ARRAY_FUNCS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
