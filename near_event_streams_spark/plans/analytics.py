@@ -32,38 +32,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from near_event_streams_spark.sources.tables import load_table
-
-# --------------------------------------------------------------------------
-# helpers
-# --------------------------------------------------------------------------
-
-
-def dec(c: Column | str, prec: int = 12, scale: int = 2) -> Column:
-    """Exact-decimal view of a 2dp-by-construction double column."""
-    col = F.col(c) if isinstance(c, str) else c
-    return col.cast(f"decimal({prec},{scale})")
-
-
-def dsum(c: Column, alias: str) -> Column:
-    """Deterministic double sum: exact decimal sum → double."""
-    return F.sum(c).cast("double").alias(alias)
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # TIMESTAMP(NANOS) parquet: read ts as raw int64 nanoseconds.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return load_table(spark, sf_dir, name)
-
-
-def ts_us(col_name: str = "ts") -> Column:
-    """ns → µs with truncating integer division (matches DuckDB
-    ``epoch_ns(ts)//1000``; float division would round and drift by 1µs)."""
-    return F.expr(f"{col_name} div 1000").cast("long")
+from near_event_streams_spark.plans._common import _t, dec, dsum, ts_us
 
 
 # --------------------------------------------------------------------------
@@ -1267,6 +1239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "subquery_exists_late_orders": SUBQ_EXISTS_SQL,
+    # (extension-module entries merged below)
     "subquery_min_price_part": SUBQ_MIN_SQL,
     "subquery_above_nation_avg": SUBQ_AVG_SQL,
     "q7_nation_volume": Q7_SQL,
@@ -1299,3 +1272,11 @@ ORACLE_SQL: dict[str, str] = {
     "tumbling_quarter_hour": TUMBLING_SQL,
     "parity_event_routing": PARITY_ROUTING_SQL,
 }
+
+# Merge the part-2 surface (TPC-H remainder + extra scalar families) so the
+# driver contract, tests, and bench all see one registry. Imported last so
+# analytics_ext can reuse this module's helpers without a cycle.
+from near_event_streams_spark.plans import analytics_ext as _ext  # noqa: E402
+
+QUERIES.update(_ext.QUERIES)
+ORACLE_SQL.update(_ext.ORACLE_SQL)

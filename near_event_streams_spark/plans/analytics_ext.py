@@ -1,0 +1,735 @@
+"""Analytics surface, part 2: the remaining TPC-H-shaped queries the
+testdata schema supports (adapted where the driver's slimmed schema lacks
+columns — no ``partsupp``, ``l_shipmode``, ``l_commitdate``, ``c_phone``)
+plus the scalar-function families not yet covered (maps, pivot,
+percentiles, conditional/null handling, bitwise, generators).
+
+Same contract as :mod:`analytics`: each query has a DuckDB oracle with
+identical column names and deterministic values (exact-decimal sums cast
+to double, totally-ordered LIMITs). Scale notes on each docstring assume a
+1000-executor cluster over ~100 TB: dimension joins broadcast, fact-fact
+joins shuffle once on their key, aggregates rely on map-side partials.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.plans._common import _t, dec, dsum
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 — forecast revenue change: pure scan+filter+scalar agg.
+# Scale: every predicate and the 3-column projection push down to parquet;
+# the aggregate is a single exact-decimal partial-sum tree, no shuffle of
+# data rows at all (just partial aggregates).
+# --------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum(dec("l_extendedprice") * dec("l_discount", 4, 2), "revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 — national market share (adapted: ECONOMY parts sold into
+# AMERICA; share of NATION_1 suppliers by order year).
+# Scale: part/nation/region/supplier broadcast; orders⋈lineitem is the one
+# big shuffle; the share division happens on a handful of year rows.
+# --------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = _t(spark, sf_dir, "nation")
+    n_cust = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_regionkey").alias("cn_region"),
+        )
+    )
+    n_supp = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    target = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_cust, cust.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cn_region") == region.r_regionkey)
+        .join(n_supp, supplier.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).cast("double").alias("_num"),
+            F.sum(vol).cast("double").alias("_den"),
+        )
+        .select(
+            "o_year",
+            (F.col("_num") / F.col("_den")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                     ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+FROM base
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 — product-type profit (adapted: no partsupp ⇒ profit is
+# discounted revenue of '%widget%' parts, by supplier nation × order year).
+# --------------------------------------------------------------------------
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 — returned-item reporting: top-20 customers by refund-quarter
+# revenue. Scale: orders date-filter pushes down; the agg keys are customer
+# attributes (bounded by customer cardinality); top-20 via TakeOrdered.
+# --------------------------------------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 — priority line counts (adapted: no l_shipmode ⇒ grouped by
+# l_returnflag for 1997 shipments). Conditional aggregation.
+# --------------------------------------------------------------------------
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 — customer order-count distribution: outer join + two-level agg.
+# Scale: first agg keys on custkey (high cardinality, map-side partials);
+# second agg input is one row per customer — tiny.
+# --------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 — promotion effect: conditional share of one month's revenue.
+# --------------------------------------------------------------------------
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    vol = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("_num"),
+            F.sum(vol).cast("double").alias("_den"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("_num") / F.col("_den")).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                             ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 — large-volume customers: HAVING on a fact-side agg feeding a
+# join. Scale: the qty agg shuffles lineitem once on orderkey; the
+# surviving order set is small, so the orders/customer joins are cheap.
+# --------------------------------------------------------------------------
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 250)
+        .select("l_orderkey", F.col("_qty").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 — bracketed revenue: disjunction of conjunctive brackets over a
+# part join. Scale: the equi-key (partkey) drives the join; the OR-brackets
+# evaluate post-join (Catalyst also pushes the brand/size disjunction to
+# the part scan).
+# --------------------------------------------------------------------------
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & q.between(5.0, 15.0)
+            & sz.between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & q.between(10.0, 20.0)
+            & sz.between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & q.between(20.0, 30.0)
+            & sz.between(1, 30)
+        )
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(bracket)
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 5.0 AND 15.0
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#12' AND l_quantity BETWEEN 10.0 AND 20.0
+       AND p_size BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 20.0 AND 30.0
+       AND p_size BETWEEN 1 AND 30)
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 — idle wealthy customers (adapted: no c_phone ⇒ the "wealthy"
+# bar is the global positive-balance average): scalar subquery + anti join.
+# Scale: the scalar aggregate broadcasts as a 1-row cross join; the anti
+# join shuffles on custkey.
+# --------------------------------------------------------------------------
+
+
+def q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_bar")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("_bar"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+# --------------------------------------------------------------------------
+# Map functions (SURVEY §2.2 map fns): create_map / element_at / map_keys /
+# map_values / map_filter / map_concat, with scalar outputs the oracle can
+# reproduce from the underlying columns.
+# --------------------------------------------------------------------------
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("priority"),
+        F.col("o_orderpriority"),
+        F.lit("status"),
+        F.col("o_orderstatus"),
+    )
+    m2 = F.map_concat(
+        m, F.create_map(F.lit("key"), F.col("o_orderkey").cast("string"))
+    )
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m, "priority").alias("m_priority"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.array_join(F.map_values(m), ",").alias("m_values"),
+        F.size(F.map_filter(m, lambda _, v: v != F.lit("F"))).alias(
+            "n_not_f"
+        ),
+        F.size(m2).alias("m_concat_size"),
+    )
+
+
+MAP_FUNCS_SQL = """
+SELECT o_orderkey,
+       o_orderpriority AS m_priority,
+       2 AS m_size,
+       'priority,status' AS m_keys,
+       o_orderpriority || ',' || o_orderstatus AS m_values,
+       CAST((o_orderpriority <> 'F') AS INT)
+         + CAST((o_orderstatus <> 'F') AS INT) AS n_not_f,
+       3 AS m_concat_size
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# Pivot: groupBy().pivot() — wide conditional aggregation. The oracle is
+# the CASE-WHEN expansion (what Spark's pivot compiles to internally).
+# --------------------------------------------------------------------------
+
+
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec("o_totalprice")).cast("double"))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    ).orderBy("o_orderpriority")
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+    AS rev_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+    AS rev_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+    AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# Exact percentiles (linear interpolation — Spark `percentile` and DuckDB
+# `quantile_cont` share the (n-1)*p rank convention; outputs rounded to
+# 6 dp to absorb any last-ulp interpolation difference).
+# --------------------------------------------------------------------------
+
+
+def percentile_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.5, 0.9]))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("_p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.round(F.element_at("_p", 1), 6).alias("p25"),
+            F.round(F.element_at("_p", 2), 6).alias("p50"),
+            F.round(F.element_at("_p", 3), 6).alias("p90"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5),  6) AS p50,
+       ROUND(quantile_cont(value, 0.9),  6) AS p90,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# --------------------------------------------------------------------------
+# Conditional / null-handling family: coalesce, nullif, least, greatest,
+# multi-branch CASE, null predicates.
+# --------------------------------------------------------------------------
+
+
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")),
+            F.lit("REDACTED"),
+        ).alias("segment_masked"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(5000.0)).alias("bal_cap5k"),
+        F.when(bal < 0.0, F.lit("debtor"))
+        .when(bal < 5000.0, F.lit("standard"))
+        .otherwise(F.lit("premium"))
+        .alias("tier"),
+        F.nullif(bal, F.lit(0.0)).isNull().alias("zero_balance"),
+        F.isnotnull(bal).alias("has_balance"),
+    )
+
+
+CONDITIONAL_SQL = """
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'REDACTED')
+         AS segment_masked,
+       GREATEST(c_acctbal, 0.0) AS bal_floor0,
+       LEAST(c_acctbal, 5000.0) AS bal_cap5k,
+       CASE WHEN c_acctbal < 0.0 THEN 'debtor'
+            WHEN c_acctbal < 5000.0 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       NULLIF(c_acctbal, 0.0) IS NULL AS zero_balance,
+       c_acctbal IS NOT NULL AS has_balance
+FROM customer
+"""
+
+# --------------------------------------------------------------------------
+# Bitwise family: and/or/xor/shifts/popcount over integer keys.
+# --------------------------------------------------------------------------
+
+
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and_255"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or_4096"),
+        k.bitwiseXOR(c).alias("key_xor_cust"),
+        F.shiftleft(k, 2).alias("key_shl2"),
+        F.shiftright(k, 3).alias("key_shr3"),
+        F.bit_count(k).alias("key_popcount"),
+    )
+
+
+BITWISE_SQL = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS key_and_255,
+       o_orderkey | 4096 AS key_or_4096,
+       xor(o_orderkey, o_custkey) AS key_xor_cust,
+       o_orderkey << 2 AS key_shl2,
+       o_orderkey >> 3 AS key_shr3,
+       CAST(bit_count(o_orderkey) AS INT) AS key_popcount
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# Generator / table-valued: posexplode over the first 5 words of each doc
+# (LATERAL VIEW in SQL terms). The oracle uses a lateral generate_series.
+# --------------------------------------------------------------------------
+
+
+def generator_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", F.posexplode(F.slice(words, 1, 5)).alias("pos", "word")
+    )
+
+
+GENERATOR_SQL = """
+SELECT doc_id, CAST(s.i AS INT) AS pos, t.w[s.i + 1] AS word
+FROM (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+) t
+JOIN (SELECT * FROM generate_series(0, 4) g(i)) s
+  ON s.i < LEAST(len(t.w), 5)
+"""
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_lines": q12_priority_lines,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_volume": q18_large_volume,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "q22_idle_wealthy": q22_idle_wealthy,
+    "map_functions": map_functions,
+    "pivot_status_revenue": pivot_status_revenue,
+    "percentile_value_stats": percentile_value_stats,
+    "conditional_functions": conditional_functions,
+    "bitwise_functions": bitwise_functions,
+    "generator_functions": generator_functions,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q6_forecast_revenue": Q6_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_priority_lines": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q14_promo_effect": Q14_SQL,
+    "q18_large_volume": Q18_SQL,
+    "q19_bracket_revenue": Q19_SQL,
+    "q22_idle_wealthy": Q22_SQL,
+    "map_functions": MAP_FUNCS_SQL,
+    "pivot_status_revenue": PIVOT_SQL,
+    "percentile_value_stats": PERCENTILE_SQL,
+    "conditional_functions": CONDITIONAL_SQL,
+    "bitwise_functions": BITWISE_SQL,
+    "generator_functions": GENERATOR_SQL,
+}
