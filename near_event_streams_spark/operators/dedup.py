@@ -204,46 +204,86 @@ def jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard ≥ threshold — EXACT, via
-    prefix filtering (PPJoin-style).
+    PPJoin (probe/index prefixes + length + positional filters).
 
     The naive inverted-index self-join costs Ω(Σ_shingle df²), which
-    explodes when common shingles appear in most documents. Prefix
-    filtering is the exact fix: sort each doc's shingles by ascending
-    document frequency; any pair with Jaccard ≥ τ MUST share a shingle
-    within the first ⌊(1-τ)·|A|⌋+1 of each doc's ordering (pigeonhole on
-    the overlap bound). Candidates are generated only from those rarest
-    prefix shingles, then verified exactly with long-array intersection.
-    Output is identical to the naive join; only the physical plan changes.
-    Scale: this is the 100 TB exact path; minhash_lsh_dedup is the
-    approximate one.
+    explodes when common shingles appear in most documents. PPJoin keeps
+    the output identical while shrinking the candidate set:
+
+    * **Global token order** = ascending document frequency (rarest
+      first), ties by shingle id. Per doc, ``r`` is the token's 1-based
+      rank in that order over the FULL set.
+    * **Probe prefix** (length |A| − ⌈τ|A|⌉ + 1) joins against the
+      shorter **index prefix** (length |B| − ⌈2τ/(1+τ)|B|⌉ + 1); a valid
+      pair (J ≥ τ) must collide with the longer-doc side probing — both
+      directions are covered because every doc both probes and indexes.
+    * **Length filter**: τ·|A| ≤ |B| ≤ |A|/τ, else J < τ by counting.
+    * **Positional filter**: a match at ranks (r_a, r_b) bounds the
+      overlap by 1 + min(|A|−r_a, |B|−r_b); the pair's earliest common
+      token always lies in both prefixes, so if every collision fails
+      the bound the pair cannot reach ⌈τ/(1+τ)(|A|+|B|)⌉ overlap.
+
+    All bounds are computed in INTEGER arithmetic on a rational
+    approximation of τ (num/den) so no float rounding can over-prune.
+    Survivors are verified with exact long-array intersection — output is
+    identical to the naive join; only the physical plan changes. Scale:
+    candidate generation is a shuffle join on shingle id (parallel,
+    no per-bucket quadratic rows); this is the 100 TB exact path and
+    minhash_lsh_dedup is the approximate one.
     """
     from pyspark.sql import Window
 
-    # sets is referenced 4x in this DAG (df-counts, prefix, both verify
-    # sides); without persist Spark re-derives the shingle arrays from raw
-    # text each time. A few MB per 100k docs — safe to keep in memory.
+    num = int(round(threshold * 10000))
+    den = 10000
+
+    # sets is referenced again by verification; without persist Spark
+    # re-derives the shingle arrays from raw text each time.
     sets = shingle_id_sets(docs, id_col, text_col).persist()
-    ids = sets.select(
-        "doc_id", "sz", F.explode("sh").alias("sid")
-    )
+    ids = sets.select("doc_id", "sz", F.explode("sh").alias("sid"))
     dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sid")
-    prefix_len = F.floor(
-        F.lit(1.0 - threshold) * F.col("sz").cast("double")
-    ).cast("int") + F.lit(1)
+    sz = F.col("sz")
+    # ⌈num·sz/den⌉ and ⌈2num·sz/(num+den)⌉ via integer ceil-division
+    probe_len = sz - F.expr(f"({num}*sz + {den} - 1) div {den}") + 1
+    index_len = sz - F.expr(
+        f"(2*{num}*sz + {num + den} - 1) div {num + den}"
+    ) + 1
     prefix = (
         ids.join(dfreq, "sid")
         .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= prefix_len)
-        .select("doc_id", "sid")
+        .filter(F.col("r") <= probe_len)
+        .withColumn("in_index", F.col("r") <= index_len)
+        .select("doc_id", "sz", "sid", "r", "in_index")
+        .persist()
+    )
+    probe = prefix.select(
+        F.col("doc_id").alias("pa"),
+        F.col("sz").alias("sza"),
+        "sid",
+        F.col("r").alias("ra"),
+    )
+    index = prefix.filter("in_index").select(
+        F.col("doc_id").alias("pb"),
+        F.col("sz").alias("szb"),
+        "sid",
+        F.col("r").alias("rb"),
+    )
+    # exact per-pair required overlap ⌈num(sza+szb)/(num+den)⌉
+    min_overlap = F.expr(
+        f"({num}*(sza+szb) + {num + den} - 1) div {num + den}"
+    )
+    overlap_ub = F.lit(1) + F.least(
+        F.col("sza") - F.col("ra"), F.col("szb") - F.col("rb")
     )
     cands = (
-        prefix.groupBy("sid")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
+        probe.join(index, "sid")
+        .filter(F.col("pa") != F.col("pb"))
+        .filter(F.lit(num) * F.col("sza") <= F.lit(den) * F.col("szb"))
+        .filter(F.lit(num) * F.col("szb") <= F.lit(den) * F.col("sza"))
+        .filter(overlap_ub >= min_overlap)
         .select(
-            F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id")
+            F.least("pa", "pb").alias("a_doc_id"),
+            F.greatest("pa", "pb").alias("b_doc_id"),
         )
         .distinct()
     )
