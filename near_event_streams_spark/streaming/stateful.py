@@ -1,0 +1,210 @@
+"""Stateful / windowed streaming operators beyond plain tumbling windows.
+
+Completes SURVEY §2.2's streaming rows:
+
+* **sliding windows** — built-in ``F.window(ts, duration, slide)``.
+* **session windows** — built-in ``F.session_window`` (gap-based, merges
+  as events arrive; watermark closes sessions).
+* **custom stateful operator** — gap-based sessionization implemented
+  directly on ``applyInPandasWithState``: per-key state carries the open
+  session; an event-time timeout flushes sessions whose gap elapsed under
+  the watermark. This is the escape hatch for stateful semantics the
+  built-ins can't express (the reference has no equivalent — it delegates
+  all stateful consumption to Kafka consumers; SURVEY §2.2 "streaming:
+  stateful ops").
+
+Scale notes: all three shuffle once on the grouping key; state lives in
+the state store partitioned the same way (RocksDB provider on a real
+cluster). Watermarks bound state size — without them session state grows
+forever at 100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# --------------------------------------------------------------------------
+# built-in window shapes
+# --------------------------------------------------------------------------
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    ts_col: str = "event_ts",
+    key_col: str = "event_type",
+    duration: str = "2 minutes",
+    slide: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Overlapping-window counts: each event lands in duration/slide
+    windows (here 2). Watermark drops late rows and finalizes windows."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), duration, slide).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "key",
+            "n_events",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "event_ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Built-in gap-based session windows: sessions merge while events
+    keep arriving within ``gap``; the watermark closes them."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "key",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# custom stateful operator: sessionization on applyInPandasWithState
+# --------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+# state: (session_start_us, last_ts_us, n_events, sum_value)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def make_session_func(gap_seconds: int):
+    """Build the per-key stateful function. Emits one row per CLOSED
+    session; the open session rides in state until either a new event
+    arrives past the gap (close+emit, open new) or the event-time timeout
+    fires (watermark passed last_ts+gap with no new events)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        def emit(start_us: int, last_us: int, n: int, total: float):
+            return pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "session_value": [total],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield emit(start_us, last_us, n, total)
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts_us")
+        start_us = last_us = None
+        n, total = 0, 0.0
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        closed = []
+        for ts, val in zip(rows["ts_us"], rows["value"]):
+            ts = int(ts)
+            if start_us is None:
+                start_us, last_us, n, total = ts, ts, 1, float(val)
+            elif ts - last_us > gap_us:
+                closed.append((start_us, last_us, n, total))
+                start_us, last_us, n, total = ts, ts, 1, float(val)
+            else:
+                # max(): a late-but-within-gap event must not move the
+                # session end backwards
+                last_us, n, total = max(last_us, ts), n + 1, total + float(val)
+        state.update((start_us, last_us, n, total))
+        # timeout when watermark passes the gap after the last event;
+        # clamped because Spark rejects timeouts at/behind the current
+        # watermark (possible when this key's data arrived late)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_seconds * 1000, wm + 1)
+        )
+        for c in closed:
+            yield emit(*c)
+
+    return fn
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    ts_col: str = "event_ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom gap-sessionization via applyInPandasWithState (event-time
+    timeout). Unlike ``session_window_stats`` this formulation controls
+    exactly what state is kept and emitted — the template for stateful
+    semantics Spark has no built-in for (e.g. per-key decaying counters,
+    order-book state, cross-event pattern matches)."""
+    prepared = events.withWatermark(ts_col, watermark).select(
+        F.col(key_col).cast("string").alias("key"),
+        (F.unix_micros(F.col(ts_col))).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(ts_col),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        make_session_func(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

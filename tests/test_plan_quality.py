@@ -1,0 +1,124 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+Correctness tests prove the queries return the right rows; these prove
+the PLANS are the ones we'd want on a 1000-executor cluster:
+
+* predicate pushdown + column pruning reach the parquet scan,
+* dimension joins broadcast (no big-big shuffle for small sides),
+* the only nested-loop join is the intentional tiny-bands range join,
+* narrow pipelines (routing) don't shuffle at all,
+* whole-stage codegen covers the hot path.
+
+If a refactor regresses one of these, the query still returns correct
+rows at sf0.01 — but would fall over at scale. That's exactly what these
+tests catch.
+"""
+
+import re
+
+from near_event_streams_spark.plans import analytics, analytics_ext
+from tests.conftest import SF_DIR
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_exchanges(plan: str) -> int:
+    """Shuffle exchanges only (broadcast exchanges are cheap by design).
+    Matches both simple-mode ("Exchange hashpartitioning(...)") and
+    formatted-mode ("(3) Exchange") layouts, excluding BroadcastExchange."""
+    simple = len(re.findall(r"\bExchange (hash|range)partitioning", plan))
+    formatted = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    return max(simple, formatted)
+
+
+def test_q1_scan_pushes_filter_and_prunes_columns(spark):
+    plan = plan_text(analytics.q1_pricing_summary(spark, SF_DIR))
+    scan = plan[plan.index("Scan parquet") :]
+    m = re.search(r"PushedFilters: \[(.*?)\]", scan)
+    assert m and "l_shipdate" in m.group(1), plan
+    rs = re.search(r"ReadSchema: struct<(.*?)>", scan)
+    read_cols = rs.group(1)
+    # 7 needed columns, and the unused ones must NOT be read
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert col in read_cols
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in read_cols, f"{col} not pruned:\n{scan[:800]}"
+
+
+def test_q1_hot_path_is_whole_stage_codegen(spark):
+    """AQE only finalizes codegen stages at execution: run the query,
+    then assert the executed plan fused the scan→filter→partial-agg
+    pipeline into WholeStageCodegen."""
+    df = analytics.q1_pricing_summary(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages print as "*(n) Node" in the executed-plan string
+    assert re.search(r"\*\(\d+\) HashAggregate", executed), executed
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    plan = plan_text(analytics.q5_local_supplier(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+    # the only shuffles: customer⋈orders, orders⋈lineitem sides + final agg
+    assert count_exchanges(plan) <= 6, plan
+
+
+def test_q14_part_join_broadcasts(spark):
+    plan = plan_text(analytics_ext.q14_promo_effect(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the single exchange carries one partial-agg row per task (scalar
+    # aggregate); the join itself must not shuffle lineitem
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    """The bands range join SHOULD be a BroadcastNestedLoopJoin — tiny
+    build side, non-equi condition. A shuffled NLJ or cartesian would be
+    the scale bug."""
+    plan = plan_text(analytics.join_range_price_bands(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_routing_pipeline_has_no_shuffle(spark):
+    """Parity routing is filter+project+union — fully narrow; any
+    exchange here would shuffle the whole event stream for nothing."""
+    plan = plan_text(analytics.parity_event_routing(spark, SF_DIR))
+    assert count_exchanges(plan) == 0, plan
+
+
+def test_window_suite_single_shuffle(spark):
+    """All window functions share one partitioning (user_id/custkey) —
+    the plan must reuse a single exchange, not re-shuffle per function."""
+    plan = plan_text(analytics.window_running_user_spend(spark, SF_DIR))
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    """Whitelist/blacklist at table scale must be semi/anti joins (no
+    collected-to-driver IN lists)."""
+    semi = plan_text(analytics.join_semi_big_spenders(spark, SF_DIR))
+    anti = plan_text(analytics.join_anti_no_urgent(spark, SF_DIR))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_events_scan_prunes_to_needed_columns(spark):
+    plan = plan_text(analytics.json_functions(spark, SF_DIR))
+    scan = plan[plan.index("Scan parquet") :]
+    rs = re.search(r"ReadSchema: struct<(.*?)>", scan).group(1)
+    assert "props" in rs and "event_type" in rs
+    assert "user_id" not in rs and "value" not in rs, rs
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    """LIMIT k over a sort must compile to TakeOrderedAndProject —
+    a global Sort+CollectLimit materializes the full sort at scale."""
+    plan = plan_text(analytics.sort_topk_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan

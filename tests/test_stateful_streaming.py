@@ -1,0 +1,168 @@
+"""Stateful streaming operators: sliding windows, session windows, and the
+custom applyInPandasWithState sessionizer.
+
+Each streaming test feeds JSONL files one per micro-batch
+(``maxFilesPerTrigger=1``) so the watermark advances deterministically
+between batches — append-mode windows only emit once the watermark passes
+their end, and the stateful sessionizer's event-time timeout only fires
+when the watermark passes last_event + gap.
+"""
+
+import json
+import os
+from datetime import datetime
+
+
+from near_event_streams_spark.streaming import stateful
+
+SCHEMA = "user_id string, event_type string, value double, event_ts timestamp"
+
+
+def _write_batch(src_dir, name, rows):
+    """Write one micro-batch file with an explicit mtime (file order =
+    name order): Spark's file source processes files by modification
+    time, and sub-ms writes would otherwise tie."""
+    path = src_dir / name
+    with open(path, "w") as f:
+        for user, etype, value, ts in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "user_id": user,
+                        "event_type": etype,
+                        "value": value,
+                        "event_ts": ts,
+                    }
+                )
+                + "\n"
+            )
+    seq = int(name.split(".")[0].lstrip("b"))
+    os.utime(path, times=(1_700_000_000 + seq, 1_700_000_000 + seq))
+
+
+def _run_stream(spark, src_dir, build, query_name):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src_dir))
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def test_sliding_windows_batch_semantics(spark):
+    """2-min windows sliding by 1 min: an event belongs to 2 windows."""
+    df = spark.createDataFrame(
+        [("u1", "click", 1.0, datetime(2024, 1, 1, 0, 0, 30))], SCHEMA
+    )
+    out = stateful.sliding_event_counts(
+        df, key_col="event_type", duration="2 minutes", slide="1 minute"
+    )
+    rows = sorted(
+        (str(r["window_start"]), r["n_events"]) for r in out.collect()
+    )
+    assert rows == [
+        ("2023-12-31 23:59:00", 1),
+        ("2024-01-01 00:00:00", 1),
+    ]
+
+
+def test_session_window_batch_semantics(spark):
+    """Events within the gap merge into one session; beyond it, two."""
+    df = spark.createDataFrame(
+        [
+            ("u1", "click", 1.0, datetime(2024, 1, 1, 0, 0, 0)),
+            ("u1", "click", 2.0, datetime(2024, 1, 1, 0, 10, 0)),
+            ("u1", "click", 4.0, datetime(2024, 1, 1, 2, 0, 0)),
+            ("u2", "view", 8.0, datetime(2024, 1, 1, 0, 5, 0)),
+        ],
+        SCHEMA,
+    )
+    out = stateful.session_window_stats(df, gap="30 minutes")
+    got = {
+        (r["key"], str(r["session_start"]), r["n_events"], r["session_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("u1", "2024-01-01 00:00:00", 2, 3.0),
+        ("u1", "2024-01-01 02:00:00", 1, 4.0),
+        ("u2", "2024-01-01 00:05:00", 1, 8.0),
+    }
+
+
+def test_sliding_windows_streaming_append(spark, tmp_path):
+    """Append-mode sliding windows finalize once the watermark passes."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            ("u1", "click", 1.0, "2024-01-01 00:00:10"),
+            ("u1", "click", 1.0, "2024-01-01 00:01:10"),
+        ],
+    )
+    # far-future event advances the watermark, closing the early windows
+    _write_batch(src, "b2.jsonl", [("u1", "view", 1.0, "2024-01-01 03:00:00")])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: stateful.sliding_event_counts(
+            s, duration="2 minutes", slide="1 minute", watermark="0 seconds"
+        ),
+        "sliding_out",
+    )
+    got = {
+        (str(r["window_start"]), r["key"], r["n_events"])
+        for r in out.collect()
+    }
+    # click windows: 23:59+00:00 (1 event each... ) — event@00:00:10 in
+    # [23:59,00:01) and [00:00,00:02); event@00:01:10 in [00:00,00:02) and
+    # [00:01,00:03). All closed by the 03:00 watermark.
+    assert ("2023-12-31 23:59:00", "click", 1) in got
+    assert ("2024-01-01 00:00:00", "click", 2) in got
+    assert ("2024-01-01 00:01:00", "click", 1) in got
+
+
+def test_stateful_sessionizer_gap_close_and_timeout(spark, tmp_path):
+    """Custom applyInPandasWithState sessionizer: session 1 closes when a
+    later event for the same key arrives past the gap; session 2 closes
+    via event-time TIMEOUT when the watermark (driven by another key)
+    passes its gap with no new events."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            ("u1", "click", 1.0, "2024-01-01 00:00:00"),
+            ("u1", "click", 2.0, "2024-01-01 00:00:30"),
+        ],
+    )
+    # same key, past the 60s gap -> closes session 1 on arrival
+    _write_batch(src, "b2.jsonl", [("u1", "click", 4.0, "2024-01-01 02:00:00")])
+    # other key far ahead -> watermark passes session 2's timeout
+    _write_batch(src, "b3.jsonl", [("u2", "view", 8.0, "2024-01-01 05:00:00")])
+    _write_batch(src, "b4.jsonl", [("u2", "view", 16.0, "2024-01-01 05:00:10")])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: stateful.sessionize_stateful(
+            s, gap_seconds=60, watermark="0 seconds"
+        ),
+        "sessions_out",
+    )
+    u1 = {
+        (str(r["session_start"]), r["n_events"], r["session_value"])
+        for r in out.filter("key = 'u1'").collect()
+    }
+    assert ("2024-01-01 00:00:00", 2, 3.0) in u1, u1
+    assert ("2024-01-01 02:00:00", 1, 4.0) in u1, u1
