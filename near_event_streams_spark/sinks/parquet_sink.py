@@ -1,0 +1,45 @@
+"""Partitioned parquet sink — the data-layout half of the 100 TB story.
+
+The reference's only sink is Kafka; durable event tables are what its
+downstream consumers build. This writer encodes the layout rules a
+100 TB event table needs:
+
+* **Hive partitioning on low-cardinality time/route keys** (e.g.
+  ``event_date``, ``event_type``) so every time/route-bounded query
+  partition-prunes at the file listing, before any I/O.
+* **One shuffle to co-locate partition values** (``repartition`` on the
+  partition columns) so each task writes whole partition directories —
+  without it every task writes a sliver of every partition and a day's
+  ingest produces millions of KB-sized files.
+* **``sortWithinPartitions`` on the query keys** (e.g. contract, user)
+  giving run-length/dictionary-friendly pages and per-file min/max
+  statistics tight enough for row-group skipping.
+* **``maxRecordsPerFile``** bounds file size so a skewed partition value
+  still splits into parallel-scannable files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    sort_within: Sequence[str] = (),
+    max_records_per_file: int = 5_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write a partition-pruned, scan-friendly parquet table."""
+    shaped = df.repartition(*[df[c] for c in partition_by])
+    if sort_within:
+        shaped = shaped.sortWithinPartitions(*sort_within)
+    (
+        shaped.write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
