@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from near_event_streams_spark.plans import analytics, llm_ops  # noqa: E402
+from near_event_streams_spark.plans import analytics, analytics_ext, llm_ops  # noqa: E402
 from near_event_streams_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,6 +35,9 @@ HEADLINE = [
     ("sessionize_events", analytics.QUERIES["sessionize_events"]),
     ("tumbling_quarter_hour", analytics.QUERIES["tumbling_quarter_hour"]),
     ("parity_event_routing", analytics.QUERIES["parity_event_routing"]),
+    ("q9_product_profit", analytics_ext.QUERIES["q9_product_profit"]),
+    ("q13_customer_distribution", analytics_ext.QUERIES["q13_customer_distribution"]),
+    ("q18_large_volume", analytics_ext.QUERIES["q18_large_volume"]),
     ("dedup_ngram_jaccard_docs", llm_ops.QUERIES["dedup_ngram_jaccard_docs"]),
     ("dedup_minhash_lsh_docs", llm_ops.QUERIES["dedup_minhash_lsh_docs"]),
     ("ann_cosine_topk", llm_ops.QUERIES["ann_cosine_topk"]),

@@ -483,6 +483,160 @@ ORDER BY c_nationkey
 """
 
 # --------------------------------------------------------------------------
+# TPC-H Q15 — top supplier(s) by quarter revenue: agg + scalar-max filter.
+# Scale: the revenue agg shuffles lineitem once on suppkey (bounded by
+# supplier cardinality); the max is a 1-row broadcast cross join.
+# --------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            dec("l_extendedprice") * dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+        ).alias("_rev")
+    )
+    top = rev.agg(F.max("_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_max_rev"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 — small-quantity-order revenue: correlated per-part average ⇒
+# decorrelated per-part agg + join (what Catalyst produces for the
+# subquery form). Scale: both sides shuffle on partkey only.
+# --------------------------------------------------------------------------
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * F.sum(dec("l_quantity")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("qty_bar")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#11'
+  AND l_quantity < (
+    SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+# --------------------------------------------------------------------------
+# Window distribution family: percent_rank / cume_dist / first / last /
+# nth_value over bounded frames.
+# --------------------------------------------------------------------------
+
+
+def window_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    wo = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wall = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(wo), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(wo), 9).alias("cume"),
+        F.first("c_custkey").over(wall).alias("poorest_cust"),
+        F.last("c_custkey").over(wall).alias("richest_cust"),
+        F.nth_value("c_custkey", 2).over(wall).alias("second_cust"),
+    )
+
+
+WINDOW_DIST_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+  ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 9) AS cume,
+  FIRST_VALUE(c_custkey) OVER wf AS poorest_cust,
+  LAST_VALUE(c_custkey) OVER wf AS richest_cust,
+  NTH_VALUE(c_custkey, 2) OVER wf AS second_cust
+FROM customer
+WINDOW w  AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+       wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+# --------------------------------------------------------------------------
+# UNION (distinct) — completes the set-op family (UNION ALL lives in
+# parity_event_routing, INTERSECT/EXCEPT in analytics.py).
+# --------------------------------------------------------------------------
+
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.union(high).distinct()
+
+
+SET_UNION_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+# --------------------------------------------------------------------------
 # Map functions (SURVEY §2.2 map fns): create_map / element_at / map_keys /
 # map_values / map_filter / map_concat, with scalar outputs the oracle can
 # reproduce from the underlying columns.
@@ -707,6 +861,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume": q18_large_volume,
     "q19_bracket_revenue": q19_bracket_revenue,
     "q22_idle_wealthy": q22_idle_wealthy,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "window_distribution_suite": window_distribution_suite,
+    "set_union_distinct": set_union_distinct,
     "map_functions": map_functions,
     "pivot_status_revenue": pivot_status_revenue,
     "percentile_value_stats": percentile_value_stats,
@@ -726,6 +884,10 @@ ORACLE_SQL: dict[str, str] = {
     "q18_large_volume": Q18_SQL,
     "q19_bracket_revenue": Q19_SQL,
     "q22_idle_wealthy": Q22_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "window_distribution_suite": WINDOW_DIST_SQL,
+    "set_union_distinct": SET_UNION_SQL,
     "map_functions": MAP_FUNCS_SQL,
     "pivot_status_revenue": PIVOT_SQL,
     "percentile_value_stats": PERCENTILE_SQL,
