@@ -186,3 +186,132 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat: KMeans coarse quantizer + nprobe centroid probing
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Coarse-quantize the corpus: KMeans (MLlib) fit → every vector
+    tagged with its nearest-centroid ``cluster`` id.
+
+    Returns (assigned corpus, centroid list). Scale: the fit runs on a
+    sample-sized job; assignment is a broadcast map over the corpus; the
+    centroid list is tiny (n_clusters × dim floats) and broadcasts to
+    every probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id",
+        "embedding",
+        F.col("prediction").alias("cluster"),
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _nearest_centroids(
+    df: DataFrame, centroids: list[list[float]], nprobe: int, role: str
+) -> DataFrame:
+    """Tag each vector with its ``nprobe`` nearest centroid ids via a
+    broadcast literal centroid array — no shuffle, pure map."""
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("cvec"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    dist = lambda cvec: F.aggregate(  # noqa: E731  (squared L2)
+        F.zip_with(
+            F.col(f"{role}_vec"),
+            cvec,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(dist(c["cvec"]).alias("d"), c["cid"].alias("cid")),
+    )
+    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    return df.select(
+        "*", F.explode(F.transform(probes, lambda p: p["cid"])).alias("cluster")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: corpus vectors live in their
+    nearest-centroid bucket; each query probes its ``nprobe`` nearest
+    centroids and scores only those buckets with exact cosine.
+
+    Scale: the candidate join shuffles on ``cluster`` (bounded fan-out =
+    corpus + queries×nprobe rows); scoring touches ~nprobe/n_clusters of
+    the corpus per query instead of all of it. Recall tunes with nprobe
+    (tests assert ≥0.9 recall@k vs brute force at nprobe=4/16).
+    """
+    assigned, centroids = ivf_index(
+        corpus, n_clusters, seed, id_col, vec_col
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cand_vec"),
+        "cluster",
+    )
+    probes = _nearest_centroids(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        ),
+        centroids,
+        nprobe,
+        "query",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        probes.join(cand, "cluster")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                cosine(F.col("query_vec"), F.col("cand_vec")), 6
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a candidate can appear via several probed clusters
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cos_sim")
+    )

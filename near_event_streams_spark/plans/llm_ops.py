@@ -186,6 +186,17 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k: KMeans coarse quantizer, nprobe=4 of
+    16 centroids probed per query (rows-only check; recall measured
+    against ann_cosine_topk in tests/test_llm_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        queries, emb, k=5, n_clusters=16, nprobe=4
+    ).orderBy("query_id", "rank")
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (rows-only check; recall measured
     against ann_cosine_topk in tests)."""
@@ -375,6 +386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "text_quality_docs": text_quality_docs,
     "text_token_counts": text_token_counts,
     "lang_id_docs": lang_id_docs,

@@ -82,3 +82,27 @@ def test_rolling_fingerprint_deterministic(spark):
     }
     assert a == b
     assert all(0 <= v < 1_000_000_007 for v in a.values())
+
+
+def test_ann_ivf_recall_against_brute_force(spark):
+    """IVF with nprobe=4/16 should recover most exact neighbors (cluster
+    structure is kinder to recall than 4-bit LSH bands)."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF ANN recall {recall} too low"
+
+
+def test_ann_ivf_rank_shape(spark):
+    out = QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
