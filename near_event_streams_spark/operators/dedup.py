@@ -145,23 +145,6 @@ def shingle_id_sets(
     )
 
 
-def _pairs_from_bucket(doc_list: Column) -> Column:
-    """All ordered pairs (a<b) from one bucket's element array — generated
-    in-row, replacing a bucket self-join (which would recompute the whole
-    upstream plan once per join side). Elements are sorted first so pair
-    order is deterministic (struct elements sort by leading field)."""
-    ds = F.array_sort(doc_list)
-    return F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-
-
 def _verify_pairs(
     cands: DataFrame, sets: DataFrame, threshold: float
 ) -> DataFrame:
@@ -312,8 +295,13 @@ def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 16, band_size: int = 4
 ) -> DataFrame:
     """Band the signature; docs sharing any (band, band-hash) bucket become
-    candidate pairs. Shuffle is on the bucket key — bounded fan-out, no
-    all-pairs blow-up."""
+    candidate pairs via a self-join on the bucket key.
+
+    The join (not per-bucket in-row pair expansion) matters at scale: a
+    hot bucket — thousands of mutual near-dups sharing a band hash — is
+    spread across shuffle partitions and AQE's skew splitting, instead of
+    materializing d²/2 pairs inside one row in one task. The bucket table
+    is persisted so the minhash pipeline isn't recomputed per join side."""
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -328,14 +316,13 @@ def lsh_candidate_pairs(
     buckets = bands[0]
     for extra in bands[1:]:
         buckets = buckets.unionByName(extra)
+    buckets = buckets.persist()
+    a = buckets.select(F.col("doc_id").alias("a_doc_id"), "band", "bucket")
+    b_ = buckets.select(F.col("doc_id").alias("b_doc_id"), "band", "bucket")
     return (
-        buckets.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
-        .select(
-            F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id")
-        )
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+        .select("a_doc_id", "b_doc_id")
         .distinct()
     )
 
@@ -405,22 +392,27 @@ def simhash_near_pairs(
             .alias("slice"),
         )
         slices = s if slices is None else slices.unionByName(s)
-    members = slices.select(
-        "band", "slice", F.struct("doc_id", "simhash").alias("m")
+    slices = slices.persist()
+    a = slices.select(
+        F.col("doc_id").alias("a_doc_id"),
+        F.col("simhash").alias("a_sig"),
+        "band",
+        "slice",
     )
-    ham = F.bit_count(
-        F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+    b_ = slices.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("simhash").alias("b_sig"),
+        "band",
+        "slice",
     )
+    ham = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    # self-join on the slice key (hot-bucket-safe, see lsh_candidate_pairs);
+    # hamming filter BEFORE distinct so the dedup shuffle only carries
+    # surviving pairs
     return (
-        members.groupBy("band", "slice")
-        .agg(F.collect_list("m").alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(F.explode(_pairs_from_bucket(F.col("ds"))).alias("p"))
-        .select(
-            F.col("p.a.doc_id").alias("a_doc_id"),
-            F.col("p.b.doc_id").alias("b_doc_id"),
-            ham.alias("hamming"),
-        )
-        .distinct()
+        a.join(b_, ["band", "slice"])
+        .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+        .select("a_doc_id", "b_doc_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
