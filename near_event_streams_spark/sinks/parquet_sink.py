@@ -43,3 +43,28 @@ def write_partitioned(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int = 32,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (hash-clustered) table — the co-located-join layout.
+
+    Two fact tables bucketed on their join key with the same bucket count
+    sort-merge-join with ZERO shuffle exchange (asserted in
+    tests/test_plan_quality.py): at 100 TB that's the difference between
+    re-shuffling both tables per join and reading pre-clustered buckets.
+    Bucketing requires the table catalog (``saveAsTable``) because bucket
+    metadata lives in the metastore, not in the parquet files.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_by
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

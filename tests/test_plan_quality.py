@@ -122,3 +122,36 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
     a global Sort+CollectLimit materializes the full sort at scale."""
     plan = plan_text(analytics.sort_topk_orders(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts ⇒
+    sort-merge join reads pre-clustered buckets: NO shuffle exchange."""
+    from near_event_streams_spark.sinks.parquet_sink import write_bucketed
+    from near_event_streams_spark.sources.tables import load_table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        cust = load_table(spark, SF_DIR, "customer")
+        write_bucketed(orders, "bucketdb.orders_b", ["o_custkey"], 8)
+        write_bucketed(
+            cust.withColumnRenamed("c_custkey", "o_custkey"),
+            "bucketdb.customer_b",
+            ["o_custkey"],
+            8,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bucketdb.orders_b").join(
+            spark.table("bucketdb.customer_b"), "o_custkey"
+        )
+        plan = plan_text(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert count_exchanges(plan) == 0, plan
+        # and it actually runs
+        assert joined.count() == load_table(spark, SF_DIR, "orders").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
