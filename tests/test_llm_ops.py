@@ -106,3 +106,24 @@ def test_ann_ivf_rank_shape(spark):
         per_query.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in per_query.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_binary_file_source_to_features(spark, tmp_path):
+    """Real binaryFile-source ingestion: synthetic files with magic bytes
+    → typed media table → Arrow-batched feature extraction."""
+    from near_event_streams_spark.operators import multimodal
+
+    (tmp_path / "a.png").write_bytes(bytes.fromhex("89504e47") + b"rest-of-png")
+    (tmp_path / "b.jpg").write_bytes(bytes.fromhex("ffd8ffe0") + b"jpeg-body")
+    (tmp_path / "c.bin").write_bytes(b"\x00\x01\x02\x03unknown")
+
+    media = multimodal.read_media_dir(spark, str(tmp_path))
+    rows = {r["magic_hex"]: r for r in media.collect()}
+    assert rows["89504e47"]["media_type"] == "image/png"
+    assert rows["ffd8ffe0"]["media_type"] == "image/jpeg"
+    assert rows["00010203"]["media_type"] == "application/octet-stream"
+
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 3
+    for f in feats:
+        assert f["width"] >= 1 and f["height"] >= 1 and f["checksum"] > 0
