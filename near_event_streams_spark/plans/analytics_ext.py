@@ -847,6 +847,84 @@ JOIN (SELECT * FROM generate_series(0, 4) g(i)) s
 """
 
 # --------------------------------------------------------------------------
+# Multiset + collection aggregates: EXCEPT ALL, sorted collect_list,
+# string aggregation — deterministic via explicit element ordering.
+# --------------------------------------------------------------------------
+
+
+def set_except_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): an urgent-order custkey occurrence
+    survives once per unmatched duplicate — distinct from EXCEPT."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.exceptAll(high)
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list made deterministic: sort_array fixes the element order
+    that Spark's partition-dependent collection would otherwise leave
+    arbitrary (same rule as the DuckDB list(... ORDER BY) oracle)."""
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("s_suppkey")).alias("suppkeys"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+AGG_COLLECT_SQL = """
+SELECT s_nationkey,
+       list(s_suppkey ORDER BY s_suppkey) AS suppkeys,
+       COUNT(*) AS n_suppliers
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg shape): distinct statuses per priority,
+    sorted then joined — deterministic in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("o_orderstatus"))
+            ).alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_STRING_SQL = """
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+         AS statuses,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -865,6 +943,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity": q17_small_quantity,
     "window_distribution_suite": window_distribution_suite,
     "set_union_distinct": set_union_distinct,
+    "set_except_all_custkeys": set_except_all_custkeys,
+    "agg_collect_sorted": agg_collect_sorted,
+    "agg_string_concat": agg_string_concat,
     "map_functions": map_functions,
     "pivot_status_revenue": pivot_status_revenue,
     "percentile_value_stats": percentile_value_stats,
@@ -888,6 +969,9 @@ ORACLE_SQL: dict[str, str] = {
     "q17_small_quantity": Q17_SQL,
     "window_distribution_suite": WINDOW_DIST_SQL,
     "set_union_distinct": SET_UNION_SQL,
+    "set_except_all_custkeys": SET_EXCEPT_ALL_SQL,
+    "agg_collect_sorted": AGG_COLLECT_SQL,
+    "agg_string_concat": AGG_STRING_SQL,
     "map_functions": MAP_FUNCS_SQL,
     "pivot_status_revenue": PIVOT_SQL,
     "percentile_value_stats": PERCENTILE_SQL,
