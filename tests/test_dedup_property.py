@@ -1,0 +1,65 @@
+"""Randomized exactness guarantee for the PPJoin Jaccard path.
+
+The PPJoin rewrite (probe/index prefixes, length, positional filters) must
+be output-identical to the naive all-pairs definition on ANY corpus. The
+oracle tests pin two fixed corpora; here seeded random corpora — skewed
+small vocabularies, duplicate docs, near-dups, tiny docs — hunt for
+over-pruning at the filter boundaries. Brute force is computed in plain
+Python (no second engine involved)."""
+
+import random
+
+from near_event_streams_spark.operators import dedup
+
+
+def _random_corpus(seed: int, n_docs: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randint(5, 40))]
+    docs = []
+    for i in range(n_docs):
+        n_words = rng.randint(1, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+    # inject exact and near duplicates (the interesting cases)
+    for j in range(0, n_docs, 7):
+        src = docs[rng.randrange(n_docs)][1]
+        words = src.split()
+        if len(words) > 3:
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((n_docs + j, " ".join(words)))
+    return docs
+
+
+def _bigrams(text: str) -> set[str]:
+    w = text.strip().split()
+    return {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+
+
+def _brute_force(docs, threshold):
+    shingled = [(i, _bigrams(t)) for i, t in docs]
+    out = set()
+    for x in range(len(shingled)):
+        for y in range(x + 1, len(shingled)):
+            a_id, a = shingled[x]
+            b_id, b = shingled[y]
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if round(j, 6) >= threshold:
+                out.add((min(a_id, b_id), max(a_id, b_id)))
+    return out
+
+
+def test_ppjoin_matches_brute_force_on_random_corpora(spark):
+    for seed in (7, 23, 99):
+        for threshold in (0.5, 0.8):
+            docs = _random_corpus(seed, 40)
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                (r["a_doc_id"], r["b_doc_id"])
+                for r in dedup.jaccard_pairs(df, threshold).collect()
+            }
+            want = _brute_force(docs, threshold)
+            assert got == want, (
+                f"seed={seed} tau={threshold}: "
+                f"missing={want - got} extra={got - want}"
+            )
