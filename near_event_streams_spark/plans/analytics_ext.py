@@ -847,6 +847,95 @@ JOIN (SELECT * FROM generate_series(0, 4) g(i)) s
 """
 
 # --------------------------------------------------------------------------
+# TPC-H Q21 — suppliers who kept orders waiting (adapted: "late" =
+# shipped >90 days after order date; no l_commitdate/l_receiptdate).
+# EXISTS + NOT EXISTS double correlation ⇒ semi + anti joins over the
+# distinct (order, supplier) pair table. Scale: everything shuffles on
+# l_orderkey only; the supplier/nation dimension broadcasts.
+# --------------------------------------------------------------------------
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_2"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    pairs = lo.select("l_orderkey", "l_suppkey").distinct()
+    late = lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    other_pairs = pairs.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("x_k"), F.col("l_suppkey").alias("x_s")
+    )
+    waiting = (
+        late.join(
+            other_pairs,
+            (late.l_orderkey == F.col("o_k"))
+            & (late.l_suppkey != F.col("o_s")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (late.l_orderkey == F.col("x_k"))
+            & (late.l_suppkey != F.col("x_s")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(supplier, waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT DISTINCT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND EXISTS (SELECT 1 FROM pairs p
+              WHERE p.l_orderkey = l1.l_orderkey
+                AND p.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Multiset + collection aggregates: EXCEPT ALL, sorted collect_list,
 # string aggregation — deterministic via explicit element ordering.
 # --------------------------------------------------------------------------
@@ -943,6 +1032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity": q17_small_quantity,
     "window_distribution_suite": window_distribution_suite,
     "set_union_distinct": set_union_distinct,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "set_except_all_custkeys": set_except_all_custkeys,
     "agg_collect_sorted": agg_collect_sorted,
     "agg_string_concat": agg_string_concat,
@@ -969,6 +1059,7 @@ ORACLE_SQL: dict[str, str] = {
     "q17_small_quantity": Q17_SQL,
     "window_distribution_suite": WINDOW_DIST_SQL,
     "set_union_distinct": SET_UNION_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "set_except_all_custkeys": SET_EXCEPT_ALL_SQL,
     "agg_collect_sorted": AGG_COLLECT_SQL,
     "agg_string_concat": AGG_STRING_SQL,

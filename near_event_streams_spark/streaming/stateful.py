@@ -208,3 +208,55 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# stream-stream join: clicks ⋈ purchases within a time bound
+# --------------------------------------------------------------------------
+
+
+def attribute_purchases_to_clicks(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    attribution_window: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to clicks by the
+    same user within the preceding attribution window.
+
+    Both sides are watermarked and the join condition carries the time
+    bound — that pair is what lets Spark expire join state (a click older
+    than watermark + window can never match a future purchase and is
+    dropped from the state store). Without the time bound the state grows
+    unboundedly; with it this is the canonical scalable stream-stream
+    join. Scale: one shuffle per side on the join key; state is
+    per-key-and-time-bounded in the state store.
+    """
+    c = clicks.select(
+        F.col(key_col).alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col(key_col).alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_value",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

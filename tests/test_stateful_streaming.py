@@ -12,6 +12,7 @@ import json
 import os
 from datetime import datetime
 
+from pyspark.sql import functions as F
 
 from near_event_streams_spark.streaming import stateful
 
@@ -166,3 +167,56 @@ def test_stateful_sessionizer_gap_close_and_timeout(spark, tmp_path):
     }
     assert ("2024-01-01 00:00:00", 2, 3.0) in u1, u1
     assert ("2024-01-01 02:00:00", 1, 4.0) in u1, u1
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Purchases join clicks from the same user within 30 min; an older
+    click outside the window must NOT match."""
+    src = tmp_path / "ss"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            ("u1", "click", 0.0, "2024-01-01 00:00:00"),   # in-window click
+            ("u1", "click", 0.0, "2024-01-01 10:00:00"),   # far-future click
+        ],
+    )
+    _write_batch(
+        src,
+        "b2.jsonl",
+        [
+            ("u1", "purchase", 9.0, "2024-01-01 00:10:00"),  # 10 min later
+            ("u2", "purchase", 5.0, "2024-01-01 00:20:00"),  # no clicks
+        ],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    clicks = stream.filter("event_type = 'click'").withColumn(
+        "event_id", (F.unix_micros("event_ts") % 1000000).cast("long")
+    )
+    purchases = stream.filter("event_type = 'purchase'").withColumn(
+        "event_id", (F.unix_micros("event_ts") % 1000000).cast("long")
+    )
+    q = (
+        stateful.attribute_purchases_to_clicks(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM attributed").collect()
+    got = {
+        (r["user_id"], str(r["purchase_ts"]), str(r["click_ts"]))
+        for r in rows
+    }
+    # exactly one match: u1's purchase to its in-window click; the
+    # 10:00:00 click is AFTER the purchase, u2 has no clicks
+    assert got == {
+        ("u1", "2024-01-01 00:10:00", "2024-01-01 00:00:00")
+    }, got
