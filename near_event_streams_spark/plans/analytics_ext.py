@@ -936,6 +936,46 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q16 — supplier counts per part descriptor (adapted: the distinct
+# (part, supplier) relation comes from lineitem — no partsupp table).
+# Scale: the distinct pair reduction shuffles lineitem once on
+# (partkey, suppkey); part broadcasts; count-distinct keys are bounded
+# by part-descriptor cardinality.
+# --------------------------------------------------------------------------
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(1, 5, 9, 14, 20, 28, 36, 45)
+        )
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 5, 9, 14, 20, 28, 36, 45)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
 # Multiset + collection aggregates: EXCEPT ALL, sorted collect_list,
 # string aggregation — deterministic via explicit element ordering.
 # --------------------------------------------------------------------------
@@ -1033,6 +1073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_distribution_suite": window_distribution_suite,
     "set_union_distinct": set_union_distinct,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
     "set_except_all_custkeys": set_except_all_custkeys,
     "agg_collect_sorted": agg_collect_sorted,
     "agg_string_concat": agg_string_concat,
@@ -1060,6 +1101,7 @@ ORACLE_SQL: dict[str, str] = {
     "window_distribution_suite": WINDOW_DIST_SQL,
     "set_union_distinct": SET_UNION_SQL,
     "q21_waiting_suppliers": Q21_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
     "set_except_all_custkeys": SET_EXCEPT_ALL_SQL,
     "agg_collect_sorted": AGG_COLLECT_SQL,
     "agg_string_concat": AGG_STRING_SQL,
