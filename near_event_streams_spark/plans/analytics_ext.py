@@ -976,6 +976,110 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 
 # --------------------------------------------------------------------------
+# Scalar families, part 2: remaining string / date / JSON shapes.
+# --------------------------------------------------------------------------
+
+
+def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.initcap(F.col("lang")).alias("lang_title"),
+        F.lpad(F.col("source"), 10, "_").alias("source_pad"),
+        F.reverse(F.col("lang")).alias("lang_rev"),
+        F.translate(F.col("lang"), "aeiou", "AEIOU").alias("lang_vowel_up"),
+        F.repeat(F.col("lang"), 2).alias("lang_x2"),
+        F.split_part(t, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.regexp_count(t, F.lit("e")).alias("n_e"),
+        F.position(F.lit("data"), t).cast("int").alias("data_pos"),
+        F.left(t, F.lit(10)).alias("head10"),
+        F.right(t, F.lit(5)).alias("tail5"),
+    )
+
+
+STRING_FUNCS2_SQL = """
+SELECT doc_id,
+       -- initcap semantics differ slightly across engines for non-alpha
+       -- boundaries; lang codes are pure ascii letters so they agree
+       upper(lang[1]) || lang[2:] AS lang_title,
+       lpad(source, 10, '_') AS source_pad,
+       reverse(lang) AS lang_rev,
+       translate(lang, 'aeiou', 'AEIOU') AS lang_vowel_up,
+       repeat(lang, 2) AS lang_x2,
+       split_part(text, ' ', 2) AS second_word,
+       CAST(length(text) - length(replace(text, 'e', '')) AS INT) AS n_e,
+       CAST(strpos(text, 'data') AS INT) AS data_pos,
+       text[1:10] AS head10,
+       CASE WHEN length(text) <= 5 THEN text
+            ELSE text[-5:] END AS tail5
+FROM documents
+"""
+
+
+def date_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("week"),
+        F.dayofyear(d).alias("doy"),
+        F.add_months(d.cast("date"), 3).alias("plus_quarter"),
+        (
+            (F.lit(2002) - F.year(d)) * 12 + (F.lit(1) - F.month(d))
+        ).alias("whole_months_to_2002"),
+    )
+
+
+DATE_FUNCS2_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS INT) AS days_to_2002,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(weekofyear(o_orderdate) AS INT) AS week,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+         AS plus_quarter,
+       CAST((2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+            AS INT) AS whole_months_to_2002
+FROM orders
+"""
+
+
+def json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with explicit schema → struct access → to_json roundtrip
+    (the typed-envelope pattern the parity layer uses on event payloads)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k bigint")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") % 10).alias("k_mod10"),
+        F.to_json(F.struct(F.col("event_type"), parsed.getField("k").alias("k"))).alias(
+            "rebuilt"
+        ),
+    )
+
+
+JSON_ROUNDTRIP_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+       '{"event_type":"' || event_type || '","k":'
+         || json_extract_string(props, '$.k') || '}' AS rebuilt
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # Multiset + collection aggregates: EXCEPT ALL, sorted collect_list,
 # string aggregation — deterministic via explicit element ordering.
 # --------------------------------------------------------------------------
@@ -1074,6 +1178,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_union_distinct": set_union_distinct,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q16_supplier_part_counts": q16_supplier_part_counts,
+    "string_functions_2": string_functions_2,
+    "date_functions_2": date_functions_2,
+    "json_struct_roundtrip": json_struct_roundtrip,
     "set_except_all_custkeys": set_except_all_custkeys,
     "agg_collect_sorted": agg_collect_sorted,
     "agg_string_concat": agg_string_concat,
@@ -1102,6 +1209,9 @@ ORACLE_SQL: dict[str, str] = {
     "set_union_distinct": SET_UNION_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q16_supplier_part_counts": Q16_SQL,
+    "string_functions_2": STRING_FUNCS2_SQL,
+    "date_functions_2": DATE_FUNCS2_SQL,
+    "json_struct_roundtrip": JSON_ROUNDTRIP_SQL,
     "set_except_all_custkeys": SET_EXCEPT_ALL_SQL,
     "agg_collect_sorted": AGG_COLLECT_SQL,
     "agg_string_concat": AGG_STRING_SQL,
