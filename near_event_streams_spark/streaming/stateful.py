@@ -260,3 +260,67 @@ def attribute_purchases_to_clicks(
         "click_id",
         "click_ts",
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 successor API): running totals
+# --------------------------------------------------------------------------
+
+
+def running_totals_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (count, sum) on the ``transformWithStateInPandas``
+    API — Spark 4's successor to applyInPandasWithState, with composable
+    typed state (value/list/map states, timers) instead of a single
+    state tuple. Update mode: every micro-batch emits the keys it
+    touched with their new cumulative totals.
+
+    Scale: identical shuffle/state-store shape to the older API (one
+    shuffle on the key; RocksDB state store on a cluster); the win is
+    the state model, not the plan.
+
+    Runtime requirement: the TWS Python worker talks protobuf to the
+    JVM state server — needs a working ``google.protobuf`` install
+    (absent in some minimal containers; sessionize_stateful on
+    applyInPandasWithState is the dependency-free fallback).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="key string, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

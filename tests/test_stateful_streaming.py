@@ -220,3 +220,47 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     assert got == {
         ("u1", "2024-01-01 00:10:00", "2024-01-01 00:00:00")
     }, got
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: totals accumulate across
+    micro-batches; each batch emits the touched key's new cumulative.
+
+    The TWS runtime speaks protobuf to the JVM state server; this
+    container ships a broken google.protobuf, so the test skips where
+    the API can't initialize (the operator itself is import-clean)."""
+    import pytest
+    pytest.importorskip("google.protobuf.descriptor")
+    src = tmp_path / "tws"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            ("u1", "click", 1.0, "2024-01-01 00:00:00"),
+            ("u1", "click", 2.0, "2024-01-01 00:01:00"),
+            ("u2", "view", 10.0, "2024-01-01 00:02:00"),
+        ],
+    )
+    _write_batch(src, "b2.jsonl", [("u1", "click", 4.0, "2024-01-01 01:00:00")])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stateful.running_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tws_out").collect()
+    # last emission per key carries the cumulative totals
+    final = {}
+    for r in rows:
+        final[r["key"]] = (r["n_events"], r["total_value"])
+    assert final["u1"] == (3, 7.0), final
+    assert final["u2"] == (1, 10.0), final
