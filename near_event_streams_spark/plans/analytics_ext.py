@@ -976,6 +976,70 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q20 — suppliers with a significant share of a part's volume
+# (adapted: shipped-quantity share from lineitem replaces partsupp
+# availqty). Correlated threshold ⇒ window fraction + semi join.
+# --------------------------------------------------------------------------
+
+
+def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    red = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    per_ps = (
+        li.join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_ps"))
+    )
+    w = Window.partitionBy("l_partkey")
+    big_share = (
+        per_ps.withColumn("qty_part", F.sum("qty_ps").over(w))
+        .filter(
+            F.col("qty_ps").cast("double")
+            > F.lit(0.5) * F.col("qty_part").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            big_share, supplier.s_suppkey == big_share.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_ps
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+), shares AS (
+  SELECT l_suppkey,
+         CAST(qty_ps AS DOUBLE) AS q,
+         CAST(SUM(qty_ps) OVER (PARTITION BY l_partkey) AS DOUBLE) AS qp
+  FROM per_ps
+)
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM shares WHERE q > 0.5 * qp)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Scalar families, part 2: remaining string / date / JSON shapes.
 # --------------------------------------------------------------------------
 
@@ -1178,6 +1242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_union_distinct": set_union_distinct,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_part_share_suppliers": q20_part_share_suppliers,
     "string_functions_2": string_functions_2,
     "date_functions_2": date_functions_2,
     "json_struct_roundtrip": json_struct_roundtrip,
@@ -1209,6 +1274,7 @@ ORACLE_SQL: dict[str, str] = {
     "set_union_distinct": SET_UNION_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q16_supplier_part_counts": Q16_SQL,
+    "q20_part_share_suppliers": Q20_SQL,
     "string_functions_2": STRING_FUNCS2_SQL,
     "date_functions_2": DATE_FUNCS2_SQL,
     "json_struct_roundtrip": JSON_ROUNDTRIP_SQL,

@@ -68,3 +68,35 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def compact_batches(
+    spark,
+    batch_dir: str,
+    out_path: str,
+    partition_by: Sequence[str],
+    sort_within: Sequence[str] = (),
+    max_records_per_file: int = 5_000_000,
+) -> int:
+    """Compact a ``batch_id=N``-layout table (the idempotent streaming
+    sink's output) into a query-partitioned table.
+
+    Streaming leaves one directory per micro-batch — correct for replay
+    safety, wrong for readers once batches number in the thousands.
+    Periodic compaction rewrites closed batches into the analytical
+    layout (partition pruning + sorted pages). Returns rows compacted.
+    Scale: runs as an ordinary batch job over closed batch partitions;
+    writers keep appending new ``batch_id`` dirs concurrently because
+    compaction only reads.
+    """
+    df = spark.read.option("basePath", batch_dir).parquet(batch_dir)
+    df = df.drop("batch_id")
+    n = df.count()
+    write_partitioned(
+        df,
+        out_path,
+        partition_by=partition_by,
+        sort_within=sort_within,
+        max_records_per_file=max_records_per_file,
+    )
+    return n

@@ -219,3 +219,31 @@ def test_idempotent_sink_replay_safe(spark, fixture_messages_path, tmp_path):
     q2 = job.start_to_parquet_idempotent(msgs, NesConfig(), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == first  # no duplicates
+
+
+def test_compact_batches_roundtrip(spark, fixture_messages_path, tmp_path):
+    """batch_id layout → compacted topic-partitioned table with identical
+    rows and a prunable layout."""
+    import os as _os
+
+    from near_event_streams_spark.sinks.parquet_sink import compact_batches
+
+    src = tmp_path / "blocks"
+    src.mkdir()
+    import shutil as _shutil
+
+    _shutil.copy(fixture_messages_path, src / "blocks.jsonl")
+    out, ckpt = str(tmp_path / "batches"), str(tmp_path / "ckpt")
+    q = job.start_to_parquet_idempotent(
+        stream_messages_json(spark, str(src)), NesConfig(), out, ckpt
+    )
+    q.awaitTermination(120)
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_batches(spark, out, compacted, partition_by=["topic"])
+    assert n == 8
+    dirs = {d for d in _os.listdir(compacted) if d.startswith("topic=")}
+    assert len(dirs) >= 2, dirs
+    back = spark.read.parquet(compacted)
+    assert back.count() == 8
+    assert "batch_id" not in back.columns
