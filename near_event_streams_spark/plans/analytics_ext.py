@@ -1040,6 +1040,61 @@ ORDER BY s_suppkey
 
 
 # --------------------------------------------------------------------------
+# ANSI-safe try_* family + skew-salted aggregation under the oracle gate.
+# --------------------------------------------------------------------------
+
+
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast / try_divide / try_to_number: malformed input → NULL
+    instead of a runtime error (the ingestion-hardening family)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        k.cast("string").try_cast("int").alias("k_as_int"),
+        F.try_divide(F.col("value"), k - k).alias("div_by_zero"),
+        F.try_divide(F.col("value"), F.lit(4.0)).alias("quarter_value"),
+        F.lit("2024-13-99").try_cast("date").alias("bad_date"),
+    )
+
+
+TRY_FUNCS_SQL = """
+SELECT event_id,
+       TRY_CAST(event_type AS INT) AS type_as_int,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_as_int,
+       CAST(NULL AS DOUBLE) AS div_by_zero,
+       value / 4.0 AS quarter_value,
+       TRY_CAST('2024-13-99' AS DATE) AS bad_date
+FROM events
+"""
+
+
+def agg_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew operator under the correctness gate: two-phase salted
+    count per event_type must equal a plain GROUP BY (integer counts
+    only — float sums would differ by summation order)."""
+    from near_event_streams_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        salted_aggregate(
+            ev, ["event_type"], count=True, salt=8, spread_col="event_id"
+        )
+        .select("event_type", "n")
+        .orderBy("event_type")
+    )
+
+
+AGG_SALTED_SQL = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Scalar families, part 2: remaining string / date / JSON shapes.
 # --------------------------------------------------------------------------
 
@@ -1243,6 +1298,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_part_share_suppliers": q20_part_share_suppliers,
+    "try_functions": try_functions,
+    "agg_salted_counts": agg_salted_counts,
     "string_functions_2": string_functions_2,
     "date_functions_2": date_functions_2,
     "json_struct_roundtrip": json_struct_roundtrip,
@@ -1275,6 +1332,8 @@ ORACLE_SQL: dict[str, str] = {
     "q21_waiting_suppliers": Q21_SQL,
     "q16_supplier_part_counts": Q16_SQL,
     "q20_part_share_suppliers": Q20_SQL,
+    "try_functions": TRY_FUNCS_SQL,
+    "agg_salted_counts": AGG_SALTED_SQL,
     "string_functions_2": STRING_FUNCS2_SQL,
     "date_functions_2": DATE_FUNCS2_SQL,
     "json_struct_roundtrip": JSON_ROUNDTRIP_SQL,
