@@ -113,3 +113,52 @@ def rolling_fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % mod,
     )
+
+
+def chunk_documents(
+    docs,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window token chunking — the context-window prep step of a
+    training pipeline: each doc becomes ⌈(n−overlap)/(size−overlap)⌉
+    chunks of ``chunk_size`` whitespace tokens overlapping by
+    ``overlap``.
+
+    Pure column-expression implementation (sequence → transform → slice →
+    posexplode): no UDF, no shuffle — chunking is row-local, so it scales
+    as a narrow map over however many partitions the corpus has.
+    """
+    from pyspark.sql import functions as F
+
+    step = chunk_size - overlap
+    if step <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(words, i * step + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(n - i * step, F.lit(chunk_size)).alias("n_tokens"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "c"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

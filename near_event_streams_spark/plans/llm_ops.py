@@ -340,6 +340,33 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunks (32 tokens, 8 overlap) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_size=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+TEXT_CHUNKING_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n,
+         GREATEST(CAST(CEIL(CAST(len(w) - 8 AS DOUBLE) / 24.0) AS INT), 1)
+           AS n_chunks
+  FROM words
+)
+SELECT doc_id,
+       CAST(s.i AS INT) AS chunk_id,
+       array_to_string(list_slice(w, s.i * 24 + 1, s.i * 24 + 32), ' ')
+         AS chunk_text,
+       CAST(LEAST(n - s.i * 24, 32) AS INT) AS n_tokens
+FROM sized, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) s
+ORDER BY doc_id, chunk_id
+"""
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.as_media_table(docs)
@@ -391,6 +418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": text_token_counts,
     "lang_id_docs": lang_id_docs,
     "text_fingerprint_rolling": text_fingerprint_rolling,
+    "text_chunking": text_chunking,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
 }
@@ -404,5 +432,6 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality_docs": TEXT_QUALITY_SQL,
     "text_token_counts": TEXT_TOKENS_SQL,
     "lang_id_docs": LANG_ID_SQL,
+    "text_chunking": TEXT_CHUNKING_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
 }

@@ -127,3 +127,29 @@ def test_binary_file_source_to_features(spark, tmp_path):
     assert len(feats) == 3
     for f in feats:
         assert f["width"] >= 1 and f["height"] >= 1 and f["checksum"] > 0
+
+
+def test_chunk_documents_edges(spark):
+    """Chunk arithmetic at the boundaries: short doc -> 1 chunk; exact
+    multiple -> no empty trailing chunk; overlap stitches correctly."""
+    from near_event_streams_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                          # shorter than chunk_size
+            (2, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_size=6, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0]["chunk_text"] == "a b c"
+    assert by_doc[1][0]["n_tokens"] == 3
+    # 10 tokens, size 6, step 4 -> chunks at 0..5, 4..9 -> 2 chunks
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert len(c2) == 2
+    assert c2[0]["chunk_text"].split()[-2:] == c2[1]["chunk_text"].split()[:2]
+    assert c2[1]["n_tokens"] == 6
