@@ -1095,6 +1095,77 @@ ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# VariantType (Spark 4 semi-structured type) + array family part 2.
+# --------------------------------------------------------------------------
+
+
+def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: parse_json → variant_get typed extraction —
+    the modern path for schemaless JSON columns (vs get_json_object
+    string-hopping). Output columns are plain types so the DuckDB oracle
+    compares directly."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "bigint").alias("absent"),
+        F.schema_of_variant(v).alias("v_schema"),
+    )
+
+
+VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(NULL AS BIGINT) AS absent,
+       'OBJECT<k: BIGINT>' AS v_schema
+FROM events
+"""
+
+
+def array_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array algebra: union/intersect/except/position/remove/zip over
+    deterministic integer arrays derived from each row."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a = F.array(k % 5, k % 7, k % 11)
+    b = F.array(k % 7, k % 13)
+    return orders.select(
+        "o_orderkey",
+        F.sort_array(F.array_union(a, b)).alias("ab_union"),
+        F.sort_array(F.array_intersect(a, b)).alias("ab_intersect"),
+        F.sort_array(F.array_except(a, b)).alias("a_minus_b"),
+        F.array_position(a, k % 7).cast("int").alias("pos_of_mod7"),
+        F.sort_array(F.array_remove(a, k % 5)).alias("a_no_mod5"),
+        F.array_repeat(k % 3, 2).alias("mod3_twice"),
+        F.size(F.arrays_zip(a, b)).alias("zip_len"),
+    )
+
+
+ARRAY_FUNCS2_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         [o_orderkey % 5, o_orderkey % 7, o_orderkey % 11] AS a,
+         [o_orderkey % 7, o_orderkey % 13] AS b
+  FROM orders
+)
+SELECT o_orderkey,
+       list_sort(list_distinct(list_concat(a, b))) AS ab_union,
+       list_sort(list_distinct(list_filter(a, x -> list_contains(b, x))))
+         AS ab_intersect,
+       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+         AS a_minus_b,
+       CAST(list_position(a, o_orderkey % 7) AS INT) AS pos_of_mod7,
+       list_sort(list_filter(a, x -> x <> o_orderkey % 5)) AS a_no_mod5,
+       [o_orderkey % 3, o_orderkey % 3] AS mod3_twice,
+       CAST(GREATEST(len(a), len(b)) AS INT) AS zip_len
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # Scalar families, part 2: remaining string / date / JSON shapes.
 # --------------------------------------------------------------------------
 
@@ -1299,6 +1370,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_part_share_suppliers": q20_part_share_suppliers,
     "try_functions": try_functions,
+    "variant_functions": variant_functions,
+    "array_functions_2": array_functions_2,
     "agg_salted_counts": agg_salted_counts,
     "string_functions_2": string_functions_2,
     "date_functions_2": date_functions_2,
@@ -1333,6 +1406,8 @@ ORACLE_SQL: dict[str, str] = {
     "q16_supplier_part_counts": Q16_SQL,
     "q20_part_share_suppliers": Q20_SQL,
     "try_functions": TRY_FUNCS_SQL,
+    "variant_functions": VARIANT_SQL,
+    "array_functions_2": ARRAY_FUNCS2_SQL,
     "agg_salted_counts": AGG_SALTED_SQL,
     "string_functions_2": STRING_FUNCS2_SQL,
     "date_functions_2": DATE_FUNCS2_SQL,
