@@ -1166,6 +1166,91 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# RANGE window frames + date-spine generation (the remaining window frame
+# type and the calendar-dimension generator).
+# --------------------------------------------------------------------------
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames elsewhere): for each
+    customer, their account-balance peers within ±500.0 among the same
+    nation — peers defined by VALUE distance, so tied balances all join
+    the frame regardless of row order. Partitioned by nation (a global
+    RANGE window would serialize onto one task at scale)."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal"))
+        .rangeBetween(-500, 500)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_peers"),
+        F.sum(dec("c_acctbal")).over(w).cast("double").alias("peer_total"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+  COUNT(*) OVER w AS n_peers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER w AS DOUBLE) AS peer_total
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal
+             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+"""
+
+
+def date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine via sequence() + explode, left-joined to order
+    counts — the gaps-included time series every dashboard needs (months
+    with zero orders still get a row)."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+        ).alias("month_start")
+    )
+    per_month = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        spine.join(per_month, "month_start", "left")
+        .select(
+            "month_start",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month_start")
+    )
+
+
+DATE_SPINE_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS TIMESTAMP)
+    AS month_start
+  FROM bounds
+), per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS month_start, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT spine.month_start, COALESCE(per_month.n_orders, 0) AS n_orders
+FROM spine LEFT JOIN per_month USING (month_start)
+ORDER BY month_start
+"""
+
+
+# --------------------------------------------------------------------------
 # Scalar families, part 2: remaining string / date / JSON shapes.
 # --------------------------------------------------------------------------
 
@@ -1371,6 +1456,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_part_share_suppliers": q20_part_share_suppliers,
     "try_functions": try_functions,
     "variant_functions": variant_functions,
+    "window_range_frame": window_range_frame,
+    "date_spine_coverage": date_spine_coverage,
     "array_functions_2": array_functions_2,
     "agg_salted_counts": agg_salted_counts,
     "string_functions_2": string_functions_2,
@@ -1407,6 +1494,8 @@ ORACLE_SQL: dict[str, str] = {
     "q20_part_share_suppliers": Q20_SQL,
     "try_functions": TRY_FUNCS_SQL,
     "variant_functions": VARIANT_SQL,
+    "window_range_frame": WINDOW_RANGE_SQL,
+    "date_spine_coverage": DATE_SPINE_SQL,
     "array_functions_2": ARRAY_FUNCS2_SQL,
     "agg_salted_counts": AGG_SALTED_SQL,
     "string_functions_2": STRING_FUNCS2_SQL,
