@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1251,6 +1252,77 @@ ORDER BY month_start
 
 
 # --------------------------------------------------------------------------
+# UDAF + UDTF (completing SURVEY §2.2's UDF row: scalar pandas UDFs live
+# in the LLM ops; these are the grouped-agg and table-function kinds).
+# --------------------------------------------------------------------------
+
+
+def agg_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Arrow-batched UDAF): exact median of
+    order totals per priority. Spark ships the whole group's column to
+    one Python worker as a pandas Series — fine for bounded groups like
+    these; percentile_value_stats is the JVM-side formulation."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        return float(v.median())
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(median_udaf("o_totalprice"), 6).alias("median_total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_MEDIAN_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def udtf_region_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row → N output
+    rows with computed columns. Lateral-joined against the region table;
+    the UDTF kind matters when row expansion needs imperative logic no
+    generator expression covers."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, chunk string")
+    class SplitName:
+        def eval(self, name: str, width: int):
+            for i in range(0, len(name), width):
+                yield i // width, name[i : i + width]
+
+    spark.udtf.register("split_name", SplitName)
+    _t(spark, sf_dir, "region").createOrReplaceTempView("_udtf_region")
+    return spark.sql(
+        """
+        SELECT r_regionkey, t.pos, t.chunk
+        FROM _udtf_region, LATERAL split_name(r_name, 4) t
+        ORDER BY r_regionkey, t.pos
+        """
+    )
+
+
+UDTF_SQL = """
+WITH spine AS (
+  SELECT r_regionkey, r_name, CAST(s.i AS INT) AS pos
+  FROM region, LATERAL (
+    SELECT unnest(range(0, CAST(CEIL(len(r_name) / 4.0) AS INT))) AS i
+  ) s
+)
+SELECT r_regionkey, pos, substring(r_name, pos * 4 + 1, 4) AS chunk
+FROM spine
+ORDER BY r_regionkey, pos
+"""
+
+
+# --------------------------------------------------------------------------
 # Scalar families, part 2: remaining string / date / JSON shapes.
 # --------------------------------------------------------------------------
 
@@ -1457,6 +1529,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "try_functions": try_functions,
     "variant_functions": variant_functions,
     "window_range_frame": window_range_frame,
+    "agg_median_udaf": agg_median_udaf,
+    "udtf_region_expand": udtf_region_expand,
     "date_spine_coverage": date_spine_coverage,
     "array_functions_2": array_functions_2,
     "agg_salted_counts": agg_salted_counts,
@@ -1495,6 +1569,8 @@ ORACLE_SQL: dict[str, str] = {
     "try_functions": TRY_FUNCS_SQL,
     "variant_functions": VARIANT_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,
+    "agg_median_udaf": AGG_MEDIAN_SQL,
+    "udtf_region_expand": UDTF_SQL,
     "date_spine_coverage": DATE_SPINE_SQL,
     "array_functions_2": ARRAY_FUNCS2_SQL,
     "agg_salted_counts": AGG_SALTED_SQL,
