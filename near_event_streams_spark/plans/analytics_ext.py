@@ -1322,6 +1322,33 @@ ORDER BY r_regionkey, pos
 """
 
 
+def generator_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``inline`` generator: explode an array<struct> into columns in one
+    step (the NEP-171 flatten shape at query level) — built from
+    arrays_zip of per-row derived arrays."""
+    supp = _t(spark, sf_dir, "supplier")
+    pairs = F.arrays_zip(
+        F.array(F.lit("nation"), F.lit("acct")),
+        F.array(
+            F.col("s_nationkey").cast("double"),
+            F.round(F.col("s_acctbal"), 2),
+        ),
+    )
+    return supp.select(
+        "s_suppkey", F.inline(pairs).alias("attr", "val")
+    ).orderBy("s_suppkey", "attr")
+
+
+GENERATOR_INLINE_SQL = """
+SELECT s_suppkey, 'nation' AS attr, CAST(s_nationkey AS DOUBLE) AS val
+FROM supplier
+UNION ALL
+SELECT s_suppkey, 'acct' AS attr, ROUND(s_acctbal, 2) AS val
+FROM supplier
+ORDER BY s_suppkey, attr
+"""
+
+
 # --------------------------------------------------------------------------
 # Scalar families, part 2: remaining string / date / JSON shapes.
 # --------------------------------------------------------------------------
@@ -1530,6 +1557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_functions": variant_functions,
     "window_range_frame": window_range_frame,
     "agg_median_udaf": agg_median_udaf,
+    "generator_inline_structs": generator_inline_structs,
     "udtf_region_expand": udtf_region_expand,
     "date_spine_coverage": date_spine_coverage,
     "array_functions_2": array_functions_2,
@@ -1570,6 +1598,7 @@ ORACLE_SQL: dict[str, str] = {
     "variant_functions": VARIANT_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,
     "agg_median_udaf": AGG_MEDIAN_SQL,
+    "generator_inline_structs": GENERATOR_INLINE_SQL,
     "udtf_region_expand": UDTF_SQL,
     "date_spine_coverage": DATE_SPINE_SQL,
     "array_functions_2": ARRAY_FUNCS2_SQL,
