@@ -41,6 +41,7 @@ HEADLINE = [
     ("dedup_ngram_jaccard_docs", llm_ops.QUERIES["dedup_ngram_jaccard_docs"]),
     ("dedup_minhash_lsh_docs", llm_ops.QUERIES["dedup_minhash_lsh_docs"]),
     ("ann_cosine_topk", llm_ops.QUERIES["ann_cosine_topk"]),
+    ("curation_pipeline", llm_ops.QUERIES["curation_pipeline"]),
 ]
 
 

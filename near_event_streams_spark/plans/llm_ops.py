@@ -367,6 +367,60 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the composition the individual
+    operators exist for: quality gate → exact dedup (keep min doc_id per
+    normalized text) → sliding-window chunking. One narrow pass plus one
+    dedup shuffle; chunking adds no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    quality = docs.filter(
+        (F.col("n_chars") >= 50) & (F.size(words) >= 8)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keep = (
+        quality.withColumn("_norm", norm)
+        .groupBy("_norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = quality.join(keep, "doc_id", "left_semi")
+    return text.chunk_documents(
+        survivors, chunk_size=32, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
+CURATION_SQL = """
+WITH quality AS (
+  SELECT doc_id, text FROM documents
+  WHERE n_chars >= 50
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 8
+), keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM quality
+  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+), survivors AS (
+  SELECT q.doc_id, q.text FROM quality q JOIN keep USING (doc_id)
+), words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM survivors
+), sized AS (
+  SELECT doc_id, w, len(w) AS n,
+         GREATEST(CAST(CEIL(CAST(len(w) - 8 AS DOUBLE) / 24.0) AS INT), 1)
+           AS n_chunks
+  FROM words
+)
+SELECT doc_id,
+       CAST(s.i AS INT) AS chunk_id,
+       array_to_string(list_slice(w, s.i * 24 + 1, s.i * 24 + 32), ' ')
+         AS chunk_text,
+       CAST(LEAST(n - s.i * 24, 32) AS INT) AS n_tokens
+FROM sized, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) s
+ORDER BY doc_id, chunk_id
+"""
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.as_media_table(docs)
@@ -419,6 +473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_docs": lang_id_docs,
     "text_fingerprint_rolling": text_fingerprint_rolling,
     "text_chunking": text_chunking,
+    "curation_pipeline": curation_pipeline,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
 }
@@ -433,5 +488,6 @@ ORACLE_SQL: dict[str, str] = {
     "text_token_counts": TEXT_TOKENS_SQL,
     "lang_id_docs": LANG_ID_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
+    "curation_pipeline": CURATION_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
 }
