@@ -1349,6 +1349,66 @@ ORDER BY s_suppkey, attr
 """
 
 
+def map_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_keys / transform_values /
+    map_zip_with — outputs scalarized so the oracle reproduces them from
+    the base columns."""
+    orders = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("p"), F.col("o_totalprice"),
+        F.lit("k"), F.col("o_orderkey").cast("double"),
+    )
+    upper_keys = F.transform_keys(m, lambda k, _: F.upper(k))
+    doubled = F.transform_values(m, lambda _, v: v * 2.0)
+    zipped = F.map_zip_with(m, doubled, lambda _, v1, v2: v2 - v1)
+    return orders.select(
+        "o_orderkey",
+        F.array_join(F.map_keys(upper_keys), ",").alias("upper_keys"),
+        F.round(F.element_at(doubled, "p"), 2).alias("price_x2"),
+        F.round(F.element_at(zipped, "p"), 2).alias("zip_diff_p"),
+        F.round(F.element_at(zipped, "k"), 2).alias("zip_diff_k"),
+    )
+
+
+MAP_FUNCS2_SQL = """
+SELECT o_orderkey,
+       'P,K' AS upper_keys,
+       ROUND(o_totalprice * 2.0, 2) AS price_x2,
+       ROUND(o_totalprice, 2) AS zip_diff_p,
+       ROUND(CAST(o_orderkey AS DOUBLE), 2) AS zip_diff_k
+FROM orders
+"""
+
+
+def struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build / field access / lexicographic struct comparison
+    (structs order by field position — the tie-break idiom used in the
+    dedup pair generators)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = F.struct(
+        F.col("l_returnflag").alias("f"), F.col("l_quantity").alias("q")
+    )
+    b = F.struct(F.lit("N").alias("f"), F.lit(25.0).alias("q"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("flag"),
+        a.getField("q").alias("qty_via_struct"),
+        (a < b).alias("before_n25"),
+        (a == b).alias("exactly_n25"),
+    )
+
+
+STRUCT_FUNCS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_returnflag AS flag,
+       l_quantity AS qty_via_struct,
+       (l_returnflag, l_quantity) < ('N', 25.0) AS before_n25,
+       (l_returnflag, l_quantity) = ('N', 25.0) AS exactly_n25
+FROM lineitem
+"""
+
+
 # --------------------------------------------------------------------------
 # Scalar families, part 2: remaining string / date / JSON shapes.
 # --------------------------------------------------------------------------
@@ -1558,6 +1618,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_range_frame": window_range_frame,
     "agg_median_udaf": agg_median_udaf,
     "generator_inline_structs": generator_inline_structs,
+    "map_functions_2": map_functions_2,
+    "struct_functions": struct_functions,
     "udtf_region_expand": udtf_region_expand,
     "date_spine_coverage": date_spine_coverage,
     "array_functions_2": array_functions_2,
@@ -1599,6 +1661,8 @@ ORACLE_SQL: dict[str, str] = {
     "window_range_frame": WINDOW_RANGE_SQL,
     "agg_median_udaf": AGG_MEDIAN_SQL,
     "generator_inline_structs": GENERATOR_INLINE_SQL,
+    "map_functions_2": MAP_FUNCS2_SQL,
+    "struct_functions": STRUCT_FUNCS_SQL,
     "udtf_region_expand": UDTF_SQL,
     "date_spine_coverage": DATE_SPINE_SQL,
     "array_functions_2": ARRAY_FUNCS2_SQL,
