@@ -187,3 +187,24 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_pipelines_never_cartesian(spark):
+    """The dedup candidate generators must stay key-equi joins: a
+    CartesianProduct or nested-loop join appearing in these plans means
+    a candidate-generation regression back to all-pairs."""
+    from near_event_streams_spark.operators import dedup
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for name, df in [
+        ("ppjoin", dedup.jaccard_pairs(docs, 0.8)),
+        ("minhash", dedup.minhash_lsh_dedup(docs, 0.8)),
+        (
+            "simhash",
+            dedup.simhash_near_pairs(dedup.simhash_signatures(docs)),
+        ),
+    ]:
+        plan = plan_text(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
