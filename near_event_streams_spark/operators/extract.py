@@ -188,10 +188,14 @@ def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     (``src/events.rs:322-334``). The reference logs and drops; we keep the
     rejects as a side stream so operators/sinks can count or persist them.
     """
+    # NearEvent.data is a required serde field (src/event_types.rs:75-81):
+    # an envelope with standard/version/event but no `data` member is a
+    # parse error in the reference, not a valid event with a null payload.
     parse_failed = (
         F.col("standard").isNull()
         | F.col("version").isNull()
         | F.col("event").isNull()
+        | F.col("data_json").isNull()
     )
     invalid = ~(
         field_is_valid(F.col("standard")) & field_is_valid(F.col("event"))

@@ -630,9 +630,9 @@ WITH ev AS (
   FROM ev
 ), sessed AS (
   SELECT *,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS session_id
+      AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

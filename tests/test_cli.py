@@ -70,6 +70,47 @@ def test_run_sync_from_block_filters_height(
     assert n == 0
 
 
+def test_kafka_sink_argument_binding(
+    tmp_path, fixture_messages_path, monkeypatch
+):
+    """The Kafka sink must receive (checkpoint_dir, bootstrap_servers) in
+    that keyword binding — a positional swap would point the producer at
+    the checkpoint path (untestable live: no broker in the container)."""
+    from near_event_streams_spark.streaming import job
+
+    home, src = _prep(tmp_path, fixture_messages_path)
+    seen = {}
+
+    def fake_start_to_kafka(messages, config, checkpoint_dir, bootstrap_servers):
+        seen["checkpoint_dir"] = checkpoint_dir
+        seen["bootstrap_servers"] = bootstrap_servers
+
+        class _Q:
+            def awaitTermination(self, timeout=None):
+                return True
+
+            def stop(self):
+                pass
+
+        return _Q()
+
+    monkeypatch.setattr(job, "start_to_kafka", fake_start_to_kafka)
+    rc = main(
+        [
+            "--home-dir", str(home),
+            "run",
+            "--source-dir", str(src),
+            "--sink", "kafka",
+            "--timeout", "1",
+            "sync-from-interruption",
+        ]
+    )
+    assert rc == 0
+    assert seen["checkpoint_dir"] == str(home / "checkpoint")
+    # home's nes.toml has no bootstrap.servers -> default applies
+    assert seen["bootstrap_servers"] == "localhost:9092"
+
+
 def test_run_requires_source_dir(tmp_path):
     home = tmp_path / "h"
     main(["--home-dir", str(home), "init"])

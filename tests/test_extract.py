@@ -2,7 +2,11 @@
 
 from pyspark.sql import functions as F
 
-from near_event_streams_spark.operators.extract import extract_events
+from near_event_streams_spark.operators.extract import (
+    extract_events,
+    parse_events,
+    split_valid,
+)
 from near_event_streams_spark.sources.streamer import read_messages_json
 
 
@@ -70,6 +74,32 @@ def test_drop_paths(spark, fixture_messages_path):
     _, rejected = _extract(spark, fixture_messages_path)
     reasons = sorted(r["reject_reason"] for r in rejected.collect())
     assert reasons == ["parse_error", "validation_error"]
+
+
+def test_envelope_without_data_is_parse_error(spark):
+    """NearEvent.data is required serde-side (event_types.rs:75-81): an
+    envelope with standard/version/event but no `data` member must land in
+    the parse_error reject stream, not pass as a null-payload event."""
+    logs = spark.createDataFrame(
+        [
+            (
+                'EVENT_JSON:{"standard":"nep171","version":"1.0.0",'
+                '"event":"nft_mint"}',
+            ),
+            (
+                'EVENT_JSON:{"standard":"nep171","version":"1.0.0",'
+                '"event":"nft_mint","data":[{"owner_id":"a.near",'
+                '"token_ids":["1"]}]}',
+            ),
+        ],
+        "log string",
+    )
+    ok, rejected = split_valid(parse_events(logs))
+    assert ok.count() == 1
+    rej = rejected.collect()
+    assert len(rej) == 1
+    assert rej[0]["reject_reason"] == "parse_error"
+    assert rej[0]["data_json"] is None
 
 
 def test_non_event_logs_never_parsed(spark, fixture_messages_path):
