@@ -146,10 +146,27 @@ def shingle_id_sets(
 
 
 def _verify_pairs(
-    cands: DataFrame, sets: DataFrame, threshold: float
+    cands: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    broadcast_sets: bool | None = None,
+    max_broadcast_docs: int = 500_000,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via array_intersect on the per-doc
-    shingle arrays (JVM-side set intersection, no second shingle shuffle)."""
+    shingle arrays (JVM-side set intersection, no second shingle shuffle).
+
+    Join strategy is size-adaptive:
+
+    * small corpus (≤ ``max_broadcast_docs`` docs) — broadcast the doc→set
+      map to both join sides; the pair stream never shuffles the arrays.
+    * large corpus — the broadcast would OOM the driver/executors at 1B
+      docs, so instead shuffle-merge-join the (narrow) pair stream against
+      the doc_id-partitioned sets table: the arrays move once per side
+      through the shuffle, bounded per-partition, never to the driver.
+
+    ``broadcast_sets=None`` decides from a count of ``sets`` (callers
+    persist it, so the count reuses the cached shingle arrays).
+    """
     a_sets = sets.select(
         F.col("doc_id").alias("a_doc_id"),
         F.col("sh").alias("sh_a"),
@@ -165,19 +182,25 @@ def _verify_pairs(
         inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter),
         6,
     )
-    # sets is one (small) row per doc — broadcast both sides so the pair
-    # stream never shuffles the shingle arrays. At corpus sizes where the
-    # doc->set map outgrows broadcast, bucket both sides by doc_id instead.
-    # The explicit repartition matters: the candidate stream is only a few
-    # MB of (long,long) pairs, so AQE would coalesce it to ~1 partition and
-    # run the (CPU-heavy) per-pair intersection single-threaded.
-    return (
-        cands.repartition(64, "a_doc_id")
-        .join(F.broadcast(a_sets), "a_doc_id")
-        .join(F.broadcast(b_sets), "b_doc_id")
-        .select("a_doc_id", "b_doc_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    if broadcast_sets is None:
+        broadcast_sets = sets.count() <= max_broadcast_docs
+    if broadcast_sets:
+        # The explicit repartition matters: the candidate stream is only a
+        # few MB of (long,long) pairs, so AQE would coalesce it to ~1
+        # partition and run the (CPU-heavy) per-pair intersection
+        # single-threaded.
+        joined = (
+            cands.repartition(64, "a_doc_id")
+            .join(F.broadcast(a_sets), "a_doc_id")
+            .join(F.broadcast(b_sets), "b_doc_id")
+        )
+    else:
+        joined = cands.join(a_sets.hint("merge"), "a_doc_id").join(
+            b_sets.hint("merge"), "b_doc_id"
+        )
+    return joined.select(
+        "a_doc_id", "b_doc_id", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def jaccard_pairs(
@@ -185,6 +208,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard ≥ threshold — EXACT, via
     PPJoin (probe/index prefixes + length + positional filters).
@@ -270,7 +294,7 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    return _verify_pairs(cands, sets, threshold)
+    return _verify_pairs(cands, sets, threshold, broadcast_sets)
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +356,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     num_hashes: int = 16,
     band_size: int = 4,
+    broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH buckets → exact-Jaccard verify
     of candidates only. Returns verified (a_doc_id, b_doc_id, jaccard)."""
@@ -342,7 +367,7 @@ def minhash_lsh_dedup(
     )
     # verify candidates with exact jaccard via per-doc shingle-id arrays
     # (bounded by candidate count, not all pairs)
-    return _verify_pairs(cands, sets, threshold)
+    return _verify_pairs(cands, sets, threshold, broadcast_sets)
 
 
 # ---------------------------------------------------------------------------

@@ -179,7 +179,7 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents (exact Jaccard ≥ 0.8, recomputed in-engine) must receive
     nearby signatures. Emits the exact-pair count plus a boolean that
     ≥95% of those pairs sit within Hamming distance 10 of each other
-    (measured max on this corpus: 7 of 64 bits).
+    (measured max on this corpus: 7 of the 32 signature bits).
     """
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.simhash_signatures(docs)

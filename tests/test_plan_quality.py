@@ -210,6 +210,34 @@ def test_dedup_pipelines_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_verify_pairs_size_adaptive_join(spark):
+    """The exact-Jaccard verify step must not hardcode a broadcast of the
+    doc->shingle-set map (OOM at 1B docs): broadcast_sets=False has to
+    plan shuffle-merge joins with zero BroadcastExchange, and return the
+    same rows as the broadcast path."""
+    from near_event_streams_spark.operators import dedup
+    from near_event_streams_spark.sources.tables import load_table
+
+    # distinct logical plan from other tests' calls: a cached `sets` from
+    # an earlier jaccard_pairs(docs, ...) would otherwise splice its OWN
+    # materialization-time physical plan (with broadcasts) into explain()
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id >= 0")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = dedup.jaccard_pairs(docs, 0.8, broadcast_sets=False)
+        plan = plan_text(merged)
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        bcast = dedup.jaccard_pairs(docs, 0.8, broadcast_sets=True)
+        assert "BroadcastExchange" in plan_text(bcast)
+        a = {tuple(r) for r in merged.collect()}
+        b = {tuple(r) for r in bcast.collect()}
+        assert a == b and a, "join-strategy change altered results"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_ivf_centroids_not_inlined_in_plan(spark):
     """Centroids must ship as a broadcast variable (executor-side), not as
     Catalyst literals: a literal array re-analyzes O(n_clusters x dim)
