@@ -1144,6 +1144,71 @@ FROM part
 """
 
 
+def math_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig/exponential/log family, oracle-gated by engine-local libm
+    identities: sin/cos/tan/exp/ln/log10/pow/cbrt/asin/acos/atan results
+    differ between engines in final ulps (libm is not cross-platform
+    bit-stable), so each engine verifies its OWN outputs against exact
+    mathematical identities and emits only booleans — which must match.
+    The tan/atan checks guard the poles (|cos t| small) where identity
+    evaluation is ill-conditioned."""
+    import math
+
+    part = _t(spark, sf_dir, "part")
+    deg = (F.col("p_partkey") % 360).cast("double")
+    t = deg * F.lit(math.pi) / F.lit(180.0)
+    x = F.col("p_retailprice").cast("double") / F.lit(1000.0)
+    u = (F.col("p_partkey") % 200).cast("double") / F.lit(100.0) - F.lit(1.0)
+
+    def ok(expr):
+        return F.abs(expr) < F.lit(1e-9)
+
+    sin_t, cos_t = F.sin(t), F.cos(t)
+    return part.select(
+        "p_partkey",
+        ok(sin_t * sin_t + cos_t * cos_t - F.lit(1.0)).alias("pyth_ok"),
+        ok(F.sin(t * 2) - sin_t * cos_t * 2).alias("double_angle_ok"),
+        F.when(F.abs(cos_t) > 0.1, ok(F.tan(t) - sin_t / cos_t))
+        .otherwise(F.lit(True))
+        .alias("tan_ok"),
+        ok(F.log(F.exp(x)) - x).alias("exp_ln_ok"),
+        ok(F.log10(F.pow(F.lit(10.0), x / 10)) - x / 10).alias(
+            "log10_pow_ok"
+        ),
+        ok(F.sin(F.asin(u)) - u).alias("asin_ok"),
+        ok(F.cos(F.acos(u)) - u).alias("acos_ok"),
+        ok(F.cbrt(x * x * x) - x).alias("cbrt_ok"),
+        ok(F.degrees(F.radians(deg)) - deg).alias("deg_rad_ok"),
+        ok(F.atan(F.tan(t / 4)) - t / 4).alias("atan_ok"),
+    )
+
+
+MATH_FUNCS_2_SQL = """
+WITH b AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 360 AS DOUBLE) AS deg,
+         CAST(p_partkey % 360 AS DOUBLE) * pi() / 180.0 AS t,
+         CAST(p_retailprice AS DOUBLE) / 1000.0 AS x,
+         CAST(p_partkey % 200 AS DOUBLE) / 100.0 - 1.0 AS u
+  FROM part
+)
+SELECT p_partkey,
+  ABS(SIN(t)*SIN(t) + COS(t)*COS(t) - 1.0) < 1e-9 AS pyth_ok,
+  ABS(SIN(t*2) - SIN(t)*COS(t)*2) < 1e-9 AS double_angle_ok,
+  CASE WHEN ABS(COS(t)) > 0.1
+       THEN ABS(TAN(t) - SIN(t)/COS(t)) < 1e-9
+       ELSE TRUE END AS tan_ok,
+  ABS(LN(EXP(x)) - x) < 1e-9 AS exp_ln_ok,
+  ABS(LOG10(POW(10.0, x/10)) - x/10) < 1e-9 AS log10_pow_ok,
+  ABS(SIN(ASIN(u)) - u) < 1e-9 AS asin_ok,
+  ABS(COS(ACOS(u)) - u) < 1e-9 AS acos_ok,
+  ABS(CBRT(x*x*x) - x) < 1e-9 AS cbrt_ok,
+  ABS(DEGREES(RADIANS(deg)) - deg) < 1e-9 AS deg_rad_ok,
+  ABS(ATAN(TAN(t/4)) - t/4) < 1e-9 AS atan_ok
+FROM b
+"""
+
+
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over embeddings: size/slice/contains-style ops with
     integer outputs (deterministic; float reductions live in the cosine
@@ -1254,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_revenue": grouping_sets_revenue,
     "window_analytics_suite": window_analytics_suite,
     "math_functions": math_functions,
+    "math_functions_2": math_functions_2,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
 }
@@ -1267,6 +1333,7 @@ ORACLE_SQL: dict[str, str] = {
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "window_analytics_suite": WINDOW_ANALYTICS_SQL,
     "math_functions": MATH_FUNCS_SQL,
+    "math_functions_2": MATH_FUNCS_2_SQL,
     "array_functions": ARRAY_FUNCS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -70,6 +70,112 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _hadoop_fs(spark):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _recover_pending_compaction(fs, mk_path, out_dir: str) -> None:
+    """Self-heal an interrupted in-place compaction (crash-window repair).
+
+    Protocol state is encoded in dot-prefixed dirs (invisible to Spark
+    readers). If the merged tmp dir still exists the swap never finished:
+    restore any trashed originals and drop the tmp. If only trash dirs
+    remain, the swap finished: the merged dir already holds their rows,
+    so the trash is safe to delete.
+    """
+    base = mk_path(out_dir)
+    if not fs.exists(base):
+        return
+    entries = [st.getPath() for st in fs.listStatus(base)]
+    tmps = [p for p in entries if p.getName().startswith(".compact_tmp")]
+    trash = [p for p in entries if p.getName().startswith(".compact_trash.")]
+    if tmps:
+        for p in trash:
+            original = mk_path(
+                f"{out_dir}/{p.getName()[len('.compact_trash.'):]}"
+            )
+            if fs.exists(original):
+                fs.delete(p, True)
+            else:
+                fs.rename(p, original)
+        for p in tmps:
+            fs.delete(p, True)
+    else:
+        for p in trash:
+            fs.delete(p, True)
+
+
+def compact_batch_dirs_inplace(
+    spark,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    upto_batch_id: int | None = None,
+) -> tuple[int, int]:
+    """Merge closed ``batch_id=N`` dirs into size-targeted files, in place.
+
+    The idempotent streaming sink writes one directory per micro-batch;
+    at streaming ingest rates that's thousands of KB-sized files per day
+    — the classic small-file problem. This rewrites every closed batch
+    (``batch_id ≤ upto_batch_id``; default: everything strictly below the
+    highest present id, which is the only batch a crashed job can ever
+    redeliver) into ONE ``batch_id=<hi>`` directory with
+    ``ceil(bytes/target_file_bytes)`` files.
+
+    Transactional against crashes: the merged output is first written to
+    a dot-prefixed tmp dir (invisible to readers), originals are moved to
+    dot-prefixed trash, then tmp is renamed into place and trash dropped
+    — and every call begins by repairing any interrupted predecessor via
+    ``_recover_pending_compaction``. Readers see either the old dirs or
+    the merged dir, never duplicates. Replay stays safe because an
+    overwrite of any *open* batch partition is untouched, and a
+    full-history replay simply rebuilds the per-batch layout.
+
+    Uses the Hadoop FileSystem API, so the same code runs on HDFS/S3A on
+    a real cluster, not just local paths. Returns
+    ``(n_batches_merged, n_files_written)``.
+    """
+    import math
+
+    fs, mk_path = _hadoop_fs(spark)
+    _recover_pending_compaction(fs, mk_path, out_dir)
+    base = mk_path(out_dir)
+    if not fs.exists(base):
+        return (0, 0)
+    batches = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            batches.append((int(name.split("=", 1)[1]), st.getPath()))
+    if not batches:
+        return (0, 0)
+    batches.sort(key=lambda t: t[0])
+    max_present = batches[-1][0]
+    upto = max_present - 1 if upto_batch_id is None else upto_batch_id
+    targets = [(bid, p) for bid, p in batches if bid <= upto]
+    if len(targets) < 2:
+        return (0, 0)
+
+    total_bytes = sum(
+        fs.getContentSummary(p).getLength() for _, p in targets
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    hi = targets[-1][0]
+    merged = spark.read.parquet(*[str(p) for _, p in targets])
+    tmp = mk_path(f"{out_dir}/.compact_tmp_{hi}")
+    fs.delete(tmp, True)
+    merged.coalesce(n_files).write.mode("overwrite").parquet(str(tmp))
+
+    for bid, p in targets:
+        fs.rename(p, mk_path(f"{out_dir}/.compact_trash.batch_id={bid}"))
+    fs.rename(tmp, mk_path(f"{out_dir}/batch_id={hi}"))
+    for bid, _ in targets:
+        fs.delete(mk_path(f"{out_dir}/.compact_trash.batch_id={bid}"), True)
+    return (len(targets), n_files)
+
+
 def compact_batches(
     spark,
     batch_dir: str,

@@ -221,6 +221,96 @@ def test_idempotent_sink_replay_safe(spark, fixture_messages_path, tmp_path):
     assert spark.read.parquet(out).count() == first  # no duplicates
 
 
+def test_inplace_compaction_preserves_rows_and_replay_safety(
+    spark, fixture_messages_path, tmp_path
+):
+    """Three micro-batches → in-place compaction merges the two CLOSED
+    batches into one size-targeted dir (open batch untouched), rows are
+    byte-identical, and a full checkpoint-loss replay on the compacted
+    layout still lands on the original row set (no duplicates)."""
+    import os as _os
+    import shutil as _shutil
+
+    from near_event_streams_spark.sinks.parquet_sink import (
+        compact_batch_dirs_inplace,
+    )
+
+    src = tmp_path / "blocks"
+    src.mkdir()
+    for i in range(3):
+        dst = src / f"blocks{i}.jsonl"
+        _shutil.copy(fixture_messages_path, dst)
+        # deterministic batch order: file-source batches sort by mtime
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = job.start_to_parquet_idempotent(
+            stream_messages_json(spark, str(src), max_files_per_trigger=1),
+            NesConfig(),
+            out,
+            ckpt,
+        )
+        q.awaitTermination(180)
+
+    run()
+    before = {tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()}
+    dirs = sorted(d for d in _os.listdir(out) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+    n_batches, n_files = compact_batch_dirs_inplace(spark, out)
+    assert (n_batches, n_files) == (2, 1)  # closed 0+1 merged, 2 left open
+    dirs = sorted(d for d in _os.listdir(out) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=1", "batch_id=2"]
+    assert not [d for d in _os.listdir(out) if d.startswith(".compact")]
+    after = {tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()}
+    assert after == before
+
+    # replay-safety survives compaction: lose the checkpoint entirely,
+    # replay all three batches over the compacted layout
+    _shutil.rmtree(ckpt)
+    run()
+    replayed = {
+        tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    assert replayed == before
+
+
+def test_compaction_crash_recovery(spark, fixture_messages_path, tmp_path):
+    """Interrupted swaps repair themselves: tmp-present state restores the
+    originals; trash-only state (swap done) drops the trash."""
+    import os as _os
+    import shutil as _shutil
+
+    from near_event_streams_spark.sinks.parquet_sink import (
+        compact_batch_dirs_inplace,
+    )
+
+    src = tmp_path / "blocks"
+    src.mkdir()
+    for i in range(3):
+        dst = src / f"blocks{i}.jsonl"
+        _shutil.copy(fixture_messages_path, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = job.start_to_parquet_idempotent(
+        stream_messages_json(spark, str(src), max_files_per_trigger=1),
+        NesConfig(),
+        out,
+        ckpt,
+    )
+    q.awaitTermination(180)
+    before = {tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()}
+
+    # simulate a crash mid-swap: batch 0 moved to trash, tmp still present
+    _os.rename(f"{out}/batch_id=0", f"{out}/.compact_trash.batch_id=0")
+    _os.makedirs(f"{out}/.compact_tmp_1")
+    n_batches, _ = compact_batch_dirs_inplace(spark, out)
+    assert n_batches == 2  # recovery restored batch 0, then compaction ran
+    after = {tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()}
+    assert after == before
+
+
 def test_compact_batches_roundtrip(spark, fixture_messages_path, tmp_path):
     """batch_id layout → compacted topic-partitioned table with identical
     rows and a prunable layout."""
