@@ -1591,11 +1591,85 @@ ORDER BY o_orderpriority
 """
 
 
+def subquery_scalar_in_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list (two independent
+    correlations per row). Catalyst decorrelates each into a left outer
+    aggregate join — no per-row re-execution, so the shape scales as two
+    broadcast/shuffle joins rather than nation×(customer+supplier) probes.
+    """
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_sq_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_sq_supplier")
+    return spark.sql(
+        """
+        SELECT n_name,
+          (SELECT COUNT(*) FROM _sq_customer c
+            WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+          (SELECT CAST(MAX(s.s_acctbal) AS DOUBLE) FROM _sq_supplier s
+            WHERE s.s_nationkey = n.n_nationkey) AS max_supp_bal
+        FROM _sq_nation n
+        ORDER BY n_name
+        """
+    )
+
+
+SUBQUERY_SCALAR_SELECT_SQL = """
+SELECT n_name,
+  (SELECT COUNT(*) FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+  (SELECT CAST(MAX(s.s_acctbal) AS DOUBLE) FROM supplier s
+    WHERE s.s_nationkey = n.n_nationkey) AS max_supp_bal
+FROM nation n
+ORDER BY n_name
+"""
+
+
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: top-2
+    orders by value for each of the first 100 customers. Catalyst rewrites
+    the lateral into a ranked window over a single join — the per-customer
+    top-n never materializes a full per-row sort."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.total
+        FROM _lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+          FROM _lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 100
+        ORDER BY c.c_custkey, total DESC, o_orderkey
+        """
+    )
+
+
+LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.total
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey <= 100
+ORDER BY c.c_custkey, total DESC, o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "subquery_scalar_in_select": subquery_scalar_in_select,
+    "lateral_topn_orders": lateral_topn_orders,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -1639,6 +1713,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "subquery_scalar_in_select": SUBQUERY_SCALAR_SELECT_SQL,
+    "lateral_topn_orders": LATERAL_TOPN_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
