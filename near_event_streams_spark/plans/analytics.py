@@ -1283,6 +1283,99 @@ ORDER BY event_type
 """
 
 
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles, invariant-gated: the exact interpolated
+    p50/p90 must hash-match across engines; each engine's own quantile
+    sketch (Spark KLL-style approx_percentile, DuckDB t-digest) must land
+    within 5% of its exact value — booleans pinned TRUE by the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    ex50 = F.percentile(v, F.lit(0.5))
+    ex90 = F.percentile(v, F.lit(0.9))
+    ap50 = F.approx_percentile(v, F.lit(0.5), F.lit(10000))
+    ap90 = F.approx_percentile(v, F.lit(0.9), F.lit(10000))
+
+    def close(approx, exact):
+        return F.abs(approx - exact) <= 0.05 * (F.abs(exact) + F.lit(1.0))
+
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(ex50, 6).alias("p50_exact"),
+            F.round(ex90, 6).alias("p90_exact"),
+            close(ap50, ex50).alias("p50_close"),
+            close(ap90, ex90).alias("p90_close"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_APPROX_PCTL_SQL = """
+SELECT event_type,
+  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50_exact,
+  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90_exact,
+  ABS(approx_quantile(CAST(value AS DOUBLE), 0.5)
+      - quantile_cont(CAST(value AS DOUBLE), 0.5))
+    <= 0.05 * (ABS(quantile_cont(CAST(value AS DOUBLE), 0.5)) + 1.0)
+    AS p50_close,
+  ABS(approx_quantile(CAST(value AS DOUBLE), 0.9)
+      - quantile_cont(CAST(value AS DOUBLE), 0.9))
+    <= 0.05 * (ABS(quantile_cont(CAST(value AS DOUBLE), 0.9)) + 1.0)
+    AS p90_close
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL surface (hll_sketch_agg → hll_union_agg →
+    hll_sketch_estimate): per-segment sketches are MERGED up to
+    event_type — the distributed pattern where executors sketch locally
+    and only sketch bytes travel. Invariant-gated: the merged estimate
+    must land within 5% of the exact distinct count (DuckDB checks its
+    own HLL the same way)."""
+    ev = _t(spark, sf_dir, "events")
+    seg_sketches = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("_seg")
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    merged = seg_sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(
+                    F.col("_est").cast("double")
+                    - F.col("exact_users").cast("double")
+                )
+                / F.col("exact_users").cast("double")
+                <= 0.05
+            ).alias("merged_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_HLL_SKETCH_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
+           - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
+         / CAST(COUNT(DISTINCT user_id) AS DOUBLE) <= 0.05
+         AS merged_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1322,6 +1415,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "math_functions_2": math_functions_2,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_approx_percentile": agg_approx_percentile,
+    "agg_hll_sketch_union": agg_hll_sketch_union,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1345,6 +1440,8 @@ ORACLE_SQL: dict[str, str] = {
     "join_asof_purchase_click": JOIN_ASOF_SQL,
     "agg_distinct_users": AGG_DISTINCT_SQL,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
+    "agg_approx_percentile": AGG_APPROX_PCTL_SQL,
+    "agg_hll_sketch_union": AGG_HLL_SKETCH_SQL,
     "agg_value_stats": AGG_STATS_SQL,
     "rollup_order_revenue": ROLLUP_SQL,
     "cube_lineitem_flags": CUBE_SQL,

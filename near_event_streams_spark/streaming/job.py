@@ -201,6 +201,43 @@ def dedup_receipts(
     )
 
 
+def dedup_receipts_within_watermark(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Bounded-state streaming dedup (``dropDuplicatesWithinWatermark``):
+    unlike plain ``dropDuplicates`` — whose key state only expires when
+    event-time columns are part of the dedup key — this guarantees every
+    dedup key is evicted once the watermark passes it, so state size is
+    O(keys per watermark window) regardless of run length. The right
+    variant for an unbounded 24/7 ingest at 100 TB: redelivery happens
+    within minutes, not days, so the watermark bounds both correctness
+    and memory."""
+    return (
+        event_time(events)
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(["receipt_id", "standard", "event"])
+    )
+
+
+def with_batch_observability(
+    events: DataFrame, name: str = "nes_metrics"
+) -> DataFrame:
+    """Attach ``observe()`` metrics to the event stream: per-micro-batch
+    row/contract/height aggregates computed inside the running plan (no
+    second pass over the data) and surfaced through
+    ``StreamingQueryListener.onQueryProgress`` as ``observedMetrics[name]``
+    — the Spark-native form of the reference's per-batch stats logging
+    (``src/stats.rs:24-58``)."""
+    return events.observe(
+        name,
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("emit_info.contract_account_id").alias(
+            "n_contracts"
+        ),
+        F.max("emit_info.block_height").alias("max_height"),
+    )
+
+
 def run_batches(
     stream_df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],

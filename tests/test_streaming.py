@@ -169,6 +169,116 @@ def test_streaming_dedup_receipts(spark, tmp_path):
     assert len(collected) == 1
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark variant: same effectively-once
+    collapse, but with guaranteed state eviction past the watermark."""
+    block = {
+        "block": {"header": {"height": 1, "timestamp": 1_700_000_000_000_000_000}},
+        "shards": [
+            {
+                "shard_id": 0,
+                "receipt_execution_outcomes": [
+                    {
+                        "receipt": {"receipt_id": "dup", "receiver_id": "c.near"},
+                        "execution_outcome": {
+                            "outcome": {
+                                "logs": [
+                                    'EVENT_JSON:{"standard":"nep171",'
+                                    '"version":"1.0.0","event":"nft_mint",'
+                                    '"data":[{"owner_id":"o","token_ids":["1"]}]}'
+                                ]
+                            }
+                        },
+                    }
+                ],
+            }
+        ],
+    }
+    src = tmp_path / "wmblocks"
+    src.mkdir()
+    with open(src / "b.jsonl", "w") as f:
+        f.write(json.dumps(block) + "\n")
+        f.write(json.dumps(block) + "\n")  # redelivered
+
+    from near_event_streams_spark.operators.extract import extract_events
+
+    collected = []
+
+    def sink(batch, batch_id):
+        collected.extend(batch.collect())
+
+    def transform(stream_df):
+        events, _ = extract_events(stream_df)
+        return job.dedup_receipts_within_watermark(events)
+
+    msgs = stream_messages_json(spark, str(src))
+    q = job.run_batches(msgs, transform, str(tmp_path / "ckwm"), sink)
+    q.awaitTermination(120)
+    assert len(collected) == 1
+
+
+def test_observe_metrics_surface_in_listener(
+    spark, fixture_messages_path, tmp_path
+):
+    """observe() aggregates ride the running plan and reach the listener
+    as observedMetrics — no second pass over the batch data."""
+    import time
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from near_event_streams_spark.operators.extract import extract_events
+
+    class Captures(StreamingQueryListener):
+        def __init__(self):
+            self.metrics = []
+
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            m = event.progress.observedMetrics.get("nes_metrics")
+            if m is not None:
+                self.metrics.append(m)
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+    listener = Captures()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "blocks"
+        src.mkdir()
+        import shutil as _shutil
+
+        _shutil.copy(fixture_messages_path, src / "blocks.jsonl")
+        collected = []
+
+        def transform(stream_df):
+            events, _ = extract_events(stream_df)
+            return job.with_batch_observability(events)
+
+        q = job.run_batches(
+            stream_messages_json(spark, str(src)),
+            transform,
+            str(tmp_path / "ckobs"),
+            lambda b, i: collected.extend(b.collect()),
+        )
+        q.awaitTermination(120)
+        for _ in range(40):
+            if listener.metrics:
+                break
+            time.sleep(0.25)
+        assert listener.metrics, "no observed metrics reached the listener"
+        m = listener.metrics[0]
+        assert m["n_events"] == 4  # 4 valid events in the fixture
+        assert m["n_contracts"] >= 3
+        assert m["max_height"] == 101
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_stats_listener_reports_throughput(
     spark, fixture_messages_path, tmp_path
 ):
