@@ -371,6 +371,87 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Connected components (cluster collapse over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_doc_id",
+    b_col: str = "b_doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list → per-node
+    component id (the minimum node id in the component).
+
+    This is the step a curation pipeline needs AFTER pair generation:
+    near-dup pairs form clusters (often chains A~B~C where A~C was never
+    emitted), and keep-one-per-cluster requires the transitive closure,
+    not the pair list.
+
+    Iterative Spark algorithm done right:
+    * each iteration is one shuffle (propagate labels across edges +
+      min-aggregate) — fully distributed; the driver holds only the
+      converged flag, never data;
+    * ``localCheckpoint`` truncates the lineage each round, otherwise the
+      plan doubles per iteration and the optimizer chokes by iteration ~15;
+    * iterations needed = component diameter (near-dup clusters are tiny;
+      the ``max_iter`` guard is for adversarial chains).
+    """
+    sym = (
+        edges.select(
+            F.col(a_col).alias("node"), F.col(b_col).alias("nbr")
+        )
+        .unionByName(
+            edges.select(
+                F.col(b_col).alias("node"), F.col(a_col).alias("nbr")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.groupBy("node")
+        .agg(F.least(F.min("nbr"), F.first("node")).alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate labels: own label + the label of every neighbor
+        nbr_labels = (
+            sym.join(
+                labels.withColumnRenamed("node", "nbr").withColumnRenamed(
+                    "comp", "nbr_comp"
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_comp").alias("min_nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_labels, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("min_nbr_comp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -221,6 +221,52 @@ FROM true_pairs
 )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: exact Jaccard≥0.8 pairs → connected
+    components (iterative min-label propagation) → one keep-row per doc
+    with its cluster id and whether it is the cluster representative.
+    The oracle computes the same closure with a DuckDB recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    return (
+        dedup.connected_components(pairs)
+        .select(
+            F.col("node").alias("doc_id"),
+            "component",
+            (F.col("node") == F.col("component")).alias("is_representative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = (
+    _JACCARD_EXACT_PAIRS_CTE.rstrip().replace(
+        "WITH words", "WITH RECURSIVE words", 1
+    )
+    + """,
+sym_edges AS (
+  SELECT a_doc_id AS src, b_doc_id AS dst FROM true_pairs
+  UNION
+  SELECT b_doc_id AS src, a_doc_id AS dst FROM true_pairs
+),
+lab(node, comp) AS (
+  -- DuckDB recursive CTEs must be exactly <base> UNION <recursive>
+  SELECT src, LEAST(src, dst) FROM sym_edges
+  UNION
+  SELECT e.dst, l.comp
+  FROM lab l JOIN sym_edges e ON l.node = e.src
+  WHERE l.comp < e.dst
+)
+SELECT node AS doc_id,
+       MIN(comp) AS component,
+       node = MIN(comp) AS is_representative
+FROM lab
+GROUP BY node
+ORDER BY doc_id
+"""
+)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_pairs(emb, threshold=0.35).orderBy(
@@ -625,6 +671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -645,6 +692,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_fingerprint_docs": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
     "dedup_simhash_docs": DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,

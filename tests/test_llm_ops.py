@@ -68,6 +68,27 @@ def test_ann_lsh_recall_against_brute_force(spark):
     assert recall >= 0.6, f"LSH ANN recall {recall} too low (multiprobe=1)"
 
 
+def test_connected_components_transitive_chain(spark):
+    """A~B~C without an explicit A~C edge must land in ONE component (the
+    whole point of the closure vs the raw pair list); disjoint pairs keep
+    separate components; labels are the component-min node id."""
+    from near_event_streams_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a_doc_id long, b_doc_id long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
 def test_multimodal_features_plumbing(spark):
     rows = QUERIES["multimodal_features"](spark, SF_DIR).collect()
     assert len(rows) > 0
