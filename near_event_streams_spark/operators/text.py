@@ -36,6 +36,39 @@ def token_count_regex(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_REGEX), 0))
 
 
+def vocabulary(
+    docs: DataFrame, top_k: int = 200, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary with term/document frequency — the tokenizer-
+    vocab-building pass of an LLM data pipeline.
+
+    One explode + one hash aggregation; tf is a plain count, df counts
+    distinct docs per term via the (term, doc) pre-distinct (two shuffles
+    total, both on the term key). Top-k by (tf desc, term) is a
+    TakeOrdered, not a global sort.
+    """
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("term"),
+    )
+    stats = (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    return (
+        stats.orderBy(F.desc("tf"), F.asc("term"))
+        .limit(top_k)
+        .select("term", "tf", "df")
+    )
+
+
 def quality_features(docs: DataFrame) -> DataFrame:
     """Per-doc quality features + a boolean keep-gate.
 

@@ -488,6 +488,28 @@ ORDER BY source
 """
 
 
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary by term frequency with doc frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocabulary(docs, top_k=200)
+
+
+TEXT_VOCAB_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+           AS term
+  FROM documents
+)
+SELECT term,
+       COUNT(*) AS tf,
+       COUNT(DISTINCT doc_id) AS df
+FROM terms
+GROUP BY term
+ORDER BY tf DESC, term
+LIMIT 200
+"""
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.lang_id(docs)
@@ -680,6 +702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "text_quality_docs": text_quality_docs,
     "text_token_counts": text_token_counts,
+    "text_vocab_topk": text_vocab_topk,
     "lang_id_docs": lang_id_docs,
     "text_fingerprint_rolling": text_fingerprint_rolling,
     "text_chunking": text_chunking,
@@ -701,6 +724,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": _ANN_INVARIANT_SQL,
     "text_quality_docs": TEXT_QUALITY_SQL,
     "text_token_counts": TEXT_TOKENS_SQL,
+    "text_vocab_topk": TEXT_VOCAB_SQL,
     "lang_id_docs": LANG_ID_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "curation_pipeline": CURATION_SQL,

@@ -68,6 +68,32 @@ def test_ann_lsh_recall_against_brute_force(spark):
     assert recall >= 0.6, f"LSH ANN recall {recall} too low (multiprobe=1)"
 
 
+def test_normalize_embeddings_arrow(spark):
+    """mapInArrow normalization: unit norms, direction preserved, and the
+    norm column reproduces the original magnitude."""
+    import math
+
+    from near_event_streams_spark.operators.similarity import (
+        normalize_embeddings_arrow,
+    )
+    from near_event_streams_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    out = {r["vec_id"]: r for r in normalize_embeddings_arrow(emb).collect()}
+    assert set(out) == set(orig)
+    for vid, r in out.items():
+        v = orig[vid]
+        n = math.sqrt(sum(x * x for x in v))
+        assert abs(r["norm"] - n) < 1e-6
+        if n > 0:
+            got = math.sqrt(sum(x * x for x in r["unit"]))
+            # float32 source precision bounds the unit norm at ~1e-7
+            assert abs(got - 1.0) < 1e-6
+            # direction preserved
+            assert abs(r["unit"][0] - v[0] / n) < 1e-6
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B~C without an explicit A~C edge must land in ONE component (the
     whole point of the closure vs the raw pair list); disjoint pairs keep
