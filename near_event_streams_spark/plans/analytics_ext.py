@@ -1322,6 +1322,59 @@ ORDER BY r_regionkey, pos
 """
 
 
+def udtf_polymorphic_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF: ``analyze()`` computes the output schema FROM the
+    arguments at plan time (here: one ``bucket_N`` flag column per
+    requested bucket count), the Spark-4 table-function surface a fixed
+    returnType can't express. The UDTF itself stays a narrow per-row
+    expansion."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class BalanceBuckets:
+        @staticmethod
+        def analyze(bal: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert n.value is not None  # must be a literal/foldable arg
+            schema = StructType().add("bucket", IntegerType())
+            for i in range(int(n.value)):
+                schema = schema.add(f"is_b{i}", "boolean")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, bal: float, n: int):
+            # deterministic equi-width bucketing of acctbal over [-1000, 10000)
+            idx = min(
+                max(int((float(bal) + 1000.0) // (11000.0 / n)), 0), n - 1
+            )
+            yield (idx, *[i == idx for i in range(n)])
+
+    spark.udtf.register("balance_buckets", udtf(BalanceBuckets))
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_udtf_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, t.bucket, t.is_b0, t.is_b1, t.is_b2
+        FROM _udtf_supplier,
+             LATERAL balance_buckets(CAST(s_acctbal AS DOUBLE), 3) t
+        ORDER BY s_suppkey
+        """
+    )
+
+
+UDTF_POLY_SQL = """
+WITH b AS (
+  SELECT s_suppkey,
+         LEAST(GREATEST(CAST(FLOOR((CAST(s_acctbal AS DOUBLE) + 1000.0)
+                                    / (11000.0 / 3)) AS INT), 0), 2)
+           AS bucket
+  FROM supplier
+)
+SELECT s_suppkey, bucket,
+       bucket = 0 AS is_b0, bucket = 1 AS is_b1, bucket = 2 AS is_b2
+FROM b
+ORDER BY s_suppkey
+"""
+
+
 def generator_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``inline`` generator: explode an array<struct> into columns in one
     step (the NEP-171 flatten shape at query level) — built from
@@ -1695,6 +1748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_functions_2": map_functions_2,
     "struct_functions": struct_functions,
     "udtf_region_expand": udtf_region_expand,
+    "udtf_polymorphic_ntile": udtf_polymorphic_ntile,
     "date_spine_coverage": date_spine_coverage,
     "array_functions_2": array_functions_2,
     "agg_salted_counts": agg_salted_counts,
@@ -1740,6 +1794,7 @@ ORACLE_SQL: dict[str, str] = {
     "map_functions_2": MAP_FUNCS2_SQL,
     "struct_functions": STRUCT_FUNCS_SQL,
     "udtf_region_expand": UDTF_SQL,
+    "udtf_polymorphic_ntile": UDTF_POLY_SQL,
     "date_spine_coverage": DATE_SPINE_SQL,
     "array_functions_2": ARRAY_FUNCS2_SQL,
     "agg_salted_counts": AGG_SALTED_SQL,
