@@ -293,6 +293,57 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same price-band semantics as join_range_price_bands, but through
+    the BINNED equi-join (operators/rangejoin.py) — the physical shape a
+    LARGE band table needs (NLJ is O(facts × bands)). Bands here use a
+    finite lux ceiling so every interval quantizes onto bins."""
+    from near_event_streams_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 1000.0),
+            ("mid", 1000.0, 1500.0),
+            ("high", 1500.0, 2000.0),
+            ("lux", 2000.0, 10000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        binned_range_join(
+            part, bands, value_col="p_retailprice", bin_width=500.0
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (
+                F.sum(dec("p_retailprice")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+JOIN_RANGE_BINNED_SQL = """
+SELECT
+  band,
+  COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    AS avg_price
+FROM part
+JOIN (VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 1500.0),
+             ('high', 1500.0, 2000.0), ('lux', 2000.0, 10000.0))
+  AS bands(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
 JOIN_RANGE_SQL = """
 SELECT
   band,
@@ -1388,6 +1439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_semi_big_spenders": join_semi_big_spenders,
     "join_anti_no_urgent": join_anti_no_urgent,
     "join_range_price_bands": join_range_price_bands,
+    "join_range_binned": join_range_binned,
     "join_asof_purchase_click": join_asof_purchase_click,
     "agg_distinct_users": agg_distinct_users,
     "agg_value_stats": agg_value_stats,
@@ -1437,6 +1489,7 @@ ORACLE_SQL: dict[str, str] = {
     "join_semi_big_spenders": JOIN_SEMI_SQL,
     "join_anti_no_urgent": JOIN_ANTI_SQL,
     "join_range_price_bands": JOIN_RANGE_SQL,
+    "join_range_binned": JOIN_RANGE_BINNED_SQL,
     "join_asof_purchase_click": JOIN_ASOF_SQL,
     "agg_distinct_users": AGG_DISTINCT_SQL,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,

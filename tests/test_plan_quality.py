@@ -210,6 +210,38 @@ def test_dedup_pipelines_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_binned_range_join_is_equi_join(spark):
+    """The binned range join must plan an ordinary shuffle/broadcast HASH
+    join on the bin key — zero nested-loop — and return exactly the rows
+    of the naive theta join."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+    from near_event_streams_spark.sources.tables import load_table
+
+    part = load_table(spark, SF_DIR, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 1000.0), ("mid", 1000.0, 1500.0),
+         ("high", 1500.0, 2000.0), ("lux", 2000.0, 10000.0)],
+        "band string, lo double, hi double",
+    )
+    binned = binned_range_join(
+        part, bands, value_col="p_retailprice", bin_width=500.0
+    ).select("p_partkey", "band")
+    plan = plan_text(binned)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    naive = part.join(
+        F.broadcast(bands),
+        (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+    ).select("p_partkey", "band")
+    assert {tuple(r) for r in binned.collect()} == {
+        tuple(r) for r in naive.collect()
+    }
+
+
 def test_verify_pairs_size_adaptive_join(spark):
     """The exact-Jaccard verify step must not hardcode a broadcast of the
     doc->shingle-set map (OOM at 1B docs): broadcast_sets=False has to
