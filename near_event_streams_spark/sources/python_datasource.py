@@ -29,11 +29,16 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from near_event_streams_spark.schemas import STREAMER_MESSAGE_SCHEMA
@@ -141,6 +146,81 @@ class _StreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_path: str
+    final_name: str
+
+
+class _BlocksWriter(DataSourceWriter):
+    """Two-phase-commit JSONL writer: every task writes a dot-prefixed
+    tmp file (invisible to the reader's listing) and the DRIVER renames
+    all of them into place only in ``commit()`` — a failed/speculative
+    task aborts by deleting its tmp, so readers never observe a partial
+    job. The same contract the parquet committer gives, expressed in the
+    Python Data Source API."""
+
+    def __init__(self, options, suffix: str = ""):
+        self.path = options.get("path")
+        self.suffix = suffix
+
+    def write(self, iterator) -> _FileCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        token = uuid.uuid4().hex[:12]
+        final_name = f"part-{pid:05d}-{token}{self.suffix}.jsonl"
+        tmp = os.path.join(self.path, f".tmp-{token}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(row.block_json.rstrip("\n") + "\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return _FileCommit(tmp_path="", final_name="")
+        return _FileCommit(tmp_path=tmp, final_name=final_name)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_path:
+                os.rename(
+                    m.tmp_path, os.path.join(self.path, m.final_name)
+                )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class _BlocksStreamWriter(DataSourceStreamWriter, _BlocksWriter):
+    """Streaming flavor: same tmp-then-rename protocol per micro-batch;
+    the epoch id lands in the file name so a replayed batch overwrites
+    nothing and is distinguishable for downstream compaction."""
+
+    def __init__(self, options):
+        _BlocksWriter.__init__(self, options)
+
+    def write(self, iterator) -> _FileCommit:
+        return _BlocksWriter.write(self, iterator)
+
+    def commit(self, messages, batchId=None) -> None:  # noqa: N803
+        for m in messages:
+            if m is not None and m.tmp_path:
+                final = m.final_name.replace(
+                    ".jsonl", f"-b{batchId}.jsonl"
+                )
+                os.rename(m.tmp_path, os.path.join(self.path, final))
+
+    def abort(self, messages, batchId=None) -> None:  # noqa: N803
+        _BlocksWriter.abort(self, messages)
+
+
 class NearBlocksDataSource(DataSource):
     """``format("near_blocks")`` — see module docstring."""
 
@@ -156,6 +236,12 @@ class NearBlocksDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _StreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _BlocksWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:  # noqa: N802
+        return _BlocksStreamWriter(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -182,3 +268,18 @@ def stream_blocks(spark: SparkSession, path: str) -> DataFrame:
     register(spark)
     raw = spark.readStream.format("near_blocks").option("path", path).load()
     return parse_raw_blocks(raw)
+
+
+def write_blocks(messages: DataFrame, path: str) -> None:
+    """Serialize StreamerMessages back into a JSONL drop directory via
+    the custom writer (two-phase commit: tmp files renamed into place
+    only on job commit). ``to_json`` keeps serialization JVM-side; the
+    Python writer only appends finished strings."""
+    register(messages.sparkSession)
+    (
+        messages.select(F.to_json(F.struct("*")).alias("block_json"))
+        .write.format("near_blocks")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )

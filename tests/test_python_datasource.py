@@ -97,6 +97,61 @@ def test_stream_offsets_replay_deterministically(
     assert list(rows2) == [] and end2 == end
 
 
+def test_writer_roundtrip_two_phase_commit(
+    spark, fixture_messages_path, tmp_path
+):
+    """read → write via the custom writer → read back: identical events;
+    no .tmp- leftovers (commit renamed every task file into place)."""
+    import os
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(fixture_messages_path, src / "blocks.jsonl")
+    msgs = read_messages_json(spark, str(src))
+    out = tmp_path / "out"
+    pds.write_blocks(msgs, str(out))
+
+    names = sorted(os.listdir(out))
+    assert names and all(n.startswith("part-") for n in names), names
+    assert not [n for n in names if n.startswith(".tmp-")]
+
+    back = pds.read_blocks(spark, str(out))
+    ok_in, _ = extract_events(msgs)
+    ok_out, _ = extract_events(back)
+    assert {r["receipt_id"] for r in ok_out.select("receipt_id").collect()} == {
+        r["receipt_id"] for r in ok_in.select("receipt_id").collect()
+    }
+
+
+def test_stream_writer_tags_batch_id(spark, fixture_messages_path, tmp_path):
+    """Streaming writeStream through the custom sink: per-batch files are
+    epoch-tagged and the payload round-trips."""
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(fixture_messages_path, src / "blocks.jsonl")
+    out = tmp_path / "out"
+
+    pds.register(spark)
+    q = (
+        pds.stream_blocks(spark, str(src))
+        .select(F.to_json(F.struct("*")).alias("block_json"))
+        .writeStream.format("near_blocks")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+
+    names = [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    assert names and all("-b0" in n for n in names), names
+    ok, _ = extract_events(pds.read_blocks(spark, str(out)))
+    assert ok.count() == 4
+
+
 def test_pushdown_projection_reaches_python_source(spark, tmp_path):
     """The from_json wrapper keeps parsing JVM-side: the Python plan node
     only ever carries the 4 raw columns."""
