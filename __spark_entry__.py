@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from near_event_streams_spark.plans import analytics, llm_ops  # noqa: E402
+from near_event_streams_spark.plans import (  # noqa: E402
+    analytics,
+    curation,
+    llm_ops,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -53,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(analytics.QUERIES)
     out.update(llm_ops.QUERIES)
+    out.update(curation.QUERIES)
     counts = _times_checked()
     ordered = sorted(out, key=lambda name: counts.get(name, 0))
     return {name: out[name] for name in ordered}
@@ -62,4 +67,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(analytics.ORACLE_SQL)
     out.update(llm_ops.ORACLE_SQL)
+    out.update(curation.ORACLE_SQL)
     return out

@@ -1,0 +1,272 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic hash sampling / dataset mixture, and sequence packing.
+
+These are the corpus-assembly steps that sit between cleaning/dedup and
+tokenization in an LLM data pipeline:
+
+* **decontamination** — remove training documents that share word
+  n-grams with an evaluation/benchmark set (the standard 8/13-gram
+  overlap rule). Candidate generation is an equi-join on the n-gram
+  string; the eval side is tiny by construction (benchmarks are
+  thousands of docs, not billions) so it broadcasts.
+* **deterministic sampling** — md5-bucket subsampling that is stable
+  across runs, engines and cluster layouts (no RNG, no partition
+  dependence), and its stratified form for weighted dataset mixtures.
+* **sequence packing** — assigning documents to fixed-token-budget bins
+  (context windows): a split-on-overflow form expressible with window
+  functions, and the greedy next-fit form (never splits a document) as
+  an ``applyInPandas`` sequential scan per shard.
+
+Everything except next-fit packing is pure column expressions —
+JVM-side, whole-stage-codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# --------------------------------------------------------------------------
+# n-gram decontamination
+# --------------------------------------------------------------------------
+
+
+def ngrams_col(text: Column, n: int) -> Column:
+    """Distinct lowercase word ``n``-grams of ``text`` as an array column.
+
+    Guarded so documents shorter than ``n`` words produce an empty array
+    (Spark's ``sequence(1, 0)`` would otherwise DESCEND and fabricate
+    indexes).
+    """
+    w = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training docs sharing any word ``n``-gram with the eval set.
+
+    Returns ``train`` plus an ``is_contaminated`` boolean. The plan is a
+    single equi-(semi)join on the n-gram string: eval n-grams are
+    distinct-ed and broadcast (benchmark sets are small — the asymmetry
+    is structural, not a tuning assumption), train n-grams stream
+    through the hash probe, contaminated ids come back as one distinct
+    set. At 100 TB the train side never shuffles on the gram key when
+    the broadcast applies; set ``broadcast_eval=False`` for a
+    pathological eval set and the same plan degrades to a shuffle join.
+    """
+    ev = (
+        eval_docs.select(
+            F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr_grams = train.select(
+        F.col(id_col), F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+    )
+    bad = (
+        tr_grams.join(ev, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    out = train.join(F.broadcast(bad), id_col, "left")
+    return out.withColumn(
+        "is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False))
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic hash sampling + dataset mixture
+# --------------------------------------------------------------------------
+
+
+def hash_bucket(key: Column, salt: str = "", buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from md5(key || '|' || salt).
+
+    md5 (not xxhash/murmur) because it is bit-identical across engines —
+    the same expression is writable in DuckDB/Trino/Snowflake, so sample
+    membership is reproducible outside Spark. Stable across runs,
+    partitionings and cluster sizes, unlike ``rand()`` or
+    ``df.sample()``.
+    """
+    hexpart = F.substring(F.md5(F.concat_ws("|", key, F.lit(salt))), 1, 8)
+    return F.conv(hexpart, 16, 10).cast("long") % buckets
+
+
+def hash_sample(
+    df: DataFrame, key: Column, rate_pct: int, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate_pct% of rows, deterministically by key hash."""
+    return df.filter(hash_bucket(key, salt) < rate_pct)
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int,
+    key: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted dataset mixture: per-stratum deterministic sampling rates.
+
+    The standard corpus-mixing step (e.g. keep 100% of books, 30% of
+    web). The rate lookup folds into a CASE expression — no join, no
+    shuffle; the whole mixture is a narrow filter over the union of
+    sources.
+    """
+    rate: Column = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(
+            rate
+        )
+    return df.filter(hash_bucket(key, salt) < rate)
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> Column:
+    """Whitespace token count (the packing weight)."""
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def pack_concat_split(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-split packing: documents are laid end-to-end in
+    ``order_col`` order within each ``group_col`` shard and cut every
+    ``budget`` tokens; a doc's bin is where its first token lands.
+
+    Pure window arithmetic (running sum over the shard), so Catalyst
+    runs it as one shuffle on the shard key. Sharding bounds the window
+    partition — at 100 TB the per-shard window is the unit of
+    parallelism, exactly like packing per input file in a tokenizer
+    pipeline. Docs may straddle a boundary (the tokenizer splits them);
+    use :func:`pack_next_fit` when documents must stay whole.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = token_counts(docs, text_col)
+    return docs.select(
+        F.col(order_col),
+        F.col(group_col),
+        t.alias("n_tokens"),
+    ).withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(budget)
+        ),
+    )
+
+
+def group_stats_arrow(
+    docs: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Per-shard corpus accounting (doc count, char volume, language
+    spread) computed group-at-a-time in Arrow via ``applyInArrow`` —
+    the zero-copy grouped-map API (no pandas materialization, columns
+    stay Arrow buffers end-to-end).
+
+    Exists to exercise the grouped Arrow path the way
+    ``similarity.normalize_embeddings_arrow`` exercises ``mapInArrow``:
+    a builtin ``groupBy().agg`` computes the same numbers with partial
+    aggregation and is the right plan when the metric IS expressible —
+    this is the escape hatch for per-group logic that isn't, shown on a
+    metric an oracle can still check.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _stats(table: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: [table.column(group_col)[0].as_py()],
+                "n_docs": pa.array([table.num_rows], pa.int64()),
+                "total_chars": pa.array(
+                    [pc.sum(table.column("n_chars")).as_py()], pa.int64()
+                ),
+                "max_chars": pa.array(
+                    [pc.max(table.column("n_chars")).as_py()], pa.int64()
+                ),
+                "n_langs": pa.array(
+                    [pc.count_distinct(table.column("lang")).as_py()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    schema = (
+        f"{group_col} string, n_docs long, total_chars long, "
+        "max_chars long, n_langs long"
+    )
+    return docs.groupBy(group_col).applyInArrow(_stats, schema)
+
+
+def pack_next_fit(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit packing: walk the shard in ``order_col`` order,
+    start a new bin whenever the current doc would overflow ``budget``.
+    Documents are never split; a doc larger than the budget gets a bin
+    of its own.
+
+    The recurrence (bin of doc i depends on the running fill after doc
+    i-1, which itself resets on overflow) is not window-expressible, so
+    this is a per-shard sequential scan via ``applyInPandas`` — one
+    shuffle on the shard key, then O(rows) per shard in Arrow-batched
+    pandas. Same parallelism contract as :func:`pack_concat_split`.
+    """
+    base = docs.select(
+        F.col(order_col),
+        F.col(group_col),
+        token_counts(docs, text_col).alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        bins, fill, bin_id = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = int(t)
+            else:
+                fill += int(t)
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    schema = f"{order_col} long, {group_col} string, n_tokens int, bin_id long"
+    return base.groupBy(group_col).applyInPandas(_pack, schema)

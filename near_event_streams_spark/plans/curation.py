@@ -1,0 +1,240 @@
+"""Corpus-assembly query surface: decontamination, deterministic
+sampling / dataset mixture, sequence packing, grouped-Arrow accounting.
+
+All six queries are exact-oracled in DuckDB — including greedy next-fit
+packing, whose sequential recurrence the oracle replays with a recursive
+CTE, and the md5-bucket sampling, whose hash is bit-identical across
+engines by construction (that's why the sampler uses md5 and not
+xxhash64/murmur3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.operators import curation
+from near_event_streams_spark.sources.tables import load_table
+
+EVAL_SOURCES = ("src0", "src1")
+PACK_BUDGET = 256
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram benchmark decontamination: docs from the two 'eval' sources
+    define the contaminated n-gram set; every remaining (train) doc is
+    flagged if it shares any 8-gram with them."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    flagged = curation.decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), n=8
+    )
+    return flagged.select("doc_id", "source", "is_contaminated").orderBy(
+        "doc_id"
+    )
+
+
+def _gram8(var: str = "w") -> str:
+    return " || ' ' || ".join(f"{var}[i+{j}]" for j in range(8))
+
+
+DECONTAMINATE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, {_gram8()} AS gram
+  FROM words, unnest(range(1, len(w) - 6)) t(i)
+  WHERE len(w) >= 8
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE source IN ('src0', 'src1')
+), bad AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE source NOT IN ('src0', 'src1') AND gram IN (SELECT gram FROM ev)
+)
+SELECT d.doc_id, d.source,
+       d.doc_id IN (SELECT doc_id FROM bad) AS is_contaminated
+FROM documents d
+WHERE d.source NOT IN ('src0', 'src1')
+ORDER BY d.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# deterministic sampling + mixture
+# --------------------------------------------------------------------------
+
+
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep ~30% of documents by md5 bucket of doc_id — run-stable,
+    engine-portable subsampling (the oracle recomputes the identical
+    buckets from the identical md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    kept = curation.hash_sample(docs, key, rate_pct=30, salt="v1")
+    return kept.select(
+        "doc_id",
+        "source",
+        curation.hash_bucket(key, salt="v1").alias("bucket"),
+    ).orderBy("doc_id")
+
+
+SAMPLE_HASH_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substr(
+               md5(CAST(doc_id AS VARCHAR) || '|' || 'v1'), 1, 8))
+             AS UBIGINT) % 100 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket FROM b WHERE bucket < 30
+ORDER BY doc_id
+"""
+
+
+MIXTURE_RATES = {"src0": 90, "src1": 60, "src2": 30}
+MIXTURE_DEFAULT = 15
+
+
+def mixture_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixture: per-source sampling rates (90/60/30%,
+    default 15%) applied as one narrow deterministic filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curation.mixture_sample(
+        docs,
+        "source",
+        MIXTURE_RATES,
+        MIXTURE_DEFAULT,
+        key=F.col("doc_id").cast("string"),
+        salt="mix1",
+    )
+    return kept.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
+MIXTURE_SQL = """
+WITH b AS (
+  SELECT doc_id, source, lang,
+         CAST(CAST(('0x' || substr(
+               md5(CAST(doc_id AS VARCHAR) || '|' || 'mix1'), 1, 8))
+             AS UBIGINT) % 100 AS BIGINT) AS bucket,
+         CASE source WHEN 'src0' THEN 90 WHEN 'src1' THEN 60
+                     WHEN 'src2' THEN 30 ELSE 15 END AS rate
+  FROM documents
+)
+SELECT doc_id, source, lang FROM b WHERE bucket < rate
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# sequence packing
+# --------------------------------------------------------------------------
+
+
+def pack_docs_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing into 256-token bins per source shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_concat_split(docs, budget=PACK_BUDGET).orderBy(
+        "doc_id"
+    )
+
+
+PACK_CONCAT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+           AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+FROM toks
+ORDER BY doc_id
+"""
+
+
+def pack_docs_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing (docs never split) into 256-token bins per
+    source shard; the oracle replays the same sequential recurrence with
+    a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_next_fit(docs, budget=PACK_BUDGET).orderBy(
+        "source", "doc_id"
+    )
+
+
+PACK_NEXT_FIT_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+           AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack(doc_id, source, n_tokens, rn, bin_id, fill) AS (
+  -- DuckDB recursive CTEs must be exactly <base> UNION <recursive>
+  SELECT doc_id, source, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+  FROM toks WHERE rn = 1
+  UNION
+  SELECT n.doc_id, n.source, n.n_tokens, n.rn,
+         CASE WHEN p.fill + n.n_tokens > {PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + n.n_tokens > {PACK_BUDGET}
+              THEN n.n_tokens ELSE p.fill + n.n_tokens END
+  FROM pack p JOIN toks n ON n.source = p.source AND n.rn = p.rn + 1
+)
+SELECT doc_id, source, n_tokens, bin_id FROM pack
+ORDER BY source, doc_id
+"""
+
+# --------------------------------------------------------------------------
+# grouped-Arrow accounting
+# --------------------------------------------------------------------------
+
+
+def arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats computed group-at-a-time in Arrow
+    (``applyInArrow``); the oracle is the plain aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.group_stats_arrow(docs).orderBy("source")
+
+
+ARROW_STATS_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MAX(n_chars) AS max_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decontaminate_train_docs": decontaminate_train_docs,
+    "sample_hash_deterministic": sample_hash_deterministic,
+    "mixture_weighted_sources": mixture_weighted_sources,
+    "pack_docs_concat_split": pack_docs_concat_split,
+    "pack_docs_next_fit": pack_docs_next_fit,
+    "arrow_group_stats": arrow_group_stats,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "decontaminate_train_docs": DECONTAMINATE_SQL,
+    "sample_hash_deterministic": SAMPLE_HASH_SQL,
+    "mixture_weighted_sources": MIXTURE_SQL,
+    "pack_docs_concat_split": PACK_CONCAT_SQL,
+    "pack_docs_next_fit": PACK_NEXT_FIT_SQL,
+    "arrow_group_stats": ARROW_STATS_SQL,
+}

@@ -1,0 +1,137 @@
+"""Curation-family tests: oracle compares for all six queries plus
+semantic invariants (packing feasibility, sampler determinism) and the
+plan gates that make decontamination scale-correct."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.operators import curation
+from near_event_streams_spark.plans.curation import (
+    ORACLE_SQL,
+    PACK_BUDGET,
+    QUERIES,
+)
+from near_event_streams_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+from tests.oracle import compare, duck_connection
+from tests.test_plan_quality import plan_text
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_curation_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    compare(df, duck, ORACLE_SQL[name], name=name)
+
+
+def test_next_fit_bins_respect_budget(spark):
+    """No bin exceeds the budget unless it holds a single oversized doc,
+    and bin ids are contiguous from 0 within each shard."""
+    docs = load_table(spark, SF_DIR, "documents")
+    packed = curation.pack_next_fit(docs, budget=PACK_BUDGET)
+    bins = (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.sum("n_tokens").alias("fill"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()
+    )
+    assert bins
+    for r in bins:
+        assert r["fill"] <= PACK_BUDGET or r["n_docs"] == 1, r
+    by_source: dict[str, list[int]] = {}
+    for r in bins:
+        by_source.setdefault(r["source"], []).append(r["bin_id"])
+    for source, ids in by_source.items():
+        assert sorted(ids) == list(range(len(ids))), (source, sorted(ids))
+
+
+def test_next_fit_never_splits_docs(spark):
+    """Every doc appears exactly once (contrast with concat-split, where
+    a doc conceptually straddles bins but is still assigned once)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    packed = curation.pack_next_fit(docs, budget=PACK_BUDGET)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    """Identical membership across runs AND across partitionings —
+    the property rand()/df.sample() lacks."""
+    docs = load_table(spark, SF_DIR, "documents")
+    key = F.col("doc_id").cast("string")
+    a = {
+        r["doc_id"]
+        for r in curation.hash_sample(docs, key, 30, "v1").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in curation.hash_sample(
+            docs.repartition(13), key, 30, "v1"
+        ).collect()
+    }
+    assert a == b
+    assert 0 < len(a) < docs.count()
+
+
+def test_mixture_rates_monotone(spark):
+    """A higher-rate stratum keeps a superset of what a lower rate
+    would keep (buckets are fixed; the rate only moves the cutoff)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    key = F.col("doc_id").cast("string")
+    lo = {
+        r["doc_id"]
+        for r in curation.mixture_sample(
+            docs, "source", {}, 20, key, "m"
+        ).collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in curation.mixture_sample(
+            docs, "source", {}, 60, key, "m"
+        ).collect()
+    }
+    assert lo <= hi and len(lo) < len(hi)
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    """The scale contract: the tiny eval n-gram set broadcasts, so the
+    (huge) train side joins without shuffling on the gram key and no
+    cartesian product appears anywhere."""
+    docs = load_table(spark, SF_DIR, "documents")
+    is_eval = F.col("source").isin("src0", "src1")
+    df = curation.decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), n=8
+    )
+    plan = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # exactly one gram shuffle is allowed: the distinct() on the tiny
+    # eval side feeding the BroadcastExchange. The train probe side must
+    # not shuffle on gram.
+    n_gram_shuffles = len(
+        re.findall(r"Exchange hashpartitioning\(gram", plan)
+    )
+    assert n_gram_shuffles <= 1, plan
+
+
+def test_decontaminate_flags_known_cross_source_dups(spark):
+    """The synthetic corpus plants cross-source near-duplicates; 8-gram
+    decontamination must flag at least one and keep the majority clean."""
+    docs = load_table(spark, SF_DIR, "documents")
+    is_eval = F.col("source").isin("src0", "src1")
+    out = curation.decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), n=8
+    )
+    n_train = out.count()
+    n_bad = out.filter("is_contaminated").count()
+    assert 0 < n_bad < n_train * 0.5, (n_bad, n_train)
