@@ -1,0 +1,201 @@
+"""Keyed merge-upsert sink: ``foreachBatch`` + a copy-on-write bucketed
+parquet state store.
+
+The reference's sinks are append-only topic sends (``src/events.rs:89-97``);
+real consumers routinely need the other shape — *latest state per key*
+(contract → last event, account → running balance). Structured Streaming's
+file sinks can't update in place, so the standard pattern is
+``foreachBatch`` + a merge against the current state. This module
+implements that merge with the two properties that matter at 100 TB:
+
+* **bucket-pruned copy-on-write** — state lives in ``n_buckets`` hash
+  buckets of the key; a micro-batch only reads and rewrites the buckets
+  its keys touch. Each commit writes a new version directory containing
+  ONLY the dirty buckets plus a manifest mapping every bucket to the
+  version that last wrote it (the same manifest-of-files idea Delta/
+  Iceberg commits use, reduced to its minimum). Merge cost is
+  O(state in dirty buckets), not O(total state).
+* **replay-safe, crash-safe commits** — ``foreachBatch`` is
+  at-least-once: a crash between write and checkpoint commit replays the
+  batch. The merge is idempotent (keep max ``seq_col`` per key, ties
+  broken by a content hash), so a replay produces a byte-identical
+  state. The commit point is a single atomic ``os.replace`` of the
+  ``_LATEST`` pointer; an orphaned version directory from a crash is
+  silently overwritten by the next commit (deterministic naming +
+  overwrite mode), never read (readers only follow ``_LATEST``).
+
+Local-filesystem ``os.replace`` is the commit primitive here; on an
+object store you would swap in a conditional PUT — the layout and merge
+logic are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
+
+_BUCKET = "_bucket"
+_LATEST = "_LATEST"
+
+
+def _bucket_col(key_cols: Sequence[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, f"v{version}", "manifest.json")
+
+
+def current_version(path: str) -> int:
+    """Committed version, 0 if the store is empty."""
+    try:
+        with open(os.path.join(path, _LATEST)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def _read_manifest(path: str) -> tuple[int, dict[str, int]]:
+    v = current_version(path)
+    if v == 0:
+        return 0, {}
+    with open(_manifest_path(path, v)) as f:
+        return v, {str(k): int(x) for k, x in json.load(f).items()}
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Snapshot read of the latest committed state (None when empty).
+
+    Buckets are grouped by owning version so each version directory is
+    one pruned parquet scan; the ``_LATEST`` indirection gives readers
+    snapshot isolation against concurrent commits.
+    """
+    _, manifest = _read_manifest(path)
+    if not manifest:
+        return None
+    by_version: dict[int, list[str]] = {}
+    for bucket, v in manifest.items():
+        by_version.setdefault(v, []).append(bucket)
+    out: DataFrame | None = None
+    for v, buckets in sorted(by_version.items()):
+        vdir = os.path.join(path, f"v{v}")
+        part = (
+            spark.read.option("basePath", vdir)
+            .parquet(*[os.path.join(vdir, f"{_BUCKET}={b}") for b in buckets])
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.drop(_BUCKET)
+
+
+def _latest_per_key(
+    df: DataFrame, key_cols: Sequence[str], seq_col: str
+) -> DataFrame:
+    """Max-seq row per key; ties broken by content hash so the winner is
+    deterministic — which is what makes batch replay byte-identical."""
+    tie = F.xxhash64(F.to_json(F.struct(*df.columns)))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), tie.desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_upsert(
+    batch: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    n_buckets: int = 16,
+) -> int:
+    """Merge one (static) batch into the store; returns the committed
+    version. Reads only the buckets the batch touches, writes only
+    those buckets into a new version directory, commits by atomically
+    advancing ``_LATEST``.
+    """
+    spark = batch.sparkSession
+    batch = batch.withColumn(_BUCKET, _bucket_col(key_cols, n_buckets))
+    dirty = sorted(
+        r[_BUCKET] for r in batch.select(_BUCKET).distinct().collect()
+    )
+    if not dirty:
+        return current_version(path)
+
+    version, manifest = _read_manifest(path)
+    existing = [str(b) for b in dirty if str(b) in manifest]
+    merged = batch
+    if existing:
+        by_version: dict[int, list[str]] = {}
+        for b in existing:
+            by_version.setdefault(manifest[b], []).append(b)
+        for v, buckets in sorted(by_version.items()):
+            vdir = os.path.join(path, f"v{v}")
+            cur = (
+                spark.read.option("basePath", vdir)
+                .parquet(
+                    *[os.path.join(vdir, f"{_BUCKET}={b}") for b in buckets]
+                )
+            )
+            # recompute the bucket: partition-column inference on read may
+            # narrow the type, and union needs both sides identical
+            cur = cur.drop(_BUCKET).withColumn(
+                _BUCKET, _bucket_col(key_cols, n_buckets)
+            )
+            merged = merged.unionByName(cur)
+
+    resolved = _latest_per_key(merged, key_cols, seq_col)
+
+    new_version = version + 1
+    vdir = os.path.join(path, f"v{new_version}")
+    # deterministic dir name + overwrite: an orphan vdir from a crashed
+    # previous attempt is clobbered, never merged with
+    (
+        resolved.repartition(len(dirty), _BUCKET)
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .parquet(vdir)
+    )
+
+    new_manifest = dict(manifest)
+    for b in dirty:
+        new_manifest[str(b)] = new_version
+    with open(_manifest_path(path, new_version), "w") as f:
+        json.dump(new_manifest, f)
+    tmp = os.path.join(path, _LATEST + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_version))
+    os.replace(tmp, os.path.join(path, _LATEST))  # the commit point
+    return new_version
+
+
+def start_upsert_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    n_buckets: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a stream into the keyed state store via ``foreachBatch``."""
+    os.makedirs(path, exist_ok=True)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch, path, key_cols, seq_col, n_buckets)
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,141 @@
+"""Merge-upsert state store tests: latest-per-key semantics, bucket-pruned
+copy-on-write commits, replay/crash safety, and the streaming surface."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.streaming import upsert
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k string, seq long, val string")
+
+
+def _state_rows(spark, path):
+    df = upsert.read_state(spark, path)
+    return {(r["k"], r["seq"], r["val"]) for r in df.collect()}
+
+
+def test_merge_keeps_latest_per_key(spark, tmp_path):
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(
+        _batch(spark, [("a", 1, "a1"), ("b", 1, "b1")]), path, ["k"], "seq"
+    )
+    upsert.merge_upsert(
+        _batch(spark, [("a", 2, "a2"), ("c", 1, "c1")]), path, ["k"], "seq"
+    )
+    assert _state_rows(spark, path) == {
+        ("a", 2, "a2"),
+        ("b", 1, "b1"),
+        ("c", 1, "c1"),
+    }
+
+
+def test_out_of_order_and_replay_are_noops(spark, tmp_path):
+    """A late row with an older seq loses; replaying an already-merged
+    batch leaves the state byte-identical (foreachBatch at-least-once)."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    b2 = _batch(spark, [("a", 5, "a5")])
+    upsert.merge_upsert(b2, path, ["k"], "seq")
+    before = _state_rows(spark, path)
+    upsert.merge_upsert(_batch(spark, [("a", 3, "a3")]), path, ["k"], "seq")
+    assert _state_rows(spark, path) == before
+    upsert.merge_upsert(b2, path, ["k"], "seq")  # replay
+    assert _state_rows(spark, path) == before
+
+
+def test_commit_writes_only_dirty_buckets(spark, tmp_path):
+    """Copy-on-write contract: a version directory contains only the
+    buckets the batch touched; untouched buckets stay owned by their
+    old version in the manifest."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    rows = [(f"k{i}", 1, f"v{i}") for i in range(50)]
+    v1 = upsert.merge_upsert(_batch(spark, rows), path, ["k"], "seq")
+    v2 = upsert.merge_upsert(
+        _batch(spark, [("k0", 2, "v0b")]), path, ["k"], "seq"
+    )
+    assert v2 == v1 + 1
+    v2_buckets = [
+        d
+        for d in os.listdir(os.path.join(path, f"v{v2}"))
+        if d.startswith("_bucket=")
+    ]
+    assert len(v2_buckets) == 1
+    with open(os.path.join(path, f"v{v2}", "manifest.json")) as f:
+        manifest = json.load(f)
+    owners = set(manifest.values())
+    assert owners == {v1, v2}
+    assert sum(1 for v in manifest.values() if v == v2) == 1
+    # and the merged state is still complete
+    got = _state_rows(spark, path)
+    assert ("k0", 2, "v0b") in got and len(got) == 50
+
+
+def test_orphan_version_from_crash_is_ignored_then_healed(spark, tmp_path):
+    """A crash after writing a version dir but before the _LATEST swap
+    leaves an orphan: readers never see it, and the next commit reuses
+    (overwrites) its slot."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(_batch(spark, [("a", 1, "a1")]), path, ["k"], "seq")
+    before = _state_rows(spark, path)
+    # simulate the crashed attempt: v2 dir + manifest exist, _LATEST not swapped
+    orphan = os.path.join(path, "v2")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "manifest.json"), "w") as f:
+        json.dump({"0": 2}, f)
+    assert _state_rows(spark, path) == before  # reader unaffected
+    v = upsert.merge_upsert(
+        _batch(spark, [("b", 1, "b1")]), path, ["k"], "seq"
+    )
+    assert v == 2  # the orphan slot was reclaimed
+    assert _state_rows(spark, path) == before | {("b", 1, "b1")}
+
+
+def test_streaming_upsert_end_to_end_with_restart(spark, tmp_path):
+    """File-source stream -> upsert store via foreachBatch; a restarted
+    query from the same checkpoint merges only new files."""
+    src = tmp_path / "src"
+    src.mkdir()
+    path, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    with open(src / "f1.jsonl", "w") as f:
+        for k, seq, val in [("a", 1, "a1"), ("b", 1, "b1"), ("a", 2, "a2")]:
+            f.write(json.dumps({"k": k, "seq": seq, "val": val}) + "\n")
+    schema = "k string, seq long, val string"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        upsert.start_upsert_stream(
+            stream, path, ckpt, ["k"], "seq"
+        ).awaitTermination(120)
+
+    run()
+    assert _state_rows(spark, path) == {("a", 2, "a2"), ("b", 1, "b1")}
+
+    with open(src / "f2.jsonl", "w") as f:
+        f.write(json.dumps({"k": "b", "seq": 9, "val": "b9"}) + "\n")
+    run()
+    assert _state_rows(spark, path) == {("a", 2, "a2"), ("b", 9, "b9")}
+
+
+def test_read_state_prunes_to_manifest_buckets(spark, tmp_path):
+    """The snapshot read scans only bucket dirs listed in the manifest —
+    no full-store glob (files outside the manifest are invisible)."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(
+        _batch(spark, [("a", 1, "a1"), ("b", 1, "b1")]), path, ["k"], "seq"
+    )
+    df = upsert.read_state(spark, path)
+    files = {
+        r[0]
+        for r in df.select(
+            F.input_file_name()
+        ).distinct().collect()
+    }
+    assert files and all("/_bucket=" in f for f in files)
