@@ -135,6 +135,73 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return out.withColumn("lang_match", F.col("pred_lang") == F.col("lang"))
 
 
+def repetition_features(docs: DataFrame) -> DataFrame:
+    """Repetition / character-composition quality signals in the style of
+    the Gopher and C4 cleaning rules: dominance of the most frequent
+    term, digit-character ratio, whitespace-character ratio, plus the
+    composite keep-gate.
+
+    All higher-order array expressions — per-term counting is
+    transform-over-distinct-terms (quadratic in doc length but JVM-side
+    and row-local, the right trade below ~10k tokens; the vocabulary()
+    aggregation path is the shuffle alternative for giant docs).
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(TOKEN_REGEX), 0
+    )
+    n_toks = F.size(toks)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    n_chars = F.length("text")
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(F.col("text"), r"[^\s]", ""))
+    top_ratio = F.round(
+        top_count.cast("double") / n_toks.cast("double"), 6
+    )
+    digit_ratio = F.round(
+        n_digit.cast("double") / n_chars.cast("double"), 6
+    )
+    space_ratio = F.round(
+        n_space.cast("double") / n_chars.cast("double"), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        top_ratio.alias("top_term_ratio"),
+        digit_ratio.alias("digit_char_ratio"),
+        space_ratio.alias("space_char_ratio"),
+        (
+            (top_ratio <= 0.2)
+            & (digit_ratio <= 0.3)
+            & (space_ratio <= 0.35)
+        ).alias("keep"),
+    )
+
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+[0-9]-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholder tokens —
+    the PII-scrub pass of a training pipeline. Plain regexp_replace:
+    narrow, codegen'd, no UDF."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in ``text``."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)),
+    )
+
+
 def rolling_fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over characters (base 31, mod 1e9+7) —
     the classic document fingerprint, computed as a fold so it stays

@@ -18,6 +18,7 @@ from collections.abc import Callable
 import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from near_event_streams_spark.plans._common import _t, dec, dsum
 
@@ -1717,10 +1718,271 @@ ORDER BY c.c_custkey, total DESC, o_orderkey
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q2 — min-cost supplier, adapted to this schema: there is no
+# partsupp table, so the supplier×part supply cost is derived from
+# lineitem as the minimum observed unit price per (suppkey, partkey).
+# Keeps Q2's defining shape: region-filtered supplier dims, a correlated
+# per-part MIN subquery (decorrelated to a partkey window), top-ordered
+# output. Scale: part scope broadcasts into the lineitem scan BEFORE the
+# supply aggregation, so the big agg only sees in-scope parts; the
+# per-part MIN is one window over the already-small regional supply set.
+# --------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part_scope = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+        )
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supply = (
+        li.join(part_scope, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey", "p_partkey", "p_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supplycost"
+            )
+        )
+    )
+    eu = (
+        supply.join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .join(eu_nations, supplier.s_nationkey == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu.withColumn("_min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+Q2_SQL = """
+WITH supply AS (
+  SELECT l_suppkey, l_partkey,
+         MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_type = 'STANDARD' AND p_size <= 10
+  )
+  GROUP BY 1, 2
+), eu AS (
+  SELECT s.l_partkey, s.supplycost, sp.s_acctbal, sp.s_name, n.n_name
+  FROM supply s
+  JOIN supplier sp ON s.l_suppkey = sp.s_suppkey
+  JOIN nation n ON sp.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+       ROUND(e.supplycost, 6) AS supplycost
+FROM part p JOIN eu e ON e.l_partkey = p.p_partkey
+WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+  AND e.supplycost = (
+    SELECT MIN(e2.supplycost) FROM eu e2 WHERE e2.l_partkey = p.p_partkey
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 — order-priority checking, adapted: lineitem has no
+# commitdate/receiptdate, so "late" means a line shipped more than 90
+# days after the order date. Keeps Q4's defining shape: EXISTS
+# (correlated, mixed equi + inequality predicate) folding to a left-semi
+# join, then a tiny priority rollup.
+# --------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 — important stock, adapted: part "value held by one nation's
+# suppliers" is the revenue its suppliers booked on that part (no
+# partsupp availqty). Keeps Q11's defining shape: a grouped value per
+# part, a scalar-subquery global total, and a fraction-of-total filter.
+# Scale: the nation's supplier set broadcasts into the lineitem scan;
+# the global total is a second pass over the (much smaller) per-part
+# aggregate, reused via the broadcast scalar.
+# --------------------------------------------------------------------------
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    sn = F.broadcast(
+        supplier.join(
+            nation, supplier.s_nationkey == nation.n_nationkey
+        ).select("s_suppkey")
+    )
+    per_part = (
+        li.join(sn, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * dec(F.lit(1.0) - F.col("l_discount"), 4, 2)
+            ).alias("_val")
+        )
+    )
+    total = per_part.agg(F.sum("_val").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_val").cast("double")
+            > F.col("_total").cast("double") * 0.001
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val AS DOUBLE) >
+      (SELECT CAST(SUM(val) AS DOUBLE) FROM per_part) * 0.001
+ORDER BY part_value DESC, p_partkey
+"""
+
+# --------------------------------------------------------------------------
+# Statistical moments family: corr / covar_samp / stddev_samp / var_samp /
+# skewness. Cross-engine float accumulation order differs, so the gate is
+# engine-local invariants (bounds and algebraic identities each engine
+# verifies on its OWN numbers) plus exact integer aggregates for the hash.
+# --------------------------------------------------------------------------
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+    y = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    per = docs.select("source", x.alias("x"), y.alias("y"), "n_chars")
+    g = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.corr("x", "y").alias("_corr"),
+        F.covar_samp("x", "y").alias("_covar"),
+        F.stddev_samp("x").alias("_sx"),
+        F.stddev_samp("y").alias("_sy"),
+        F.var_samp("x").alias("_vx"),
+        F.skewness("x").alias("_skew"),
+    )
+    eps = 1e-9
+    return g.select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        (F.abs(F.col("_corr")) <= 1.0 + eps).alias("corr_bounded"),
+        (
+            F.abs(
+                F.col("_corr") - F.col("_covar") / (F.col("_sx") * F.col("_sy"))
+            )
+            < eps
+        ).alias("corr_covar_consistent"),
+        (F.abs(F.col("_sx") * F.col("_sx") - F.col("_vx")) < 1e-6).alias(
+            "stddev_var_consistent"
+        ),
+        (~F.isnan("_skew") & F.col("_skew").isNotNull()).alias(
+            "skewness_finite"
+        ),
+    ).orderBy("source")
+
+
+STATS_MOMENTS_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS y,
+         n_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       abs(corr(x, y)) <= 1.000000001 AS corr_bounded,
+       abs(corr(x, y)
+           - covar_samp(x, y) / (stddev_samp(x) * stddev_samp(y)))
+         < 0.000000001 AS corr_covar_consistent,
+       abs(stddev_samp(x) * stddev_samp(x) - var_samp(x))
+         < 0.000001 AS stddev_var_consistent,
+       isfinite(skewness(x)) AS skewness_finite
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_order_priority": q4_order_priority,
+    "q11_important_parts": q11_important_parts,
+    "stats_moments": stats_moments,
     "subquery_scalar_in_select": subquery_scalar_in_select,
     "lateral_topn_orders": lateral_topn_orders,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -1767,6 +2029,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q11_important_parts": Q11_SQL,
+    "stats_moments": STATS_MOMENTS_SQL,
     "subquery_scalar_in_select": SUBQUERY_SCALAR_SELECT_SQL,
     "lateral_topn_orders": LATERAL_TOPN_SQL,
     "q6_forecast_revenue": Q6_SQL,

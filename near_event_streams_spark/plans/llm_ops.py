@@ -557,6 +557,84 @@ FROM scored
 """
 
 
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + character-composition filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_features(docs).orderBy("doc_id")
+
+
+TEXT_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    ROUND(CAST(list_max(list_transform(list_distinct(toks),
+            t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE), 6) AS top_term_ratio,
+    ROUND(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / CAST(len(text) AS DOUBLE), 6) AS digit_char_ratio,
+    ROUND(CAST(len(regexp_replace(text, '[^\\s]', '', 'g')) AS DOUBLE)
+          / CAST(len(text) AS DOUBLE), 6) AS space_char_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, top_term_ratio, digit_char_ratio,
+       space_char_ratio,
+       top_term_ratio <= 0.2 AND digit_char_ratio <= 0.3
+         AND space_char_ratio <= 0.35 AS keep
+FROM r
+ORDER BY doc_id
+"""
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: the synthetic corpus carries no PII, so each doc is
+    planted with a deterministic email + phone derived from doc_id, then
+    scrubbed; the gate hashes the scrubbed text and counts the hits —
+    both engines plant, find and redact the identical strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    raw = docs.select("doc_id", planted.alias("raw"))
+    n_emails, n_phones = text.pii_counts(F.col("raw"))
+    return raw.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(text.scrub_pii(F.col("raw"))).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(raw,
+       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(raw, '\\+[0-9]-[0-9]{3}-[0-9]{4}')) AS INT)
+    AS n_phones,
+  md5(regexp_replace(
+        regexp_replace(raw,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        '\\+[0-9]-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+FROM raw
+ORDER BY doc_id
+"""
+
+
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash per doc (rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -701,6 +779,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "text_quality_docs": text_quality_docs,
+    "text_quality_gopher": text_quality_gopher,
+    "pii_scrub_docs": pii_scrub_docs,
     "text_token_counts": text_token_counts,
     "text_vocab_topk": text_vocab_topk,
     "lang_id_docs": lang_id_docs,
@@ -723,6 +803,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": _ANN_INVARIANT_SQL,
     "ann_ivf_topk": _ANN_INVARIANT_SQL,
     "text_quality_docs": TEXT_QUALITY_SQL,
+    "text_quality_gopher": TEXT_GOPHER_SQL,
+    "pii_scrub_docs": PII_SCRUB_SQL,
     "text_token_counts": TEXT_TOKENS_SQL,
     "text_vocab_topk": TEXT_VOCAB_SQL,
     "lang_id_docs": LANG_ID_SQL,
