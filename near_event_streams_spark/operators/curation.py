@@ -56,6 +56,8 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_eval: bool = True,
+    broadcast_flags: bool | None = None,
+    max_broadcast_ids: int = 5_000_000,
 ) -> DataFrame:
     """Flag training docs sharing any word ``n``-gram with the eval set.
 
@@ -67,6 +69,15 @@ def decontaminate(
     set. At 100 TB the train side never shuffles on the gram key when
     the broadcast applies; set ``broadcast_eval=False`` for a
     pathological eval set and the same plan degrades to a shuffle join.
+
+    The flag-back join is size-adaptive (same contract as
+    ``dedup._verify_pairs``): the contaminated-id set is usually tiny,
+    but a dirty corpus at 100 TB can flag an unbounded fraction of
+    documents — broadcasting it unconditionally would OOM the driver.
+    ``broadcast_flags=None`` counts the set (persisted, so the semi-join
+    runs once) and broadcasts only under ``max_broadcast_ids``; above
+    that the left join shuffles ``train`` on ``id_col``, bounded
+    per-partition, never to the driver.
     """
     ev = (
         eval_docs.select(
@@ -85,7 +96,12 @@ def decontaminate(
         .distinct()
         .withColumn("is_contaminated", F.lit(True))
     )
-    out = train.join(F.broadcast(bad), id_col, "left")
+    if broadcast_flags is None:
+        bad = bad.persist()
+        broadcast_flags = bad.count() <= max_broadcast_ids
+    if broadcast_flags:
+        bad = F.broadcast(bad)
+    out = train.join(bad, id_col, "left")
     return out.withColumn(
         "is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False))
     )

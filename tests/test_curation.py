@@ -107,10 +107,19 @@ def test_decontaminate_plan_broadcasts_eval_grams(spark):
     """The scale contract: the tiny eval n-gram set broadcasts, so the
     (huge) train side joins without shuffling on the gram key and no
     cartesian product appears anywhere."""
-    docs = load_table(spark, SF_DIR, "documents")
+    # the doc_id>=0 filter keeps the logical plan distinct from other
+    # tests' decontaminate calls: their persisted flag sets would
+    # otherwise splice a cached materialization plan (with its own gram
+    # exchange) into this explain text.
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id >= 0")
     is_eval = F.col("source").isin("src0", "src1")
+    # broadcast_flags pinned: the adaptive path persists the flag set and
+    # its cached materialization plan would double-count gram exchanges
+    # in the explain text (see test_decontaminate_flag_join_size_adaptive
+    # for the adaptive contract).
     df = curation.decontaminate(
-        docs.filter(~is_eval), docs.filter(is_eval), n=8
+        docs.filter(~is_eval), docs.filter(is_eval), n=8,
+        broadcast_flags=True,
     )
     plan = plan_text(df, mode="simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -306,3 +306,38 @@ def test_ann_lsh_multiprobe_stays_equi_join(spark):
     plan = plan_text(similarity.lsh_topk(q, emb, dim=64, k=5))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_flag_join_size_adaptive(spark):
+    """The contaminated-id flag-back join must not hardcode a broadcast
+    (a dirty 100 TB corpus can flag an unbounded id set): with
+    broadcast_flags=False the left join must plan with zero
+    BroadcastExchange on the flag side, and return the same rows as the
+    broadcast path."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators import curation
+    from near_event_streams_spark.sources.tables import load_table
+
+    # fresh logical plan (see InMemoryRelation caching note above)
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id >= 0")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0).limit(20)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = curation.decontaminate(
+            train, ev, n=8, broadcast_eval=False, broadcast_flags=False
+        ).select("doc_id", "is_contaminated")
+        plan = plan_text(shuffled)
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        bcast = curation.decontaminate(
+            train, ev, n=8, broadcast_flags=True
+        ).select("doc_id", "is_contaminated")
+        assert "BroadcastExchange" in plan_text(bcast)
+        a = {tuple(r) for r in shuffled.collect()}
+        b = {tuple(r) for r in bcast.collect()}
+        assert a == b and a, "join-strategy change altered results"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
