@@ -7,10 +7,13 @@ Design for 100 TB multimodal corpora:
 * decode / feature-extract / resize / frame-sample run as **Arrow-batched
   ``mapInPandas``** — one Python worker per partition, whole column batches
   across the boundary, bounded memory via ``maxRecordsPerBatch``.
-* this container has no image/audio libraries, so the actual decode is a
-  clearly-marked stub (``decode_image``) plus a deterministic fake
-  (``fake_decode_features``) that keeps the Spark-side plumbing — schema,
-  batch shape, partitioning — real and testable.
+* decode is real for the dependency-free raster formats (uncompressed
+  24-bit **BMP** and binary/ASCII **PPM** — ``decode_image``): header
+  parse → (width, height) + mean pixel value over the raster. Formats
+  that need a codec library (PNG/JPEG — absent in this container) fall
+  back to deterministic byte statistics (``byte_stat_features``), so
+  every payload gets a feature row and the fallback is SQL-expressible
+  for the correctness oracle.
 """
 
 from __future__ import annotations
@@ -21,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -46,6 +51,8 @@ FEATURE_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("checksum", LongType()),
+        StructField("decoded", BooleanType()),
+        StructField("mean_pixel", DoubleType()),
     ]
 )
 
@@ -54,6 +61,9 @@ _MAGIC = {
     "ffd8ffe0": "image/jpeg",
     "52494646": "audio/wav",
     "00000018": "video/mp4",
+    "424d": "image/bmp",
+    "5036": "image/x-portable-pixmap",
+    "5033": "image/x-portable-pixmap",
 }
 
 
@@ -69,7 +79,9 @@ def as_media_table(
     magic = F.lower(F.hex(F.substring(F.col(payload_col), 1, 4)))
     media_type = F.lit("application/octet-stream")
     for sig, mtype in _MAGIC.items():
-        media_type = F.when(magic == sig, F.lit(mtype)).otherwise(media_type)
+        media_type = F.when(magic.startswith(sig), F.lit(mtype)).otherwise(
+            media_type
+        )
     return df.select(
         F.col(id_col).alias("media_id"),
         payload.alias("payload"),
@@ -100,7 +112,9 @@ def read_media_dir(
     magic = F.lower(F.hex(F.substring(F.col("content"), 1, 4)))
     media_type = F.lit("application/octet-stream")
     for sig, mtype in _MAGIC.items():
-        media_type = F.when(magic == sig, F.lit(mtype)).otherwise(media_type)
+        media_type = F.when(magic.startswith(sig), F.lit(mtype)).otherwise(
+            media_type
+        )
     return df.select(
         F.xxhash64(F.col("path")).alias("media_id"),
         F.col("content").alias("payload"),
@@ -110,16 +124,108 @@ def read_media_dir(
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real image decode — requires PIL/opencv, absent in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv (not installed); "
-        "use fake_decode_features for plumbing tests"
-    )
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Decode an uncompressed 24-bit Windows BMP (BITMAPINFOHEADER).
+
+    Pure struct parsing — no codec library. Returns
+    ``(width, height, mean_pixel)`` where ``mean_pixel`` averages every
+    channel byte of the raster (rows are bottom-up and padded to 4-byte
+    boundaries; padding is excluded from the mean).
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    height = abs(height)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    total = 0
+    for r in range(height):
+        row = payload[pixel_offset + r * stride :][:row_bytes]
+        if len(row) < row_bytes:
+            raise ValueError("truncated BMP raster")
+        total += sum(row)
+    n_px_bytes = row_bytes * height
+    mean = round(total / n_px_bytes, 6) if n_px_bytes else 0.0
+    return width, height, mean
 
 
-def fake_decode_features(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for decode: (width, height, checksum)."""
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """Decode a PPM image — binary ``P6`` or ASCII ``P3``, maxval ≤ 255.
+
+    Netpbm headers are whitespace-delimited with ``#`` comments.
+    Returns ``(width, height, mean_pixel)`` over all RGB samples.
+    """
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    binary = payload[:2] == b"P6"
+
+    # header tokenizer: magic, width, height, maxval (skipping comments)
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n_samples = width * height * 3
+    if binary:
+        raster = payload[i + 1 : i + 1 + n_samples]  # single ws after maxval
+        if len(raster) < n_samples:
+            raise ValueError("truncated PPM raster")
+        total = sum(raster)
+    else:
+        vals = payload[i:].split()
+        if len(vals) < n_samples:
+            raise ValueError("truncated PPM raster")
+        total = sum(int(v) for v in vals[:n_samples])
+    mean = round(total / n_samples, 6) if n_samples else 0.0
+    return width, height, mean
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Decode a raster payload to ``(width, height, mean_pixel)``.
+
+    Real decode for the dependency-free formats (24-bit BMP, P6/P3 PPM).
+    PNG/JPEG need a codec library this container doesn't ship — those
+    raise ``ValueError`` and callers fall back to
+    :func:`byte_stat_features`.
+    """
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P3"):
+        return decode_ppm(payload)
+    raise ValueError("no dependency-free decoder for this format")
+
+
+def byte_stat_features(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic byte statistics for undecodable payloads:
+    ``(pseudo_width, pseudo_height, checksum)`` with a polynomial rolling
+    checksum (base 131, mod 1e9+7) — chosen because the identical fold is
+    expressible in ANSI-ish SQL (``list_reduce`` over the hex-pair bytes)
+    so the correctness oracle can replay it."""
     n = len(payload)
     checksum = 0
     for b in payload:
@@ -127,28 +233,55 @@ def fake_decode_features(payload: bytes) -> tuple[int, int, int]:
     return (n % 64) + 1, (n % 48) + 1, checksum
 
 
+# Back-compat alias (pre-round-3 name for the fallback path).
+fake_decode_features = byte_stat_features
+
+
 def extract_features(media: DataFrame, batch_log=None) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    The ``mapInPandas`` shape here is exactly what a real decoder uses —
-    swap ``fake_decode_features`` for a PIL/ffmpeg call and the plan,
+    Per payload: try the real raster decode (BMP/PPM → true dimensions +
+    mean pixel, ``decoded=True``); otherwise fall back to deterministic
+    byte statistics (``decoded=False``, ``mean_pixel=NULL``). The
+    ``mapInPandas`` shape is exactly what a codec-library decoder uses —
+    swap :func:`decode_image` for a PIL/ffmpeg call and the plan,
     partitioning and schema stay identical.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def _one(p: bytes) -> tuple[int, int, int | None, bool, float | None]:
+        try:
+            w, h, mean = decode_image(p)
+        except ValueError:
+            w, h, checksum = byte_stat_features(p)
+            return w, h, checksum, False, None
+        return w, h, None, True, mean
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if batch_log is not None:
                 batch_log(len(pdf))
-            feats = [fake_decode_features(p) for p in pdf["payload"]]
+            feats = [_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "checksum": [f[2] for f in feats],
+                    "width": pd.Series(
+                        [f[0] for f in feats], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [f[1] for f in feats], dtype="int32"
+                    ),
+                    "checksum": pd.Series(
+                        [f[2] for f in feats], dtype="Int64"
+                    ),
+                    "decoded": [f[3] for f in feats],
+                    # nullable Float64: plain float64 would turn None
+                    # into NaN, which Arrow ships as NaN, not SQL NULL
+                    "mean_pixel": pd.Series(
+                        [f[4] for f in feats], dtype="Float64"
+                    ),
                 }
             )
 

@@ -740,11 +740,20 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_META_SQL = """
 SELECT doc_id AS media_id,
-       CASE lower(hex(substring(text, 1, 4)))
-         WHEN '89504e47' THEN 'image/png'
-         WHEN 'ffd8ffe0' THEN 'image/jpeg'
-         WHEN '52494646' THEN 'audio/wav'
-         WHEN '00000018' THEN 'video/mp4'
+       CASE
+         WHEN lower(hex(substring(text, 1, 4))) = '89504e47'
+           THEN 'image/png'
+         WHEN lower(hex(substring(text, 1, 4))) = 'ffd8ffe0'
+           THEN 'image/jpeg'
+         WHEN lower(hex(substring(text, 1, 4))) = '52494646'
+           THEN 'audio/wav'
+         WHEN lower(hex(substring(text, 1, 4))) = '00000018'
+           THEN 'video/mp4'
+         WHEN lower(hex(substring(text, 1, 4))) LIKE '424d%'
+           THEN 'image/bmp'
+         WHEN lower(hex(substring(text, 1, 4))) LIKE '5036%'
+           OR lower(hex(substring(text, 1, 4))) LIKE '5033%'
+           THEN 'image/x-portable-pixmap'
          ELSE 'application/octet-stream'
        END AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -755,12 +764,129 @@ ORDER BY media_id
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction (rows-only check: Python-side fake
-    decode has no SQL equivalent)."""
+    """mapInPandas feature extraction over the documents-as-media table.
+
+    Fully oracled since round 3: no document payload is a decodable
+    raster (none starts with the BM/P6/P3 magic — asserted over all
+    testdata SFs), so every row takes the byte-statistics fallback,
+    whose polynomial checksum the DuckDB oracle replays exactly with a
+    ``list_reduce`` fold over the payload's hex pairs. The REAL decode
+    path is driver-gated separately by ``multimodal_decode_rasters``.
+    """
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(
         multimodal.as_media_table(docs)
     ).orderBy("media_id")
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE
+         WHEN lower(hex(substring(text, 1, 4))) = '89504e47'
+           THEN 'image/png'
+         WHEN lower(hex(substring(text, 1, 4))) = 'ffd8ffe0'
+           THEN 'image/jpeg'
+         WHEN lower(hex(substring(text, 1, 4))) = '52494646'
+           THEN 'audio/wav'
+         WHEN lower(hex(substring(text, 1, 4))) = '00000018'
+           THEN 'video/mp4'
+         WHEN lower(hex(substring(text, 1, 4))) LIKE '424d%'
+           THEN 'image/bmp'
+         WHEN lower(hex(substring(text, 1, 4))) LIKE '5036%'
+           OR lower(hex(substring(text, 1, 4))) LIKE '5033%'
+           THEN 'image/x-portable-pixmap'
+         ELSE 'application/octet-stream'
+       END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE
+         list_reduce(
+           list_transform(range(1, octet_length(encode(text)) + 1),
+             i -> CAST('0x' || substring(hex(encode(text)), 2*i - 1, 2)
+                       AS BIGINT)),
+           (acc, b) -> (acc * 131 + b) % 1000000007)
+       END AS BIGINT) AS checksum,
+       FALSE AS decoded,
+       CAST(NULL AS DOUBLE) AS mean_pixel
+FROM documents
+ORDER BY media_id
+"""
+
+
+def multimodal_decode_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raster decode, driver-gated: synthesize ASCII PPM (P3)
+    payloads from nation-keyed arithmetic — ``P3\\n<w> <h>\\n255\\n``
+    plus ``w*h*3`` deterministic samples — then run the actual
+    ``decode_ppm`` header tokenizer + sample parse through the
+    ``mapInPandas`` extractor. The oracle replays the construction
+    arithmetic (dims, byte length, sample mean) in SQL, so
+    width/height/mean_pixel coming back right proves the decoder parsed
+    the bytes, not the metadata."""
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    w = (k % 5 + 2).cast("int")
+    h = (k % 3 + 2).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), (w * h * 3 - 1).cast("long")),
+        lambda i: (k * 7 + i * 13) % 256,
+    )
+    ppm = F.concat(
+        F.lit("P3\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+        F.array_join(samples, " "),
+    )
+    media = multimodal.as_media_table(
+        nation.select(k.alias("n_nationkey"), ppm.alias("ppm")),
+        id_col="n_nationkey",
+        payload_col="ppm",
+    )
+    return (
+        multimodal.extract_features(media)
+        .select(
+            "media_id",
+            "media_type",
+            "n_bytes",
+            "width",
+            "height",
+            "decoded",
+            "mean_pixel",
+        )
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH gen AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k,
+         CAST(n_nationkey % 5 + 2 AS INT) AS w,
+         CAST(n_nationkey % 3 + 2 AS INT) AS h
+  FROM nation
+), built AS (
+  SELECT k, w, h,
+         'P3' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10) ||
+           array_to_string(
+             list_transform(range(0, w * h * 3),
+                            i -> (k * 7 + i * 13) % 256), ' ')
+           AS ppm,
+         list_transform(range(0, w * h * 3),
+                        i -> (k * 7 + i * 13) % 256) AS samples
+  FROM gen
+)
+SELECT k AS media_id,
+       'image/x-portable-pixmap' AS media_type,
+       CAST(octet_length(encode(ppm)) AS BIGINT) AS n_bytes,
+       w AS width,
+       h AS height,
+       TRUE AS decoded,
+       ROUND(CAST(list_sum(samples) AS DOUBLE) / (w * h * 3), 6)
+         AS mean_pixel
+FROM built
+ORDER BY media_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -789,6 +915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": curation_pipeline,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
+    "multimodal_decode_rasters": multimodal_decode_rasters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -811,4 +938,6 @@ ORACLE_SQL: dict[str, str] = {
     "text_chunking": TEXT_CHUNKING_SQL,
     "curation_pipeline": CURATION_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_decode_rasters": MULTIMODAL_DECODE_SQL,
 }

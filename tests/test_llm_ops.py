@@ -207,3 +207,95 @@ def test_chunk_documents_edges(spark):
     assert len(c2) == 2
     assert c2[0]["chunk_text"].split()[-2:] == c2[1]["chunk_text"].split()[:2]
     assert c2[1]["n_tokens"] == 6
+
+
+def _make_bmp(width, height, pixel_fn):
+    """Build a real uncompressed 24-bit BMP (bottom-up rows, 4-byte row
+    padding) — the format decode_bmp parses."""
+    import struct
+
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    raster = bytearray()
+    for r in range(height):
+        for c in range(width):
+            b, g, rr = pixel_fn(r, c)
+            raster += bytes((b, g, rr))
+        raster += b"\x00" * (stride - row_bytes)
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835,
+        2835, 0, 0,
+    )
+    return header + info + bytes(raster)
+
+
+def test_decode_bmp_real_bytes():
+    from near_event_streams_spark.operators import multimodal
+
+    payload = _make_bmp(5, 3, lambda r, c: (10, 20, 30))
+    w, h, mean = multimodal.decode_bmp(payload)
+    assert (w, h) == (5, 3)
+    assert mean == 20.0  # (10+20+30)/3 regardless of padding
+    # padding bytes must be excluded from the mean (width 5 -> 1-byte pad)
+    assert (5 * 3 + 3) & ~3 != 5 * 3
+
+
+def test_decode_ppm_p6_and_p3():
+    from near_event_streams_spark.operators import multimodal
+
+    vals = [(i * 5) % 256 for i in range(2 * 2 * 3)]
+    p6 = b"P6\n# a comment\n2 2\n255\n" + bytes(vals)
+    p3 = ("P3\n2 2\n255\n" + " ".join(str(v) for v in vals)).encode()
+    expected = round(sum(vals) / len(vals), 6)
+    assert multimodal.decode_ppm(p6) == (2, 2, expected)
+    assert multimodal.decode_ppm(p3) == (2, 2, expected)
+
+
+def test_decode_image_fallback_contract():
+    from near_event_streams_spark.operators import multimodal
+
+    # undecodable -> ValueError, callers fall back to byte stats
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG....not-decodable-here")
+    w, h, checksum = multimodal.byte_stat_features(b"abc")
+    assert (w, h) == (3 % 64 + 1, 3 % 48 + 1)
+    assert checksum == ((97 * 131 + 98) * 131 + 99) % 1_000_000_007
+
+
+def test_extract_features_decodes_real_rasters(spark, tmp_path):
+    """binaryFile source -> extract_features must REALLY decode BMP/PPM
+    (true dimensions + pixel mean, decoded=True) and fall back to byte
+    stats for undecodable payloads (decoded=False, NULL mean)."""
+    from near_event_streams_spark.operators import multimodal
+
+    bmp = _make_bmp(7, 4, lambda r, c: ((r * 7 + c) % 256,) * 3)
+    vals = [(i * 11) % 256 for i in range(3 * 2 * 3)]
+    ppm = b"P6\n3 2\n255\n" + bytes(vals)
+    (tmp_path / "img.bmp").write_bytes(bmp)
+    (tmp_path / "img.ppm").write_bytes(ppm)
+    (tmp_path / "blob.bin").write_bytes(b"\x01\x02\x03opaque")
+
+    media = multimodal.read_media_dir(spark, str(tmp_path))
+    feats = {
+        r["media_type"]: r
+        for r in multimodal.extract_features(media).collect()
+    }
+    b = feats["image/bmp"]
+    assert (b["width"], b["height"], b["decoded"]) == (7, 4, True)
+    exp_bmp = round(
+        sum((r * 7 + c) % 256 for r in range(4) for c in range(7) for _ in range(3))
+        / (7 * 4 * 3), 6,
+    )
+    assert abs(b["mean_pixel"] - exp_bmp) < 1e-9
+    assert b["checksum"] is None
+    p = feats["image/x-portable-pixmap"]
+    assert (p["width"], p["height"], p["decoded"]) == (3, 2, True)
+    assert abs(p["mean_pixel"] - round(sum(vals) / len(vals), 6)) < 1e-9
+    o = feats["application/octet-stream"]
+    assert o["decoded"] is False
+    assert o["mean_pixel"] is None and o["checksum"] is not None
