@@ -70,11 +70,16 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def _hadoop_fs(spark):
+def _hadoop_fs(spark, path: str):
+    """FileSystem OWNING ``path`` — resolved from the path's scheme, not
+    ``FileSystem.get(conf)`` (the defaultFS): with an ``s3a://`` out_dir
+    under an HDFS defaultFS, the default filesystem would silently
+    target the wrong store for every exists/rename/delete."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-    return fs, jvm.org.apache.hadoop.fs.Path
+    mk_path = jvm.org.apache.hadoop.fs.Path
+    fs = mk_path(path).getFileSystem(conf)
+    return fs, mk_path
 
 
 def _recover_pending_compaction(fs, mk_path, out_dir: str) -> None:
@@ -133,13 +138,17 @@ def compact_batch_dirs_inplace(
     overwrite of any *open* batch partition is untouched, and a
     full-history replay simply rebuilds the per-batch layout.
 
-    Uses the Hadoop FileSystem API, so the same code runs on HDFS/S3A on
-    a real cluster, not just local paths. Returns
+    Uses the Hadoop FileSystem API resolved from ``out_dir``'s scheme,
+    so the same code runs on HDFS on a real cluster, not just local
+    paths. Caveat: the crash-window guarantee leans on atomic directory
+    rename, which HDFS and local FS provide; S3A emulates rename with
+    copy+delete, so on object stores the swap window is wider — pair
+    with a manifest-committing table format there. Returns
     ``(n_batches_merged, n_files_written)``.
     """
     import math
 
-    fs, mk_path = _hadoop_fs(spark)
+    fs, mk_path = _hadoop_fs(spark, out_dir)
     _recover_pending_compaction(fs, mk_path, out_dir)
     base = mk_path(out_dir)
     if not fs.exists(base):

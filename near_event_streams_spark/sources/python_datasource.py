@@ -17,9 +17,11 @@ Design for scale:
   worker never walks the nested structure.
 * Batch reads get ONE InputPartition PER FILE, so a directory of block
   files fans out across executors.
-* The streaming reader tracks a monotonic ``(mtime, name)`` frontier in
-  its offset JSON; ``readBetweenOffsets`` replays any committed range
-  exactly, so checkpoint recovery is deterministic.
+* The streaming reader tracks a ``(mtime, name)`` frontier PLUS the
+  set of already-ingested names within a lag window in its offset JSON
+  (a bare frontier would silently skip mtime-preserving copies / clock
+  skew); ``readBetweenOffsets`` replays any committed range exactly, so
+  checkpoint recovery is deterministic.
 """
 
 from __future__ import annotations
@@ -95,35 +97,55 @@ class _BatchReader(DataSourceReader):
 
 
 class _StreamReader(SimpleDataSourceStreamReader):
-    """File-frontier micro-batch reader.
+    """File-frontier micro-batch reader with a seen-file set.
 
-    Offset = ``{"frontier": [mtime_ns, name]}``: every file strictly
-    beyond the frontier (ordered by (mtime, name)) belongs to the next
-    batch. Replay of a committed (start, end] range re-reads exactly the
-    files inside it, so recovery after a crash is deterministic as long
-    as ingested files are immutable (the drop-directory contract).
+    Offset = ``{"frontier": [mtime_ns, name], "seen": {name: mtime}}``.
+    A bare (mtime, name) frontier silently skips any file that appears
+    with mtime ≤ the committed frontier (a copy that preserves mtime,
+    clock skew, a same-mtime name sorting earlier than the planned
+    batch), so — like Spark's own file source — the offset also carries
+    the names already ingested: a file joins the next batch iff it is
+    NOT in ``seen`` and its mtime is within ``maxFileLagNs`` (default
+    5 min) of the frontier. ``seen`` is pruned to that window, which
+    bounds the offset size; a file landing with an mtime older than the
+    window is dropped (the documented late-file limit, mirroring
+    ``maxFileAge``). Replay of a committed (start, end] range re-reads
+    exactly ``end.seen − start.seen``, so recovery is deterministic as
+    long as ingested files are immutable (the drop-directory contract).
     """
+
+    _DEFAULT_LAG_NS = 300 * 10**9  # 5 minutes
 
     def __init__(self, options):
         self.path = options.get("path")
+        # Spark lower-cases data source option keys
+        self.lag_ns = int(
+            options.get("maxfilelagns", self._DEFAULT_LAG_NS)
+        )
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
-        return {"frontier": [-1, ""]}
-
-    def _beyond(self, frontier):
-        fm, fn = frontier
-        return [
-            (m, p)
-            for m, p in _list_block_files(self.path)
-            if (m, os.path.basename(p)) > (fm, fn)
-        ]
+        return {"frontier": [-1, ""], "seen": {}}
 
     def read(self, start: dict):
-        new = self._beyond(start["frontier"])
+        fm, fn = start["frontier"]
+        seen = dict(start.get("seen") or {})
+        cutoff = fm - self.lag_ns
+        new = sorted(
+            (m, p)
+            for m, p in _list_block_files(self.path)
+            if m > cutoff and os.path.basename(p) not in seen
+        )
         if not new:
             return iter([]), start
-        last_m, last_p = new[-1]
-        end = {"frontier": [last_m, os.path.basename(last_p)]}
+        top = max((m, os.path.basename(p)) for m, p in new)
+        frontier = list(max((fm, fn), top))
+        # prune with the START frontier's cutoff so every file ingested
+        # THIS batch is still present in end.seen — that difference is
+        # exactly what readBetweenOffsets replays
+        kept = {n: m for n, m in seen.items() if m > cutoff}
+        for m, p in new:
+            kept[os.path.basename(p)] = m
+        end = {"frontier": frontier, "seen": kept}
         # a LIST iterator, not a generator: the simple-reader prefetch
         # cache copy.copy()s and pickles the iterator it receives
         rows = [
@@ -132,12 +154,14 @@ class _StreamReader(SimpleDataSourceStreamReader):
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        fm, fn = end["frontier"]
+        sseen = set(start.get("seen") or {})
+        eseen = end.get("seen") or {}
+        replay = {n for n in eseen if n not in sseen}
         return iter(
             [
                 row
-                for m, p in self._beyond(start["frontier"])
-                if (m, os.path.basename(p)) <= (fm, fn)
+                for m, p in _list_block_files(self.path)
+                if os.path.basename(p) in replay
                 for row in _read_file_rows(m, p)
             ]
         )
@@ -150,6 +174,7 @@ class _StreamReader(SimpleDataSourceStreamReader):
 class _FileCommit(WriterCommitMessage):
     tmp_path: str
     final_name: str
+    partition_id: int = 0
 
 
 class _BlocksWriter(DataSourceWriter):
@@ -182,8 +207,10 @@ class _BlocksWriter(DataSourceWriter):
                 n += 1
         if n == 0:
             os.remove(tmp)
-            return _FileCommit(tmp_path="", final_name="")
-        return _FileCommit(tmp_path=tmp, final_name=final_name)
+            return _FileCommit(tmp_path="", final_name="", partition_id=pid)
+        return _FileCommit(
+            tmp_path=tmp, final_name=final_name, partition_id=pid
+        )
 
     def commit(self, messages) -> None:
         for m in messages:
@@ -199,9 +226,15 @@ class _BlocksWriter(DataSourceWriter):
 
 
 class _BlocksStreamWriter(DataSourceStreamWriter, _BlocksWriter):
-    """Streaming flavor: same tmp-then-rename protocol per micro-batch;
-    the epoch id lands in the file name so a replayed batch overwrites
-    nothing and is distinguishable for downstream compaction."""
+    """Streaming flavor: same tmp-then-rename protocol per micro-batch,
+    but the FINAL name is deterministic on ``(batchId, partitionId)``
+    and committed with ``os.replace``. foreachBatch-style sinks are
+    at-least-once — a crash after ``commit()`` but before the checkpoint
+    records the batch replays it — so a replayed batch must OVERWRITE
+    its own files rather than add a second uuid-named copy of every row
+    (the offsets, and hence the partition contents, replay
+    deterministically). The ``-b{batchId}`` marker also keys downstream
+    compaction."""
 
     def __init__(self, options):
         _BlocksWriter.__init__(self, options)
@@ -212,10 +245,9 @@ class _BlocksStreamWriter(DataSourceStreamWriter, _BlocksWriter):
     def commit(self, messages, batchId=None) -> None:  # noqa: N803
         for m in messages:
             if m is not None and m.tmp_path:
-                final = m.final_name.replace(
-                    ".jsonl", f"-b{batchId}.jsonl"
-                )
-                os.rename(m.tmp_path, os.path.join(self.path, final))
+                final = f"part-{m.partition_id:05d}-b{batchId}.jsonl"
+                # replace, not rename: idempotent under batch replay
+                os.replace(m.tmp_path, os.path.join(self.path, final))
 
     def abort(self, messages, batchId=None) -> None:  # noqa: N803
         _BlocksWriter.abort(self, messages)

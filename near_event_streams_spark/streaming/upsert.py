@@ -42,6 +42,51 @@ from pyspark.sql.window import Window
 
 _BUCKET = "_bucket"
 _LATEST = "_LATEST"
+_META = "_META"
+
+
+def _read_meta(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _META)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _check_meta(
+    path: str, key_cols: Sequence[str], seq_col: str, n_buckets: int
+) -> None:
+    """Pin the store's layout parameters on first commit; refuse to merge
+    with different ones later.
+
+    The bucket assignment is ``hash(key) % n_buckets`` — existing rows
+    were partitioned under the layout recorded here, so a merge with a
+    different modulus or key set would place the same key in two buckets
+    and silently corrupt every subsequent pruned read.
+    """
+    meta = _read_meta(path)
+    if meta is None:
+        tmp = os.path.join(path, _META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "key_cols": list(key_cols),
+                    "seq_col": seq_col,
+                    "n_buckets": n_buckets,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(path, _META))
+        return
+    want = (list(key_cols), seq_col, n_buckets)
+    got = (meta["key_cols"], meta["seq_col"], meta["n_buckets"])
+    if want != got:
+        raise ValueError(
+            f"upsert store at {path} was created with key_cols="
+            f"{got[0]}, seq_col={got[1]!r}, n_buckets={got[2]}; "
+            f"refusing to merge with {want[0]}, {want[1]!r}, {want[2]} "
+            "(would corrupt bucket pruning)"
+        )
 
 
 def _bucket_col(key_cols: Sequence[str], n_buckets: int):
@@ -122,6 +167,8 @@ def merge_upsert(
     advancing ``_LATEST``.
     """
     spark = batch.sparkSession
+    os.makedirs(path, exist_ok=True)
+    _check_meta(path, key_cols, seq_col, n_buckets)
     batch = batch.withColumn(_BUCKET, _bucket_col(key_cols, n_buckets))
     dirty = sorted(
         r[_BUCKET] for r in batch.select(_BUCKET).distinct().collect()
@@ -176,6 +223,52 @@ def merge_upsert(
     return new_version
 
 
+def vacuum(path: str, retain_versions: int = 2) -> int:
+    """Delete bucket directories no longer referenced by the committed
+    manifest. Without this, a 24/7 ``foreachBatch`` stream (one version
+    per micro-batch) grows storage without bound even though only
+    manifest-referenced buckets are ever read.
+
+    Versions newer than ``current - retain_versions`` are left intact so
+    in-flight snapshot readers that pinned a recent manifest can finish;
+    older versions are pruned to exactly the buckets the committed
+    manifest still references. Returns the number of directories
+    removed.
+    """
+    import shutil
+
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    version, manifest = _read_manifest(path)
+    if version == 0:
+        return 0
+    floor = version - retain_versions
+    removed = 0
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("v"):
+            continue
+        try:
+            v = int(entry[1:])
+        except ValueError:
+            continue
+        if v > floor:
+            continue
+        vdir = os.path.join(path, entry)
+        live = {b for b, owner in manifest.items() if owner == v}
+        if not live:
+            shutil.rmtree(vdir)
+            removed += 1
+            continue
+        for sub in os.listdir(vdir):
+            if (
+                sub.startswith(f"{_BUCKET}=")
+                and sub.split("=", 1)[1] not in live
+            ):
+                shutil.rmtree(os.path.join(vdir, sub))
+                removed += 1
+    return removed
+
+
 def start_upsert_stream(
     stream_df: DataFrame,
     path: str,
@@ -184,12 +277,20 @@ def start_upsert_stream(
     seq_col: str,
     n_buckets: int = 16,
     available_now: bool = True,
+    vacuum_retain: int | None = 4,
 ) -> StreamingQuery:
-    """Run a stream into the keyed state store via ``foreachBatch``."""
+    """Run a stream into the keyed state store via ``foreachBatch``.
+
+    ``vacuum_retain`` prunes superseded bucket files after each commit
+    (keeping that many recent versions for in-flight readers); pass
+    ``None`` to disable and manage :func:`vacuum` externally.
+    """
     os.makedirs(path, exist_ok=True)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         merge_upsert(batch, path, key_cols, seq_col, n_buckets)
+        if vacuum_retain is not None:
+            vacuum(path, vacuum_retain)
 
     writer = (
         stream_df.writeStream.outputMode("update")

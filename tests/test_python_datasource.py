@@ -167,3 +167,91 @@ def test_pushdown_projection_reaches_python_source(spark, tmp_path):
     ]
     parsed = pds.parse_raw_blocks(raw)
     assert parsed.count() == 0
+
+
+def test_stream_reader_ingests_late_mtime_file(tmp_path, fixture_messages_path):
+    """A file landing with mtime <= the committed frontier (mtime-
+    preserving copy, clock skew) must still be ingested: the offset's
+    seen-set, not the bare frontier, decides membership."""
+    import os
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    f0 = src / "b_newer.jsonl"
+    shutil.copy(fixture_messages_path, f0)
+    os.utime(f0, ns=(1_700_000_100 * 10**9, 1_700_000_100 * 10**9))
+
+    reader = pds._StreamReader({"path": str(src)})
+    rows, off1 = reader.read(reader.initialOffset())
+    n0 = len(list(rows))
+    assert n0 > 0
+
+    # late arrival: OLDER mtime than the frontier, name sorts earlier
+    f1 = src / "a_older.jsonl"
+    shutil.copy(fixture_messages_path, f1)
+    os.utime(f1, ns=(1_700_000_050 * 10**9, 1_700_000_050 * 10**9))
+    rows, off2 = reader.read(off1)
+    got = list(rows)
+    assert len(got) == n0, "late-mtime file was silently skipped"
+    assert all(r[0].endswith("a_older.jsonl") for r in got)
+    # the replay of that committed range returns exactly the late file
+    replay = list(reader.readBetweenOffsets(off1, off2))
+    assert replay == got
+    # and it is never double-ingested
+    rows, off3 = reader.read(off2)
+    assert list(rows) == [] and off3 == off2
+
+
+def test_stream_reader_prunes_seen_beyond_lag(tmp_path, fixture_messages_path):
+    """The seen-set must stay bounded: entries older than the lag window
+    fall out of the offset once the frontier advances past them."""
+    import os
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    reader = pds._StreamReader({"path": str(src), "maxfilelagns": str(10**9)})
+
+    f0 = src / "b0.jsonl"
+    shutil.copy(fixture_messages_path, f0)
+    os.utime(f0, ns=(1_700_000_000 * 10**9, 1_700_000_000 * 10**9))
+    _, off1 = reader.read(reader.initialOffset())
+    assert "b0.jsonl" in off1["seen"]
+
+    # a file 100s later; b0 is far outside the 1s lag window
+    f1 = src / "b1.jsonl"
+    shutil.copy(fixture_messages_path, f1)
+    os.utime(f1, ns=(1_700_000_100 * 10**9, 1_700_000_100 * 10**9))
+    _, off2 = reader.read(off1)
+    assert "b1.jsonl" in off2["seen"]
+    # pruning uses the START frontier's window, so b0 leaves on the NEXT
+    # advance; it must never be re-ingested either way
+    f2 = src / "b2.jsonl"
+    shutil.copy(fixture_messages_path, f2)
+    os.utime(f2, ns=(1_700_000_200 * 10**9, 1_700_000_200 * 10**9))
+    rows, off3 = reader.read(off2)
+    assert all(r[0].endswith("b2.jsonl") for r in rows)
+    assert "b0.jsonl" not in off3["seen"]
+
+
+def test_stream_writer_replayed_batch_overwrites_itself(tmp_path):
+    """At-least-once replay (crash after commit, before the checkpoint
+    records the batch): re-running the same batchId must OVERWRITE the
+    batch's files, not add a duplicate uuid-named copy."""
+    import os
+    from types import SimpleNamespace
+
+    out = tmp_path / "out"
+    writer = pds._BlocksStreamWriter({"path": str(out)})
+    rows = [SimpleNamespace(block_json='{"n": %d}' % i) for i in range(3)]
+
+    msg = writer.write(iter(rows))
+    writer.commit([msg], batchId=7)
+    first = sorted(os.listdir(out))
+    assert first == ["part-00000-b7.jsonl"]
+
+    # replay of batch 7 delivers the same rows again
+    msg = writer.write(iter(rows))
+    writer.commit([msg], batchId=7)
+    assert sorted(os.listdir(out)) == first, "replay duplicated files"
+    content = (out / first[0]).read_text().strip().splitlines()
+    assert content == ['{"n": %d}' % i for i in range(3)]

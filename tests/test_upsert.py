@@ -139,3 +139,67 @@ def test_read_state_prunes_to_manifest_buckets(spark, tmp_path):
         ).distinct().collect()
     }
     assert files and all("/_bucket=" in f for f in files)
+
+
+def test_meta_pins_layout_and_raises_on_mismatch(spark, tmp_path):
+    """n_buckets/key_cols are persisted on first commit; a later merge
+    with a different layout must refuse instead of silently corrupting
+    the bucket modulus."""
+    import pytest
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k long, seq long, v string"
+    )
+    upsert.merge_upsert(df, store, key_cols=["k"], seq_col="seq", n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        upsert.merge_upsert(
+            df, store, key_cols=["k"], seq_col="seq", n_buckets=8
+        )
+    with pytest.raises(ValueError, match="refusing"):
+        upsert.merge_upsert(
+            df, store, key_cols=["v"], seq_col="seq", n_buckets=4
+        )
+    # the matching layout still merges fine
+    upsert.merge_upsert(df, store, key_cols=["k"], seq_col="seq", n_buckets=4)
+
+
+def test_vacuum_reclaims_superseded_buckets(spark, tmp_path):
+    """Repeated commits to the same keys must not grow storage without
+    bound: vacuum deletes bucket dirs no longer referenced by the
+    committed manifest (outside the retention window) and the store
+    still reads back the latest state."""
+    import os
+
+    store = str(tmp_path / "store")
+    for seq in range(5):
+        df = spark.createDataFrame(
+            [(1, seq, f"v{seq}"), (2, seq, f"w{seq}")],
+            "k long, seq long, v string",
+        )
+        upsert.merge_upsert(
+            df, store, key_cols=["k"], seq_col="seq", n_buckets=4
+        )
+
+    def bucket_dirs():
+        out = []
+        for entry in os.listdir(store):
+            if entry.startswith("v") and os.path.isdir(
+                os.path.join(store, entry)
+            ):
+                for sub in os.listdir(os.path.join(store, entry)):
+                    if sub.startswith("_bucket="):
+                        out.append(f"{entry}/{sub}")
+        return sorted(out)
+
+    before = bucket_dirs()
+    removed = upsert.vacuum(store, retain_versions=1)
+    after = bucket_dirs()
+    assert removed > 0 and len(after) < len(before)
+    # every manifest-referenced bucket survived; state reads correctly
+    state = {
+        (r["k"], r["v"]) for r in upsert.read_state(spark, store).collect()
+    }
+    assert state == {(1, "v4"), (2, "w4")}
+    # idempotent: nothing left to reclaim at the same retention
+    assert upsert.vacuum(store, retain_versions=1) == 0
