@@ -382,18 +382,21 @@ def ann_ivf_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(
-        queries, emb, k=5, n_clusters=16, nprobe=4
+        queries, emb, k=5, n_clusters=16, nprobe=8
     ).orderBy("query_id", "rank")
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN, oracle-gated: recall@5 vs the in-engine brute-force
-    baseline must reach 0.5 (measured 0.64-0.72 at nprobe=4/16)."""
+    baseline must reach 0.8 (measured 0.90 at sf0.01 / 0.82 at sf0.001
+    with nprobe=8/16 — these near-uniform synthetic embeddings cluster
+    weakly, so the probe fraction must be generous; on real embedding
+    manifolds the same recall comes at far smaller nprobe/n_clusters)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = similarity.brute_force_topk(queries, emb, k=5)
-    approx = similarity.ivf_topk(queries, emb, k=5, n_clusters=16, nprobe=4)
-    return _ann_recall_invariant(exact, approx, min_recall=0.5)
+    approx = similarity.ivf_topk(queries, emb, k=5, n_clusters=16, nprobe=8)
+    return _ann_recall_invariant(exact, approx, min_recall=0.8)
 
 
 def ann_lsh_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
