@@ -255,3 +255,56 @@ def test_stream_writer_replayed_batch_overwrites_itself(tmp_path):
     assert sorted(os.listdir(out)) == first, "replay duplicated files"
     content = (out / first[0]).read_text().strip().splitlines()
     assert content == ['{"n": %d}' % i for i in range(3)]
+
+
+def test_stream_writer_restart_no_loss_no_dup(
+    spark, fixture_messages_path, tmp_path
+):
+    """Kill-and-restart e2e across the custom source AND sink: stop the
+    query after the first batch, drop more files, restart from the same
+    checkpoint — every input block appears in the output exactly once
+    (frontier + deterministic epoch-keyed files make restart exact)."""
+    import os
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    ck = str(tmp_path / "ck")
+
+    f0 = src / "b0.jsonl"
+    shutil.copy(fixture_messages_path, f0)
+    os.utime(f0, (1_700_000_000, 1_700_000_000))
+
+    def run_once():
+        q = (
+            pds.stream_blocks(spark, str(src))
+            .select(F.to_json(F.struct("*")).alias("block_json"))
+            .writeStream.format("near_blocks")
+            .option("path", str(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 0, then the query terminates (simulated kill)
+    first_files = sorted(n for n in os.listdir(out) if n.endswith(".jsonl"))
+    assert first_files and all("-b0" in n for n in first_files)
+
+    # two more files land while the job is down
+    for i, ts in ((1, 1_700_000_100), (2, 1_700_000_200)):
+        f = src / f"b{i}.jsonl"
+        shutil.copy(fixture_messages_path, f)
+        os.utime(f, (ts, ts))
+
+    run_once()  # restart from the same checkpoint
+
+    blocks_in = pds.read_blocks(spark, str(src))
+    blocks_out = pds.read_blocks(spark, str(out))
+    ok_in, _ = extract_events(blocks_in)
+    ok_out, _ = extract_events(blocks_out)
+    n_in, n_out = ok_in.count(), ok_out.count()
+    assert n_out == n_in, f"lost or duplicated blocks: in={n_in} out={n_out}"
+    # restart wrote NEW epoch files and left batch 0's untouched
+    after = sorted(n for n in os.listdir(out) if n.endswith(".jsonl"))
+    assert set(first_files) <= set(after) and len(after) > len(first_files)
