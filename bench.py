@@ -18,7 +18,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from near_event_streams_spark.plans import analytics, analytics_ext, llm_ops  # noqa: E402
+from near_event_streams_spark.plans import (  # noqa: E402
+    analytics,
+    analytics_ext,
+    curation,
+    llm_ops,
+)
 from near_event_streams_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,6 +49,10 @@ HEADLINE = [
     ("dedup_minhash_lsh_docs", llm_ops.dedup_minhash_lsh_pairs),
     ("ann_cosine_topk", llm_ops.QUERIES["ann_cosine_topk"]),
     ("curation_pipeline", llm_ops.QUERIES["curation_pipeline"]),
+    # applyInPandas sequential packing + n-gram semi-join decontamination:
+    # the Arrow-batched Python paths need a wall-time datapoint too
+    ("pack_docs_next_fit", curation.QUERIES["pack_docs_next_fit"]),
+    ("decontaminate_train_docs", curation.QUERIES["decontaminate_train_docs"]),
 ]
 
 
