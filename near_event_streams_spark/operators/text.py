@@ -205,8 +205,9 @@ def pii_counts(text: Column) -> tuple[Column, Column]:
 def rolling_fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over characters (base 31, mod 1e9+7) —
     the classic document fingerprint, computed as a fold so it stays
-    JVM-side. Not oracle-gated (no DuckDB fold equivalent guaranteed);
-    md5-based fingerprints (dedup.fingerprint_prefix) are the gated path."""
+    JVM-side. Oracle-gated: DuckDB replays the identical fold via
+    ``list_reduce`` over per-character codepoints (TEXT_FINGERPRINT_SQL
+    in plans/llm_ops.py)."""
     chars = F.split(text, "")
     return F.aggregate(
         chars,

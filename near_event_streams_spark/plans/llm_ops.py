@@ -639,12 +639,27 @@ ORDER BY doc_id
 
 
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial hash per doc (rows-only check)."""
+    """Rolling polynomial hash per doc. Oracled since round 3: DuckDB
+    replays the identical base-31 mod-1e9+7 fold with ``list_reduce``
+    over per-character codepoints (both engines' ``ascii`` returns the
+    Unicode codepoint, so the fold matches byte-for-byte)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         text.rolling_fingerprint(F.col("text")).alias("fingerprint"),
     )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+    list_reduce(
+      list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+      (acc, c) -> (acc * 31 + c) % 1000000007)
+  END AS BIGINT) AS fingerprint
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -938,6 +953,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_token_counts": TEXT_TOKENS_SQL,
     "text_vocab_topk": TEXT_VOCAB_SQL,
     "lang_id_docs": LANG_ID_SQL,
+    "text_fingerprint_rolling": TEXT_FINGERPRINT_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "curation_pipeline": CURATION_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,
