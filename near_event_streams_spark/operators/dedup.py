@@ -522,3 +522,58 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicated_ngram_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication profile (the ExactSubstr-dedup signal,
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better"): per document, the fraction of its positional word
+    ``n``-grams that also occur in at least one OTHER document. High
+    fractions mark boilerplate / templated / copied passages that
+    survive document-level dedup.
+
+    Plan: positional n-grams (duplicates within a doc kept — spans, not
+    a set) explode once; one hash aggregation on the gram key computes
+    each gram's distinct-doc count; the stats join back on the gram key
+    and reduce per doc. Two shuffles, both on keys with bounded fan-out;
+    no pairwise comparisons anywhere, so this scales linearly where a
+    pair-join formulation would be quadratic.
+    """
+    w = words_col(F.lower(F.col(text_col)))
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+        ).alias("gram"),
+    )
+    gram_docs = (
+        grams.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    return (
+        grams.join(gram_docs, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("gram")).alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("n_dup_grams").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                )
+            ),
+        )
+    )

@@ -263,3 +263,128 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 document ranking against a bag of query terms — the retrieval
+    scorer a corpus-search / hard-negative-mining pipeline runs over the
+    training set.
+
+    Plan shape at 100 TB: tokenize + term-filter is a narrow map (the
+    query's term list folds into an ``isin`` literal); per-(doc, term)
+    tf is one hash aggregation; the df/N/avgdl corpus statistics are
+    tiny aggregates that broadcast back; the final score is one more
+    hash aggregation on ``doc_id``. No sort — ranking is a window over
+    the (small) matched-doc result; nothing global moves except the
+    matched docs.
+
+    Uses the Lucene positive-idf variant ``ln(1 + (N - df + .5)/(df + .5))``.
+    Scores round to 6 dp so the DuckDB oracle hash-matches (sum order
+    across <=len(terms) doubles differs by ~1e-15 at worst).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_ws(F.col(text_col)).cast("double").alias("dl"),
+        F.explode(words_col(F.lower(F.col(text_col)))).alias("term"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(token_count_ws(F.col(text_col))).alias("avgdl"),
+    )
+    matched = toks.filter(F.col("term").isin(*terms))
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    df_ = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum("w"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return per_doc.withColumn("rank", F.row_number().over(w))
+
+
+def lm_bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-bigram language-model score per document — the
+    perplexity-style quality signal (KenLM-filtering's little sibling):
+    documents whose character transitions are unlikely under the corpus
+    LM (gibberish, wrong-language, boilerplate) score low.
+
+    The LM is the corpus itself: P(c2 | c1) = count(c1c2) / count(c1·),
+    estimated from ALL documents, then each document is scored by the
+    mean log-probability of its own bigrams. The bigram table is at most
+    |alphabet|² rows no matter the corpus size, so both model joins
+    broadcast; the only shuffle is the bigram-count aggregation. Scores
+    round to 6 dp for the cross-engine oracle.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    # guarded: sequence(1, 0) would DESCEND for sub-2-char texts
+    idx = F.when(
+        F.length(norm) >= 2, F.sequence(F.lit(1), F.length(norm) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(idx, lambda i: norm.substr(i, F.lit(2)))
+        ).alias("bigram"),
+    )
+    model = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+        .withColumn("prefix", F.substring("bigram", 1, 1))
+    )
+    prefix = model.groupBy("prefix").agg(
+        F.sum("bg_count").alias("pf_count")
+    )
+    model = model.join(F.broadcast(prefix), "prefix").select(
+        "bigram",
+        (
+            F.log(
+                F.col("bg_count").cast("double")
+                / F.col("pf_count").cast("double")
+            )
+        ).alias("logp"),
+    )
+    return (
+        bigrams.join(F.broadcast(model), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -662,6 +662,133 @@ FROM documents
 """
 
 
+BM25_TERMS = ("spark", "merge", "window", "filter")
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed term bag — tf one hash
+    agg, df/N/avgdl broadcast scalars, score one more agg; oracle
+    replays the exact formula (ln + rounding to 6 dp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_rank(docs, BM25_TERMS).orderBy("rank")
+
+
+TEXT_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+           AS dl,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+             AS DOUBLE)) AS avgdl
+  FROM documents
+), matched AS (
+  SELECT * FROM toks
+  WHERE term IN ('spark', 'merge', 'window', 'filter')
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+         ANY_VALUE(dl) AS dl
+  FROM matched GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM matched GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS w
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+), per_doc AS (
+  SELECT doc_id, ROUND(SUM(w), 6) AS bm25,
+         COUNT(*) AS n_terms_matched
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_matched,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+FROM per_doc
+ORDER BY rank
+"""
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplication profile: per doc, the fraction of
+    its positional word 8-grams occurring in >=2 documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_ngram_stats(docs, n=8).orderBy("doc_id")
+
+
+DEDUP_SUBSTRING_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+), glist AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 8
+      THEN list_transform(range(1, len(ws) - 6),
+             i -> array_to_string(list_slice(ws, i, i + 7), ' '))
+      ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w
+), grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM glist
+), gd AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gram
+), per AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE gd.n_docs >= 2) AS n_dup_grams
+  FROM grams g JOIN gd USING (gram) GROUP BY g.doc_id
+)
+SELECT l.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(p.n_dup_grams AS DOUBLE) / p.n_grams, 6)
+       END AS dup_fraction
+FROM glist l LEFT JOIN per p USING (doc_id)
+ORDER BY l.doc_id
+"""
+
+
+def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM quality score (perplexity-style signal); the
+    corpus is its own model, so the oracle replays it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_bigram_logprob(docs).orderBy("doc_id")
+
+
+TEXT_LM_SQL = """
+WITH norm AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), bigrams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN length(t) >= 2
+           THEN list_transform(range(1, length(t)),
+                               i -> substring(t, i, 2))
+           ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM norm
+), model AS (
+  SELECT bigram, COUNT(*) AS bg_count,
+         substring(bigram, 1, 1) AS prefix
+  FROM bigrams GROUP BY bigram
+), pf AS (
+  SELECT prefix, SUM(bg_count) AS pf_count FROM model GROUP BY prefix
+), lp AS (
+  SELECT m.bigram,
+         ln(CAST(m.bg_count AS DOUBLE) / CAST(p.pf_count AS DOUBLE))
+           AS logp
+  FROM model m JOIN pf p USING (prefix)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(l.logp), 6) AS avg_logprob
+FROM bigrams b JOIN lp l USING (bigram)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -929,6 +1056,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": text_vocab_topk,
     "lang_id_docs": lang_id_docs,
     "text_fingerprint_rolling": text_fingerprint_rolling,
+    "text_bm25_rank": text_bm25_rank,
+    "dedup_substring_spans": dedup_substring_spans,
+    "text_lm_logprob": text_lm_logprob,
     "text_chunking": text_chunking,
     "curation_pipeline": curation_pipeline,
     "multimodal_metadata": multimodal_metadata,
@@ -954,6 +1084,9 @@ ORACLE_SQL: dict[str, str] = {
     "text_vocab_topk": TEXT_VOCAB_SQL,
     "lang_id_docs": LANG_ID_SQL,
     "text_fingerprint_rolling": TEXT_FINGERPRINT_SQL,
+    "text_bm25_rank": TEXT_BM25_SQL,
+    "dedup_substring_spans": DEDUP_SUBSTRING_SQL,
+    "text_lm_logprob": TEXT_LM_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "curation_pipeline": CURATION_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,

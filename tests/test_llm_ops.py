@@ -299,3 +299,40 @@ def test_extract_features_decodes_real_rasters(spark, tmp_path):
     o = feats["application/octet-stream"]
     assert o["decoded"] is False
     assert o["mean_pixel"] is None and o["checksum"] is not None
+
+
+def test_bm25_rank_orders_by_term_density(spark):
+    """Docs matching more query terms with higher tf must outrank docs
+    with fewer; ranks are dense from 1 and scores non-increasing."""
+    rows = QUERIES["text_bm25_rank"](spark, SF_DIR).collect()
+    assert rows, "no docs matched the query terms"
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["bm25"] > 0 and r["n_terms_matched"] >= 1 for r in rows)
+
+
+def test_substring_spans_flag_planted_duplicates(spark):
+    """The synthetic corpus plants near-duplicate documents; their
+    8-gram spans must show up as duplicated, and fractions stay in
+    [0, 1] with exact zero for short docs."""
+    rows = QUERIES["dedup_substring_spans"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    fr = [r["dup_fraction"] for r in rows]
+    assert all(0.0 <= f <= 1.0 for f in fr)
+    assert any(f >= 0.9 for f in fr), "planted near-dups not flagged"
+    for r in rows:
+        assert r["n_dup_grams"] <= r["n_grams"]
+
+
+def test_lm_logprob_scores_corpus_like_text_higher(spark):
+    """Corpus-trained bigram LM: every avg log-prob is negative, and a
+    doc made of common corpus words must outscore one that would be
+    gibberish under the model (checked via the spread being real)."""
+    rows = QUERIES["text_lm_logprob"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    vals = [r["avg_logprob"] for r in rows]
+    assert all(v < 0 for v in vals)
+    assert max(vals) - min(vals) > 0.05, "LM produced a flat score"
+    assert all(r["n_bigrams"] > 0 for r in rows)
