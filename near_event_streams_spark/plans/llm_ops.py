@@ -713,6 +713,66 @@ ORDER BY rank
 """
 
 
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, gated like the other
+    approximate ops (engine-local invariants): the top-20 exact heavy
+    hitters hash-gate the true counts, and two booleans pin the CMS
+    guarantees — estimates never undercount, and overshoot stays within
+    ``8*N/w`` (far looser than the ``e*N/w`` w.p. ``1-exp(-d)`` bound,
+    so a correct sketch cannot flake the gate)."""
+    from near_event_streams_spark.operators import sketch as cms
+
+    d, w = 4, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            dedup.words_col(F.lower(F.col("text")))
+        ).alias("term")
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("term"))
+        .limit(20)
+    )
+    est = cms.cms_estimate(
+        cms.cms_build(toks, d=d, w=w), exact.select("term"), d=d, w=w
+    )
+    return (
+        exact.join(est, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "true_count",
+            (F.col("est_count") >= F.col("true_count")).alias(
+                "est_ge_true_ok"
+            ),
+            (
+                (F.col("est_count") - F.col("true_count")).cast("double")
+                <= 8.0 * F.col("n_tokens") / float(w)
+            ).alias("est_within_ok"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("term"))
+    )
+
+
+SKETCH_CMS_SQL = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS true_count,
+       TRUE AS est_ge_true_ok,
+       TRUE AS est_within_ok
+FROM toks
+GROUP BY term
+ORDER BY true_count DESC, term
+LIMIT 20
+"""
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplication profile: per doc, the fraction of
     its positional word 8-grams occurring in >=2 documents."""
@@ -1059,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_rank": text_bm25_rank,
     "dedup_substring_spans": dedup_substring_spans,
     "text_lm_logprob": text_lm_logprob,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "text_chunking": text_chunking,
     "curation_pipeline": curation_pipeline,
     "multimodal_metadata": multimodal_metadata,
@@ -1087,6 +1148,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_bm25_rank": TEXT_BM25_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SQL,
     "text_lm_logprob": TEXT_LM_SQL,
+    "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "curation_pipeline": CURATION_SQL,
     "multimodal_metadata": MULTIMODAL_META_SQL,

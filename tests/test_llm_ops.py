@@ -336,3 +336,32 @@ def test_lm_logprob_scores_corpus_like_text_higher(spark):
     assert all(v < 0 for v in vals)
     assert max(vals) - min(vals) > 0.05, "LM produced a flat score"
     assert all(r["n_bigrams"] > 0 for r in rows)
+
+
+def test_cms_estimates_never_undercount(spark):
+    """CMS invariants on a controlled stream: estimates are exact for a
+    collision-free load factor and never undercount under collisions."""
+    from near_event_streams_spark.operators import sketch as cms
+
+    rows = [(t,) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 2]
+    toks = spark.createDataFrame(rows, "term string")
+    table = cms.cms_build(toks, d=4, w=64)
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms.cms_estimate(
+            table, toks.select("term").distinct(), d=4, w=64
+        ).collect()
+    }
+    # 3 distinct terms in a 4x64 table: collision probability ~ (3/64)^4
+    assert est == {"a": 5, "b": 3, "c": 2}
+    # a term the sketch never saw still estimates >= 0 (cell collisions
+    # may inflate it, never deflate)
+    unseen = spark.createDataFrame([("zz",)], "term string")
+    got = cms.cms_estimate(table, unseen, d=4, w=64).collect()[0]
+    assert got["est_count"] >= 0
+
+
+def test_cms_driver_query_gate(spark):
+    rows = QUERIES["sketch_cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["est_ge_true_ok"] and r["est_within_ok"] for r in rows)
