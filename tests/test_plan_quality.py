@@ -341,3 +341,38 @@ def test_decontaminate_flag_join_size_adaptive(spark):
         assert a == b and a, "join-strategy change altered results"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bm25_stats_broadcast_and_no_cartesian(spark):
+    """BM25's corpus statistics (N, avgdl — one row) and per-term df
+    (<= |query terms| rows) must reach the score as broadcasts; the only
+    nested-loop join allowed is the intentional 1-row stats cross join,
+    and nothing may plan a CartesianProduct."""
+    from near_event_streams_spark.operators import text as text_ops
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id >= 0")
+    df = text_ops.bm25_rank(docs, ("spark", "merge"))
+    plan = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_substring_spans_gram_join_not_forced_broadcast(spark):
+    """The gram->doc-count table is unbounded at corpus scale, so the
+    join back must NOT carry a broadcast hint: with the auto-broadcast
+    threshold off it has to degrade to a shuffle join."""
+    from near_event_streams_spark.operators import dedup
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id >= 1")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.duplicated_ngram_stats(docs, n=8)
+        plan = plan_text(df)
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
