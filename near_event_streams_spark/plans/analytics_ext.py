@@ -2002,6 +2002,104 @@ ORDER BY source
 # Registry
 # --------------------------------------------------------------------------
 
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda (higher-order) array functions — aggregate with a finish
+    lambda, zip_with, exists, forall, filter, and indexed transform —
+    over deterministic per-row arrays. Array results serialize with
+    concat_ws (the driver-canon scalar-output convention)."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a = F.array(k % 7, k % 5, k % 3, k % 11)
+    b = F.array(k % 2, k % 4, k % 6, k % 8)
+
+    def ser(col: F.Column) -> F.Column:
+        return F.concat_ws(",", col.cast("array<string>"))
+
+    return orders.select(
+        "o_orderkey",
+        F.aggregate(
+            a,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * 2,
+            lambda acc: acc + 1,
+        ).alias("agg_weighted"),
+        ser(F.zip_with(a, b, lambda x, y: x * y)).alias("zip_prod"),
+        F.exists(a, lambda x: x == 0).alias("has_zero"),
+        F.forall(a, lambda x: x >= 0).alias("all_nonneg"),
+        ser(F.filter(a, lambda x: x % 2 == 0)).alias("evens"),
+        ser(
+            F.transform(a, lambda x, i: x + i.cast("bigint"))
+        ).alias("plus_index"),
+    )
+
+
+HIGHER_ORDER_SQL = """
+WITH t AS (
+  SELECT o_orderkey,
+         [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3, o_orderkey % 11]
+           AS a,
+         [o_orderkey % 2, o_orderkey % 4, o_orderkey % 6, o_orderkey % 8]
+           AS b
+  FROM orders
+)
+SELECT o_orderkey,
+       list_reduce(list_transform(a, x -> x * 2), (acc, x) -> acc + x) + 1
+         AS agg_weighted,
+       COALESCE(array_to_string(
+         list_transform(list_zip(a, b), s -> s[1] * s[2]), ','), '')
+         AS zip_prod,
+       len(list_filter(a, x -> x = 0)) > 0 AS has_zero,
+       len(list_filter(a, x -> NOT (x >= 0))) = 0 AS all_nonneg,
+       COALESCE(array_to_string(list_filter(a, x -> x % 2 = 0), ','), '')
+         AS evens,
+       COALESCE(array_to_string(
+         list_transform(range(1, 5), i -> a[i] + (i - 1)), ','), '')
+         AS plus_index
+FROM t
+"""
+
+
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — first/last/nth_value skipping a
+    planted NULL pattern (nullif on a modulus), the gap-filling shape of
+    last-observation-carried-forward pipelines. Partitioned per customer
+    so the window never serializes globally."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    v = F.nullif(F.col("o_orderkey") % 7, F.lit(3))
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(wp).alias("locf"),
+        F.first(v, ignorenulls=True).over(wf).alias("first_nn"),
+        F.last(v, ignorenulls=True).over(wf).alias("last_nn"),
+        F.nth_value(v, 2, ignoreNulls=True).over(wf).alias("second_nn"),
+        F.count(F.when(v.isNull(), 1)).over(wf).alias("n_nulls"),
+    )
+
+
+WINDOW_IGNORE_NULLS_SQL = """
+SELECT o_custkey, o_orderkey,
+  NULLIF(o_orderkey % 7, 3) AS v,
+  last_value(NULLIF(o_orderkey % 7, 3) IGNORE NULLS) OVER wp AS locf,
+  first_value(NULLIF(o_orderkey % 7, 3) IGNORE NULLS) OVER wf AS first_nn,
+  last_value(NULLIF(o_orderkey % 7, 3) IGNORE NULLS) OVER wf AS last_nn,
+  nth_value(NULLIF(o_orderkey % 7, 3), 2 IGNORE NULLS) OVER wf AS second_nn,
+  CAST(COUNT(CASE WHEN NULLIF(o_orderkey % 7, 3) IS NULL THEN 1 END)
+       OVER wf AS BIGINT) AS n_nulls
+FROM orders
+WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -2029,6 +2127,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "try_functions": try_functions,
     "variant_functions": variant_functions,
     "window_range_frame": window_range_frame,
+    "higher_order_functions": higher_order_functions,
+    "window_ignore_nulls": window_ignore_nulls,
     "agg_median_udaf": agg_median_udaf,
     "generator_inline_structs": generator_inline_structs,
     "map_functions_2": map_functions_2,
@@ -2079,6 +2179,8 @@ ORACLE_SQL: dict[str, str] = {
     "try_functions": TRY_FUNCS_SQL,
     "variant_functions": VARIANT_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,
+    "higher_order_functions": HIGHER_ORDER_SQL,
+    "window_ignore_nulls": WINDOW_IGNORE_NULLS_SQL,
     "agg_median_udaf": AGG_MEDIAN_SQL,
     "generator_inline_structs": GENERATOR_INLINE_SQL,
     "map_functions_2": MAP_FUNCS2_SQL,
