@@ -25,13 +25,12 @@ def dsum(c: Column, alias: str) -> Column:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # TIMESTAMP(NANOS) parquet: read ts as raw int64 nanoseconds.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return load_table(spark, sf_dir, name)
 
 
 def ts_us(col_name: str = "ts") -> Column:
-    """ns → µs with truncating integer division (matches DuckDB
-    ``epoch_ns(ts)//1000``; float division would round and drift by 1µs)."""
-    return F.expr(f"{col_name} div 1000").cast("long")
+    """``events.ts`` (parquet timestamp[us], read as TIMESTAMP_NTZ) →
+    epoch microseconds. Session timezone is pinned to UTC (session.py),
+    so the NTZ→LTZ cast is wall-clock identity and ``unix_micros``
+    matches DuckDB ``epoch_ns(ts)//1000`` exactly."""
+    return F.unix_micros(F.col(col_name).cast("timestamp"))

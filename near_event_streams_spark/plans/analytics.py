@@ -15,11 +15,10 @@ Cross-engine determinism rules used throughout (the hard-won part):
   decimal sums* with the same IEEE operation sequence in both engines.
 * **Every LIMIT/top-k query totally orders** its rows (unique tiebreak
   column) so both engines select the same set.
-* **Events timestamps are nanosecond-precision parquet** (TIMESTAMP(NANOS))
-  which Spark only reads via ``spark.sql.legacy.parquet.nanosAsLong``; all
-  events-derived time columns are emitted as BIGINT epoch-micros
-  (``ts div 1000`` — truncating division, matching DuckDB ``epoch_ns//1000``)
-  to be timezone-agnostic.
+* **Events timestamps are microsecond parquet** (timestamp[us], read as
+  TIMESTAMP_NTZ); all events-derived time columns are emitted as BIGINT
+  epoch-micros (``unix_micros`` under the UTC session timezone, matching
+  DuckDB ``epoch_ns(ts)//1000``) to be timezone-agnostic.
 
 Scale design notes are on each query; the common themes: group-by keys with
 bounded cardinality (partial aggregation does the heavy lifting map-side),

@@ -12,7 +12,6 @@ from tests.conftest import SF_DIR
 
 
 def _events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return load_table(spark, SF_DIR, "events")
 
 
