@@ -22,6 +22,7 @@ from near_event_streams_spark.plans import (  # noqa: E402
     analytics,
     curation,
     llm_ops,
+    timeseries,
 )
 
 
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics.QUERIES)
     out.update(llm_ops.QUERIES)
     out.update(curation.QUERIES)
+    out.update(timeseries.QUERIES)
     counts, ever_bad = _driver_history()
     ordered = sorted(
         out, key=lambda name: (name not in ever_bad, counts.get(name, 0))
@@ -81,4 +83,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics.ORACLE_SQL)
     out.update(llm_ops.ORACLE_SQL)
     out.update(curation.ORACLE_SQL)
+    out.update(timeseries.ORACLE_SQL)
     return out

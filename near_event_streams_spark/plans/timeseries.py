@@ -1,0 +1,261 @@
+"""Time-series query surface over the events table: hypertable-style
+rollup cascade, gap-fill with LOCF, linear interpolation, EWMA.
+
+All four queries are exact-oracled. Determinism notes:
+
+* bucket math is integer epoch-µs arithmetic (no timestamp truncation);
+* sums are exact decimals cast to double at the output boundary;
+* interpolation divides doubles with the identical expression shape in
+  both engines (IEEE ops on identical operands are bit-identical);
+* the EWMA fold uses only ``*``/``+`` in the lambda (no ``pow``), and
+  BOTH engines evaluate the same truncated-lookback fold, so the
+  truncation is part of the operator's definition, not an error term.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_event_streams_spark.operators import timeseries as tsop
+from near_event_streams_spark.plans._common import _t, dec, ts_us
+
+US_15M = 15 * 60 * 1_000_000
+US_1H = 4 * US_15M
+US_6H = 6 * US_1H
+
+# --------------------------------------------------------------------------
+# Rollup cascade: raw → 15m (the only full shuffle) → 1h → 6h.
+# Scale: the 100 TB scan is aggregated exactly once; coarser levels
+# re-aggregate the finest aggregate (bounded by time-span / 15m rows).
+# --------------------------------------------------------------------------
+
+
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = tsop.rollup_cascade(
+        ev,
+        ts_us=ts_us(),
+        value=dec("value"),
+        resolutions_us=[US_15M, US_1H, US_6H],
+    )
+    return out.select(
+        "resolution_us",
+        "bucket_start_us",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("resolution_us", "bucket_start_us")
+
+
+TS_ROLLUP_CASCADE_SQL = """
+WITH base AS (
+  SELECT epoch_ns(ts) // 1000 AS t_us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT resolution_us, bucket_start_us, n_events, sum_value
+FROM (
+  SELECT CAST(900000000 AS BIGINT) AS resolution_us,
+         t_us - (t_us % 900000000) AS bucket_start_us,
+         COUNT(*) AS n_events,
+         CAST(SUM(v) AS DOUBLE) AS sum_value
+  FROM base GROUP BY 2
+  UNION ALL
+  SELECT CAST(3600000000 AS BIGINT),
+         t_us - (t_us % 3600000000),
+         COUNT(*),
+         CAST(SUM(v) AS DOUBLE)
+  FROM base GROUP BY 2
+  UNION ALL
+  SELECT CAST(21600000000 AS BIGINT),
+         t_us - (t_us % 21600000000),
+         COUNT(*),
+         CAST(SUM(v) AS DOUBLE)
+  FROM base GROUP BY 2
+)
+ORDER BY resolution_us, bucket_start_us
+"""
+
+# --------------------------------------------------------------------------
+# Hourly per-user gap-fill. The observed frame is one row per
+# (user, hour); the dense grid spans each user's own [min, max] hour.
+# --------------------------------------------------------------------------
+
+_GAPFILL_USERS = 8  # user_id < 8: bounded demo cohort for the dense grid
+
+
+def _hourly_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < _GAPFILL_USERS)
+    b = tsop.bucket_start(ts_us(), US_1H).alias("bucket_start_us")
+    return (
+        ev.select("user_id", b, dec("value").alias("v"))
+        .groupBy("user_id", "bucket_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )
+
+
+_HOURLY_OBS_SQL = f"""
+  SELECT user_id,
+         (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000) % 3600000000)
+           AS bucket_start_us,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  FROM events
+  WHERE user_id < {_GAPFILL_USERS}
+  GROUP BY 1, 2
+"""
+
+_GRID_SQL = """
+  spans AS (
+    SELECT user_id,
+           MIN(bucket_start_us) AS lo,
+           MAX(bucket_start_us) AS hi
+    FROM obs GROUP BY 1
+  ),
+  grid AS (
+    SELECT user_id,
+           UNNEST(generate_series(lo, hi, 3600000000)) AS bucket_start_us
+    FROM spans
+  ),
+  filled AS (
+    SELECT g.user_id, g.bucket_start_us, o.n_events, o.sum_value
+    FROM grid g
+    LEFT JOIN obs o
+      ON o.user_id = g.user_id
+     AND o.bucket_start_us = g.bucket_start_us
+  )
+"""
+
+
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = _hourly_observed(spark, sf_dir)
+    grid = tsop.gapfill_grid(
+        obs, ["user_id"], "bucket_start_us", US_1H
+    )
+    out = tsop.locf(
+        grid, ["user_id"], "bucket_start_us", "sum_value", "value_locf"
+    )
+    return out.select(
+        "user_id",
+        "bucket_start_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "value_locf",
+    ).orderBy("user_id", "bucket_start_us")
+
+
+TS_GAPFILL_LOCF_SQL = f"""
+WITH obs AS ({_HOURLY_OBS_SQL}),
+{_GRID_SQL}
+SELECT user_id, bucket_start_us,
+       COALESCE(n_events, 0) AS n_events,
+       LAST_VALUE(sum_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_start_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_locf
+FROM filled
+ORDER BY user_id, bucket_start_us
+"""
+
+
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = _hourly_observed(spark, sf_dir)
+    grid = tsop.gapfill_grid(obs, ["user_id"], "bucket_start_us", US_1H)
+    out = tsop.interpolate_linear(
+        grid, ["user_id"], "bucket_start_us", "sum_value", "value_interp"
+    )
+    return out.select(
+        "user_id", "bucket_start_us", "value_interp"
+    ).orderBy("user_id", "bucket_start_us")
+
+
+TS_INTERPOLATE_SQL = f"""
+WITH obs AS ({_HOURLY_OBS_SQL}),
+{_GRID_SQL},
+anchored AS (
+  SELECT user_id, bucket_start_us, sum_value,
+         CAST(bucket_start_us AS DOUBLE) AS t,
+         LAST_VALUE(sum_value IGNORE NULLS) OVER prev AS pv,
+         LAST_VALUE(CASE WHEN sum_value IS NOT NULL
+                         THEN CAST(bucket_start_us AS DOUBLE) END
+                    IGNORE NULLS) OVER prev AS pt,
+         FIRST_VALUE(sum_value IGNORE NULLS) OVER nxt AS nv,
+         FIRST_VALUE(CASE WHEN sum_value IS NOT NULL
+                          THEN CAST(bucket_start_us AS DOUBLE) END
+                     IGNORE NULLS) OVER nxt AS nt
+  FROM filled
+  WINDOW
+    prev AS (PARTITION BY user_id ORDER BY bucket_start_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    nxt AS (PARTITION BY user_id ORDER BY bucket_start_us
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket_start_us,
+       CASE WHEN sum_value IS NOT NULL THEN sum_value
+            ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+       END AS value_interp
+FROM anchored
+ORDER BY user_id, bucket_start_us
+"""
+
+# --------------------------------------------------------------------------
+# Event-level EWMA smoothing (all users; bounded 32-row lookback).
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25
+_EWMA_LOOKBACK = 32
+
+
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", ts_us().alias("t_us"), "value"
+    )
+    out = tsop.ewma_fold(
+        base,
+        ["user_id"],
+        ["t_us", "event_id"],
+        "value",
+        alpha=_EWMA_ALPHA,
+        lookback=_EWMA_LOOKBACK,
+        alias="ewma",
+    )
+    return out.select("user_id", "event_id", "t_us", "ewma").orderBy(
+        "user_id", "t_us", "event_id"
+    )
+
+
+TS_EWMA_SQL = f"""
+WITH framed AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+           ROWS BETWEEN {_EWMA_LOOKBACK} PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+)
+SELECT user_id, event_id, t_us,
+       list_reduce(
+         vals, (acc, x) -> {1.0 - _EWMA_ALPHA} * acc + {_EWMA_ALPHA} * x
+       ) AS ewma
+FROM framed
+ORDER BY user_id, t_us, event_id
+"""
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ts_rollup_cascade": ts_rollup_cascade,
+    "ts_gapfill_locf": ts_gapfill_locf,
+    "ts_interpolate_linear": ts_interpolate_linear,
+    "ts_ewma_smooth": ts_ewma_smooth,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "ts_rollup_cascade": TS_ROLLUP_CASCADE_SQL,
+    "ts_gapfill_locf": TS_GAPFILL_LOCF_SQL,
+    "ts_interpolate_linear": TS_INTERPOLATE_SQL,
+    "ts_ewma_smooth": TS_EWMA_SQL,
+}
