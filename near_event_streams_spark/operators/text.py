@@ -272,8 +272,9 @@ def bm25_rank(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    top_k: int | None = 1000,
 ) -> DataFrame:
-    """BM25 document ranking against a bag of query terms — the retrieval
+    """BM25 top-k document retrieval against a bag of query terms — the
     scorer a corpus-search / hard-negative-mining pipeline runs over the
     training set.
 
@@ -281,9 +282,16 @@ def bm25_rank(
     query's term list folds into an ``isin`` literal); per-(doc, term)
     tf is one hash aggregation; the df/N/avgdl corpus statistics are
     tiny aggregates that broadcast back; the final score is one more
-    hash aggregation on ``doc_id``. No sort — ranking is a window over
-    the (small) matched-doc result; nothing global moves except the
-    matched docs.
+    hash aggregation on ``doc_id``. Ranking is two-phase: an
+    ``orderBy(...).limit(top_k)`` plans as TakeOrderedAndProject
+    (per-partition top-k, then a k-row merge on one task — never a full
+    sort, never an unpartitioned window over all matched docs), and the
+    row_number window then runs over at most ``top_k`` rows. With a
+    high-df query term over a 100 TB corpus the matched set is
+    unbounded; only the bounded k-row head ever funnels through a
+    single task. ``top_k=None`` ranks every matched doc through one
+    unpartitioned window — correct, but a single-executor bottleneck at
+    scale; reserve it for small corpora.
 
     Uses the Lucene positive-idf variant ``ln(1 + (N - df + .5)/(df + .5))``.
     Scores round to 6 dp so the DuckDB oracle hash-matches (sum order
@@ -333,8 +341,11 @@ def bm25_rank(
         F.round(F.sum("w"), 6).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
+    ranked = per_doc
+    if top_k is not None:
+        ranked = ranked.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return per_doc.withColumn("rank", F.row_number().over(w))
+    return ranked.withColumn("rank", F.row_number().over(w))
 
 
 def lm_bigram_logprob(

@@ -663,14 +663,17 @@ FROM documents
 
 
 BM25_TERMS = ("spark", "merge", "window", "filter")
+BM25_TOP_K = 100
 
 
 def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval over the corpus for a fixed term bag — tf one hash
-    agg, df/N/avgdl broadcast scalars, score one more agg; oracle
-    replays the exact formula (ln + rounding to 6 dp)."""
+    """BM25 top-k retrieval over the corpus for a fixed term bag — tf one
+    hash agg, df/N/avgdl broadcast scalars, score one more agg; ranking
+    two-phase (TakeOrderedAndProject top-k, then a k-row window — no
+    unpartitioned window over the unbounded matched set); oracle replays
+    the exact formula (ln + rounding to 6 dp) and the same top-k cut."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.bm25_rank(docs, BM25_TERMS).orderBy("rank")
+    return text.bm25_rank(docs, BM25_TERMS, top_k=BM25_TOP_K).orderBy("rank")
 
 
 TEXT_BM25_SQL = """
@@ -710,6 +713,7 @@ SELECT doc_id, bm25, n_terms_matched,
        CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
 FROM per_doc
 ORDER BY rank
+LIMIT 100
 """
 
 

@@ -359,6 +359,28 @@ def test_bm25_stats_broadcast_and_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_bm25_ranking_is_topk_not_global_window(spark):
+    """The ranking must be two-phase: TakeOrderedAndProject bounds the
+    rows reaching the single-partition row_number window to ``top_k``.
+    The unbounded matched-doc set must never feed an unpartitioned
+    window directly — a high-df query term over a 100 TB corpus would
+    otherwise funnel every matched doc through ONE task. The plan string
+    prints parents before children, so Window before TakeOrdered in the
+    text means the window consumes the (<= top_k row) limit output."""
+    from near_event_streams_spark.operators import text as text_ops
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id >= 0")
+    df = text_ops.bm25_rank(docs, ("spark", "merge"), top_k=50)
+    plan = plan_text(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+        "row_number window must rank the TakeOrdered top-k output, "
+        "not the full matched set:\n" + plan[:2000]
+    )
+
+
 def test_substring_spans_gram_join_not_forced_broadcast(spark):
     """The gram->doc-count table is unbounded at corpus scale, so the
     join back must NOT carry a broadcast hint: with the auto-broadcast
