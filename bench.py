@@ -64,27 +64,34 @@ def main() -> None:
     # warm the JVM + file listing once, outside timed region
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # Each query runs twice; reported time is the min (steady state).
-    # Run 1 pays one-time whole-stage-codegen JIT compilation (~1s for the
-    # decimal-heavy plans) — a fixed cost that's irrelevant at cluster
-    # scale where a compiled plan processes TBs. Cold totals are recorded
-    # alongside for transparency.
+    # Each query runs 4×: one discarded cold run (pays one-time
+    # whole-stage-codegen JIT — a fixed cost irrelevant at cluster scale
+    # where a compiled plan processes TBs), then 3 steady runs. Reported
+    # time is the MEDIAN of the steady runs; per-query [min, max]
+    # dispersion is recorded so round-over-round comparisons can be
+    # judged against this sandbox's run-to-run noise (single-box
+    # wall-times here swing >2× with cache/load) instead of being read
+    # as plan regressions.
     timings: dict[str, float] = {}
+    dispersion: dict[str, list[float]] = {}
     total = 0.0
     cold_total = 0.0
     for name, fn in HEADLINE:
         runs = []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
             runs.append(time.perf_counter() - t0)
-        dt = min(runs)
+        steady = sorted(runs[1:])
+        dt = steady[len(steady) // 2]
         timings[name] = round(dt, 3)
+        dispersion[name] = [round(steady[0], 3), round(steady[-1], 3)]
         total += dt
         cold_total += runs[0]
         print(
-            f"# {name}: {dt:.3f}s steady / {runs[0]:.3f}s cold ({n} rows)",
+            f"# {name}: {dt:.3f}s median ({steady[0]:.3f}-{steady[-1]:.3f}s "
+            f"steady) / {runs[0]:.3f}s cold ({n} rows)",
             file=sys.stderr,
         )
 
@@ -95,6 +102,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "dispersion": dispersion,
+                "steady_runs_per_query": 3,
                 "cold_total": round(cold_total, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
