@@ -38,8 +38,14 @@ US_PER_MINUTE = 60 * 1_000_000
 
 def bucket_start(ts_us_col: Column, bucket_us: int) -> Column:
     """Tumbling-bucket start in epoch-µs: pure integer arithmetic so any
-    engine agrees exactly (no timestamp truncation semantics involved)."""
-    return ts_us_col - (ts_us_col % F.lit(bucket_us))
+    engine agrees exactly (no timestamp truncation semantics involved).
+
+    Uses ``pmod`` (always-nonnegative remainder) so the result is the
+    true FLOOR bucket boundary for negative (pre-1970) timestamps too —
+    truncating ``%`` would round those toward zero, i.e. to the bucket
+    AFTER the instant. Oracle SQL mirrors with ``((t % b) + b) % b``.
+    """
+    return ts_us_col - F.pmod(ts_us_col, F.lit(bucket_us))
 
 
 def rollup_cascade(
@@ -222,6 +228,13 @@ def ewma_fold(
     and — more importantly for the oracle — BOTH engines evaluate the
     identical truncated fold, so results match exactly. Only ``*`` and
     ``+`` in the lambda: no libm divergence.
+
+    NULL handling: NULL values are SKIPPED by the fold on both engines
+    (Spark's ``collect_list`` drops them; the oracle must ``list_filter``
+    its ``list()`` frame to match — DuckDB's ``list()`` retains NULLs).
+    A frame that is entirely NULL yields a NULL ewma (``try_element_at``
+    keeps that safe under ANSI mode instead of erroring on the empty
+    frame).
     """
     w = (
         Window.partitionBy(*key_cols)
@@ -232,7 +245,7 @@ def ewma_fold(
     a = F.lit(float(alpha))
     folded = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
+        F.try_element_at(vals, F.lit(1)),
         lambda acc, x: (F.lit(1.0) - a) * acc + a * x,
     )
     return df.withColumn(alias, folded)

@@ -58,19 +58,20 @@ WITH base AS (
 SELECT resolution_us, bucket_start_us, n_events, sum_value
 FROM (
   SELECT CAST(900000000 AS BIGINT) AS resolution_us,
-         t_us - (t_us % 900000000) AS bucket_start_us,
+         t_us - (((t_us % 900000000) + 900000000) % 900000000)
+           AS bucket_start_us,
          COUNT(*) AS n_events,
          CAST(SUM(v) AS DOUBLE) AS sum_value
   FROM base GROUP BY 2
   UNION ALL
   SELECT CAST(3600000000 AS BIGINT),
-         t_us - (t_us % 3600000000),
+         t_us - (((t_us % 3600000000) + 3600000000) % 3600000000),
          COUNT(*),
          CAST(SUM(v) AS DOUBLE)
   FROM base GROUP BY 2
   UNION ALL
   SELECT CAST(21600000000 AS BIGINT),
-         t_us - (t_us % 21600000000),
+         t_us - (((t_us % 21600000000) + 21600000000) % 21600000000),
          COUNT(*),
          CAST(SUM(v) AS DOUBLE)
   FROM base GROUP BY 2
@@ -83,7 +84,10 @@ ORDER BY resolution_us, bucket_start_us
 # (user, hour); the dense grid spans each user's own [min, max] hour.
 # --------------------------------------------------------------------------
 
-_GAPFILL_USERS = 8  # user_id < 8: bounded demo cohort for the dense grid
+# user_id < 8: bounds the dense grid in the ORACLE query only — the
+# operators are general (empty/single-bucket keys, leading/trailing
+# gaps, negative timestamps are unit-tested in tests/test_timeseries.py)
+_GAPFILL_USERS = 8
 
 
 def _hourly_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +105,9 @@ def _hourly_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOURLY_OBS_SQL = f"""
   SELECT user_id,
-         (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000) % 3600000000)
+         (epoch_ns(ts) // 1000)
+           - ((((epoch_ns(ts) // 1000) % 3600000000) + 3600000000)
+              % 3600000000)
            AS bucket_start_us,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
@@ -229,19 +235,26 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULLs are skipped by the fold on both engines: Spark's collect_list
+# drops them implicitly, so the oracle list_filters its frame to match
+# (DuckDB's list() retains NULLs); an all-NULL frame yields NULL.
 TS_EWMA_SQL = f"""
 WITH framed AS (
   SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us,
-         list(value) OVER (
-           PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
-           ROWS BETWEEN {_EWMA_LOOKBACK} PRECEDING AND CURRENT ROW
+         list_filter(
+           list(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+             ROWS BETWEEN {_EWMA_LOOKBACK} PRECEDING AND CURRENT ROW
+           ), x -> x IS NOT NULL
          ) AS vals
   FROM events
 )
 SELECT user_id, event_id, t_us,
-       list_reduce(
-         vals, (acc, x) -> {1.0 - _EWMA_ALPHA} * acc + {_EWMA_ALPHA} * x
-       ) AS ewma
+       CASE WHEN len(vals) = 0 THEN NULL ELSE
+         list_reduce(
+           vals, (acc, x) -> {1.0 - _EWMA_ALPHA} * acc + {_EWMA_ALPHA} * x
+         )
+       END AS ewma
 FROM framed
 ORDER BY user_id, t_us, event_id
 """
