@@ -351,6 +351,75 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_sig_array(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, sig: array<long>)`` — the minhash signature as a single
+    array column, the portable form a persistent registry stores (the
+    wide ``h0..hk`` layout of :func:`minhash_signatures` is join-friendly
+    but schema-brittle across ``num_hashes`` changes).
+
+    Docs with fewer than two words have no bigram shingles and are
+    ABSENT from the output — they carry no near-dup signal and callers
+    must fall back to exact dedup for them.
+    """
+    sh = doc_shingle_ids(docs, id_col, text_col)
+    wide = minhash_signatures(sh, num_hashes)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
+def band_keys_from_sig(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """``(doc_id, band, bucket, sig)`` — the LSH band/bucket keys derived
+    from an array-form signature. ``bucket`` hashes the band's slots with
+    the same ``xxhash64(slot, slot, ...)`` as :func:`lsh_candidate_pairs`
+    hashes its wide columns, so array- and wide-form pipelines land in
+    identical buckets."""
+    n_bands = num_hashes // band_size
+    rows = []
+    for b in range(n_bands):
+        slots = [
+            F.element_at(F.col(sig_col), j + 1)
+            for j in range(b * band_size, (b + 1) * band_size)
+        ]
+        rows.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*slots).alias("bucket"),
+                F.col(sig_col).alias("sig"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def sig_match_fraction(a: Column, b: Column, num_hashes: int) -> Column:
+    """Estimated Jaccard between two docs = fraction of matching minhash
+    slots (the standard unbiased MinHash estimator; granularity
+    1/num_hashes). Pure ``zip_with`` + ``aggregate`` — JVM-side, no UDF."""
+    matches = F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches.cast("double") / float(num_hashes)
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = 0.8,

@@ -165,6 +165,117 @@ FROM true_pairs
 )
 
 
+def ingest_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming incremental NEAR-dup ingest
+    (``streaming/ingest.py``), driver-gated: even ``doc_id`` docs play
+    the already-ingested corpus (registry = their fingerprints + MinHash
+    band keys), odd docs play the arriving micro-batch, and the decision
+    runs through the SAME ``neardup_select`` code path the 24/7 stream
+    uses — the gate and the pipeline cannot drift.
+
+    xxhash64 minhashing is not DuckDB-expressible, so the gate is
+    engine-local invariants: ground truth = odd docs with an exact
+    Jaccard>=0.8 counterpart among evens or smaller odds; ``recall_ok``
+    pins that >=90% of those were rejected, ``precision_ok`` that EVERY
+    rejection is a true duplicate (strict on this data — the est>=0.5
+    filter only kills accidental bucket collisions), ``exact_ok`` that
+    no accepted doc exactly duplicates the corpus or another accepted
+    doc. DuckDB recomputes n_new + the exact ground-truth count and
+    pins the booleans TRUE.
+    """
+    from near_event_streams_spark.streaming import ingest as ingest_mod
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    reg_fp = corpus.select(
+        ingest_mod.fingerprint_col("text").alias("fingerprint")
+    )
+    reg_bands = dedup.band_keys_from_sig(
+        dedup.minhash_sig_array(corpus)
+    ).select("band", "bucket", F.col("sig").alias("reg_sig"))
+    accepted = ingest_mod.neardup_select(new, reg_fp, reg_bands)
+    rejected = new.select("doc_id").join(
+        accepted.select("doc_id"), "doc_id", "left_anti"
+    )
+
+    true_pairs = dedup.jaccard_pairs(docs, threshold=0.8).select(
+        "a_doc_id", "b_doc_id"
+    )
+    true_dups = (
+        true_pairs.filter(F.col("b_doc_id") % 2 == 1)
+        .select(F.col("b_doc_id").alias("doc_id"))
+        .unionByName(
+            true_pairs.filter(
+                (F.col("a_doc_id") % 2 == 1) & (F.col("b_doc_id") % 2 == 0)
+            ).select(F.col("a_doc_id").alias("doc_id"))
+        )
+        .distinct()
+    )
+
+    n_new = new.agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    n_true = true_dups.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_caught = true_dups.join(rejected, "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_caught")
+    )
+    n_rejected = rejected.agg(F.count(F.lit(1)).alias("n_rejected"))
+    n_false_rej = rejected.join(true_dups, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false_rej")
+    )
+    n_viol_corpus = accepted.join(reg_fp, "fingerprint", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_viol_corpus")
+    )
+    n_viol_within = (
+        accepted.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_viol_within"))
+    )
+    return (
+        n_new.crossJoin(n_true)
+        .crossJoin(n_caught)
+        .crossJoin(n_rejected)
+        .crossJoin(n_false_rej)
+        .crossJoin(n_viol_corpus)
+        .crossJoin(n_viol_within)
+        .select(
+            F.col("n_new"),
+            F.col("n_true").alias("n_true_neardup"),
+            (
+                (F.col("n_true") == 0)
+                | (
+                    F.col("n_caught").cast("double")
+                    >= 0.9 * F.col("n_true").cast("double")
+                )
+            ).alias("recall_ok"),
+            (F.col("n_false_rej") == 0).alias("precision_ok"),
+            (
+                (F.col("n_viol_corpus") == 0) & (F.col("n_viol_within") == 0)
+            ).alias("exact_ok"),
+        )
+    )
+
+
+INGEST_NEARDUP_SQL = (
+    _JACCARD_EXACT_PAIRS_CTE
+    + """
+, odd_dups AS (
+  SELECT b_doc_id AS doc_id FROM true_pairs WHERE b_doc_id % 2 = 1
+  UNION
+  SELECT a_doc_id FROM true_pairs
+  WHERE a_doc_id % 2 = 1 AND b_doc_id % 2 = 0
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE doc_id % 2 = 1) AS n_new,
+       CAST(COUNT(*) AS BIGINT) AS n_true_neardup,
+       TRUE AS recall_ok,
+       TRUE AS precision_ok,
+       TRUE AS exact_ok
+FROM odd_dups
+"""
+)
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidate pair list at Hamming≤1 (detail view)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1108,6 +1219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
+    "ingest_neardup_incremental": ingest_neardup_incremental,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_cosine_topk": ann_cosine_topk,
@@ -1137,6 +1249,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard_docs": DEDUP_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
+    "ingest_neardup_incremental": INGEST_NEARDUP_SQL,
     "dedup_simhash_docs": DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from near_event_streams_spark.operators import dedup
 from near_event_streams_spark.operators.dedup import normalized_text
 from near_event_streams_spark.streaming import upsert
 
@@ -104,12 +105,18 @@ def start_incremental_dedup_ingest(
     text_col: str = "text",
     n_buckets: int = 16,
     available_now: bool = True,
+    vacuum_retain: int | None = 4,
 ) -> StreamingQuery:
     """Run the incremental-dedup ingest pipeline over a stream of docs.
 
     Output layout is ``corpus_dir/batch_id=N/`` with per-batch dynamic
     partition overwrite, so a replayed batch rewrites its own partition
     (effectively-once, same contract as ``start_to_parquet_idempotent``).
+
+    ``vacuum_retain`` prunes superseded registry versions after each
+    commit — a 24/7 ingest loop creates one store version per
+    micro-batch, so without it registry storage grows without bound
+    (pass ``None`` to manage :func:`upsert.vacuum` externally).
     """
     os.makedirs(os.path.dirname(registry_path) or ".", exist_ok=True)
 
@@ -138,8 +145,303 @@ def start_incremental_dedup_ingest(
             register_fingerprints(
                 survivors, registry_path, batch_id, id_col, n_buckets
             )
+            if vacuum_retain is not None:
+                upsert.vacuum(registry_path, vacuum_retain)
         finally:
             survivors.unpersist()
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup ingest: exact + MinHash-band dedup vs one registry
+# ---------------------------------------------------------------------------
+#
+# The exact pipeline above catches byte-identical (post-normalization)
+# copies across batches; near-copies — the common case in web-scale
+# crawl refreshes — were only caught by the next BATCH sweep
+# (operators/dedup.py). This pipeline closes that gap: the registry
+# additionally stores each accepted doc's MinHash band keys + signature,
+# and each micro-batch anti-joins its new docs' band keys before accept.
+#
+# Registry layout (ONE upsert store, so fp + band rows commit in the
+# same atomic manifest swap — no crash window between "exact registered"
+# and "bands registered"):
+#   kind='fp'   rows: ukey = md5 fingerprint       (exact-dedup probe)
+#   kind='band' rows: (band, bucket, ukey=doc_id), sig = array<long>
+# key_cols = [kind, band, bucket, ukey]; idempotent under replay because
+# every field is a deterministic function of the doc text + batch_id.
+#
+# Near-dup decision: band-bucket collision (the LSH accept, same
+# num_hashes/band_size tuning as operators/dedup.lsh_candidate_pairs)
+# FILTERED by the MinHash slot-match estimate >= est_threshold. The
+# default 0.5 keeps every genuine near-dup (P[est>=0.5 | jaccard 0.8]
+# ~= 0.993 at 16 hashes) and exists to kill ACCIDENTAL bucket
+# collisions (random docs estimate ~= 0). Verification is by signature,
+# not exact Jaccard — the registry stores 16 longs per doc, never the
+# shingle sets, so cross-batch verify stays O(collisions), not
+# O(corpus text).
+#
+# Replay safety (at-least-once foreachBatch, both crash windows):
+#   * crash BEFORE the registry commit — replay recomputes the same
+#     accepted set (every probe and winner rule is a deterministic
+#     function of batch content + an unchanged registry) and the
+#     batch_id=N dynamic partition overwrite rewrites identical rows;
+#   * crash AFTER the (single, atomic) registry commit — every
+#     originally-accepted doc now hits the registry (its own fp row),
+#     every originally-dropped doc is dropped again (exact dups match
+#     the accepted copy's fp; near dups match either the registered
+#     bands or — for a within-batch drop — the still-unregistered
+#     smaller doc that also survives to the within-batch stage), so
+#     the accepted set replays EMPTY: the empty write touches no
+#     partition and the registry upsert is a no-op.
+# Proven in tests/test_ingest.py.
+#
+# Scale: per batch this costs one hash agg (fingerprints), one minhash
+# agg over the batch, and joins whose left side is the (small) batch.
+# The registry read is a snapshot scan; at large corpus scale, size
+# micro-batches in minutes (availableNow / long triggers) so the
+# O(registry) read amortizes over many accepted docs per trigger.
+
+
+def neardup_select(
+    batch: DataFrame,
+    reg_fp: DataFrame | None,
+    reg_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """The pure exact+near dedup decision (no storage): returns the batch
+    rows that survive
+
+    1. within-batch exact dedup (min ``id_col`` per fingerprint wins),
+    2. anti-join vs ``reg_fp`` (one column ``fingerprint``) when given,
+    3. anti-join vs ``reg_bands`` (``band, bucket, reg_sig``) when
+       given — band-bucket collision + signature estimate >=
+       ``est_threshold``,
+    4. within-batch near dedup: a doc is dropped when ANY smaller-id
+       batch doc shares a band bucket with estimate >= threshold
+       (greedy, deterministic; the smaller doc's own fate does not
+       matter — that independence is what makes crash replay converge).
+
+    Output = batch columns + ``fingerprint`` + ``sig`` (NULL for docs
+    with fewer than two words, which carry no near-dup signal and are
+    deduped exactly only). Shared by the streaming registry pipeline
+    (:func:`neardup_batch_against_registry`) and the driver-gated
+    batch-form query (``plans/llm_ops.ingest_neardup_incremental``) so
+    the two cannot drift.
+    """
+    fp = batch.withColumn("fingerprint", fingerprint_col(text_col))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    surv = fp.join(keep, ["fingerprint", id_col], "left_semi")
+    if reg_fp is not None:
+        surv = surv.join(reg_fp, "fingerprint", "left_anti")
+
+    sigs = dedup.minhash_sig_array(
+        surv, num_hashes, id_col=id_col, text_col=text_col
+    )
+    if id_col != "doc_id":
+        sigs = sigs.withColumnRenamed("doc_id", id_col)
+    bands = dedup.band_keys_from_sig(sigs, num_hashes, band_size)
+
+    if reg_bands is not None:
+        cross_hits = (
+            bands.join(reg_bands, ["band", "bucket"])
+            .filter(
+                dedup.sig_match_fraction(
+                    F.col("sig"), F.col("reg_sig"), num_hashes
+                )
+                >= est_threshold
+            )
+            .select(id_col)
+            .distinct()
+        )
+        surv = surv.join(cross_hits, id_col, "left_anti")
+
+    a = bands.select(
+        F.col(id_col).alias("_a_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("_a_sig"),
+    )
+    b = bands.select(
+        F.col(id_col).alias("_b_id"),
+        "band",
+        "bucket",
+        F.col("sig").alias("_b_sig"),
+    )
+    within_hits = (
+        a.join(b, ["band", "bucket"])
+        .filter(
+            (F.col("_a_id") < F.col("_b_id"))
+            & (
+                dedup.sig_match_fraction(
+                    F.col("_a_sig"), F.col("_b_sig"), num_hashes
+                )
+                >= est_threshold
+            )
+        )
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    surv = surv.join(within_hits, id_col, "left_anti")
+    return surv.join(sigs, id_col, "left")
+
+
+def neardup_batch_against_registry(
+    batch: DataFrame,
+    registry_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`neardup_select` against the persistent unified registry.
+    Does NOT update the registry — callers commit via
+    :func:`register_batch_neardup` so the read-decide-commit order
+    stays theirs. (No persist on the state read: the fp and band probes
+    each re-scan the registry parquet, which is cheaper than caching a
+    frame whose lifetime we'd have to tie to the caller's evaluation.)
+    """
+    spark = batch.sparkSession
+    state = upsert.read_state(spark, registry_path)
+    reg_fp = reg_bands = None
+    if state is not None:
+        reg_fp = state.filter(F.col("kind") == "fp").select(
+            F.col("ukey").alias("fingerprint")
+        )
+        reg_bands = state.filter(F.col("kind") == "band").select(
+            "band", "bucket", F.col("sig").alias("reg_sig")
+        )
+    return neardup_select(
+        batch,
+        reg_fp,
+        reg_bands,
+        id_col,
+        text_col,
+        num_hashes,
+        band_size,
+        est_threshold,
+    )
+
+
+def register_batch_neardup(
+    accepted: DataFrame,
+    registry_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n_buckets: int = 16,
+) -> int:
+    """Record an accepted batch's fingerprints AND band keys in ONE
+    atomic registry commit (idempotent under replay: deterministic keys,
+    same seq, same winner). ``accepted`` must carry ``fingerprint`` and
+    ``sig`` as produced by :func:`neardup_batch_against_registry`."""
+    fp_rows = accepted.select(
+        F.lit("fp").alias("kind"),
+        F.lit(-1).alias("band"),
+        F.lit(0).cast("long").alias("bucket"),
+        F.col("fingerprint").alias("ukey"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(None).cast("array<bigint>").alias("sig"),
+        F.lit(batch_id).cast("long").alias("seq"),
+    )
+    sigs = accepted.filter(F.col("sig").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), "sig"
+    )
+    band_rows = dedup.band_keys_from_sig(sigs, num_hashes, band_size).select(
+        F.lit("band").alias("kind"),
+        F.col("band"),
+        F.col("bucket"),
+        F.col("doc_id").cast("string").alias("ukey"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sig"),
+        F.lit(batch_id).cast("long").alias("seq"),
+    )
+    return upsert.merge_upsert(
+        fp_rows.unionByName(band_rows),
+        registry_path,
+        key_cols=["kind", "band", "bucket", "ukey"],
+        seq_col="seq",
+        n_buckets=n_buckets,
+    )
+
+
+def start_incremental_neardup_ingest(
+    stream_df: DataFrame,
+    corpus_dir: str,
+    registry_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    est_threshold: float = 0.5,
+    n_buckets: int = 16,
+    available_now: bool = True,
+    vacuum_retain: int | None = 4,
+) -> StreamingQuery:
+    """24/7 ingest with BOTH exact and near-dup suppression against the
+    persistent registry. Same effectively-once corpus contract as
+    :func:`start_incremental_dedup_ingest` (``batch_id=N`` dynamic
+    partition overwrite); the registry gains band keys in the same
+    atomic commit as fingerprints. ``vacuum_retain`` bounds registry
+    storage under the one-version-per-micro-batch churn."""
+    os.makedirs(os.path.dirname(registry_path) or ".", exist_ok=True)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        accepted = neardup_batch_against_registry(
+            batch,
+            registry_path,
+            id_col,
+            text_col,
+            num_hashes,
+            band_size,
+            est_threshold,
+        ).persist()
+        try:
+            spark = batch.sparkSession
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    accepted.drop("fingerprint", "sig")
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(corpus_dir)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            register_batch_neardup(
+                accepted,
+                registry_path,
+                batch_id,
+                id_col,
+                num_hashes,
+                band_size,
+                n_buckets,
+            )
+            if vacuum_retain is not None:
+                upsert.vacuum(registry_path, vacuum_retain)
+        finally:
+            accepted.unpersist()
 
     writer = (
         stream_df.writeStream.outputMode("append")

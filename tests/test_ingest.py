@@ -117,3 +117,173 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
 
     state = upsert.read_state(spark, reg)
     assert state.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup ingest (exact + MinHash bands, one registry)
+# ---------------------------------------------------------------------------
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while rain falls on "
+    "the quiet green field near the old stone bridge at dawn"
+)
+NEAR = BASE.replace("rain", "snow")  # one word: high-Jaccard near-dup
+OTHER = (
+    "completely different content about spark physical plans shuffle "
+    "exchanges broadcast joins and adaptive query execution at scale"
+)
+
+
+def test_neardup_static_catches_cross_batch_near_copies(spark, tmp_path):
+    reg = str(tmp_path / "reg")
+
+    b1 = _docs(spark, [(1, BASE), (2, OTHER)])
+    a1 = ingest.neardup_batch_against_registry(b1, reg)
+    assert {r["doc_id"] for r in a1.collect()} == {1, 2}
+    ingest.register_batch_neardup(a1, reg, batch_id=0)
+
+    b2 = _docs(
+        spark,
+        [
+            (10, NEAR),              # near-dup of registered doc 1
+            (11, BASE),              # exact dup of registered doc 1
+            (12, "zeta eta theta iota kappa wholly new words here today"),
+        ],
+    )
+    a2 = ingest.neardup_batch_against_registry(b2, reg)
+    assert {r["doc_id"] for r in a2.collect()} == {12}
+
+
+def test_neardup_within_batch_greedy_drop(spark, tmp_path):
+    reg = str(tmp_path / "reg")
+    b = _docs(spark, [(5, NEAR), (3, BASE), (7, OTHER)])
+    acc = ingest.neardup_batch_against_registry(b, reg)
+    # 3 keeps (smallest), 5 dropped as near-dup of 3, 7 unrelated
+    assert {r["doc_id"] for r in acc.collect()} == {3, 7}
+
+
+def test_neardup_short_docs_fall_back_to_exact(spark, tmp_path):
+    """Sub-bigram docs (one word) have no signature: near machinery must
+    skip them (sig NULL), exact dedup still applies."""
+    reg = str(tmp_path / "reg")
+    b1 = _docs(spark, [(1, "hello")])
+    a1 = ingest.neardup_batch_against_registry(b1, reg)
+    rows = a1.collect()
+    assert [r["doc_id"] for r in rows] == [1] and rows[0]["sig"] is None
+    ingest.register_batch_neardup(a1, reg, batch_id=0)
+
+    b2 = _docs(spark, [(2, "  HELLO "), (3, "world")])
+    a2 = ingest.neardup_batch_against_registry(b2, reg)
+    assert {r["doc_id"] for r in a2.collect()} == {3}
+
+
+def test_neardup_replay_after_commit_accepts_nothing(spark, tmp_path):
+    """The post-commit crash window: re-running the same batch against
+    the already-committed registry must accept zero docs — accepted docs
+    hit their own fp rows, near-dropped docs hit the registered bands or
+    the still-present smaller batch doc."""
+    reg = str(tmp_path / "reg")
+    batch = _docs(
+        spark,
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE), (5, "tiny")],
+    )
+    acc = ingest.neardup_batch_against_registry(batch, reg)
+    got = {r["doc_id"] for r in acc.collect()}
+    assert got == {1, 3, 5}, got  # 2 near-dup of 1, 4 exact dup of 1
+    ingest.register_batch_neardup(acc, reg, batch_id=0)
+
+    replay = ingest.neardup_batch_against_registry(batch, reg)
+    assert replay.count() == 0
+
+    # and the registry commit itself is idempotent
+    from near_event_streams_spark.streaming import upsert
+
+    v1 = upsert.current_version(reg)
+    n1 = upsert.read_state(spark, reg).count()
+    ingest.register_batch_neardup(replay, reg, batch_id=0)
+    assert upsert.current_version(reg) == v1
+    assert upsert.read_state(spark, reg).count() == n1
+
+
+def test_neardup_streaming_e2e_with_restart(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    reg = str(tmp_path / "reg")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = ingest.start_incremental_neardup_ingest(stream, corpus, reg, ck)
+        q.awaitTermination()
+
+    _docs(spark, [(1, BASE), (2, OTHER)]).coalesce(1).write.mode(
+        "append"
+    ).json(str(src))
+    run_once()
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+    # run 2: a near-copy, an exact copy, and one genuinely new doc
+    _docs(
+        spark,
+        [(10, NEAR), (11, BASE), (12, "fresh unrelated words for run two")],
+    ).coalesce(1).write.mode("append").json(str(src))
+    run_once()
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 2, 12}, ids
+
+
+def test_ingest_vacuum_bounds_registry_versions(spark, tmp_path):
+    """24/7 loop creates one registry version per micro-batch; with
+    vacuum_retain every SUPERSEDED bucket directory at or below the
+    retention floor must be gone — old version dirs may survive only for
+    buckets the committed manifest still owns there (that data is live,
+    not garbage). Total on-disk bucket dirs stay bounded by live
+    manifest entries + the retained recent versions."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    reg = str(tmp_path / "reg")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    for i in range(5):
+        _docs(
+            spark, [(100 + i, f"unique document number {i} with words")]
+        ).coalesce(1).write.mode("append").json(str(src))
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = ingest.start_incremental_neardup_ingest(
+            stream, corpus, reg, ck, vacuum_retain=2
+        )
+        q.awaitTermination()
+
+    from near_event_streams_spark.streaming import upsert
+
+    cur = upsert.current_version(reg)
+    assert cur >= 5
+    with open(os.path.join(reg, f"v{cur}", "manifest.json")) as f:
+        manifest = {str(k): int(v) for k, v in json.load(f).items()}
+    floor = cur - 2
+    n_bucket_dirs = 0
+    for entry in os.listdir(reg):
+        if not (entry.startswith("v") and entry[1:].isdigit()):
+            continue
+        v = int(entry[1:])
+        buckets = [
+            d.split("=", 1)[1]
+            for d in os.listdir(os.path.join(reg, entry))
+            if d.startswith("_bucket=")
+        ]
+        n_bucket_dirs += len(buckets)
+        if v <= floor:
+            dead = [b for b in buckets if manifest.get(b) != v]
+            assert not dead, (entry, dead)
+    # bound: live entries (<= n_buckets) + superseded copies only inside
+    # the 2 retained recent versions (each <= n_buckets)
+    assert n_bucket_dirs <= len(manifest) + 2 * 16
+    # ingest output unaffected by vacuuming
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids == {100, 101, 102, 103, 104}

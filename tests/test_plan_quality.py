@@ -398,3 +398,16 @@ def test_substring_spans_gram_join_not_forced_broadcast(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ingest_neardup_probe_joins_are_equi(spark):
+    """The incremental near-dup probes (batch fp/bands vs registry) must
+    be key-equi joins — candidate generation may never plan a cartesian.
+    The only nested-loop joins allowed are the 1-row invariant-summary
+    crossJoins at the top of the gate query."""
+    from near_event_streams_spark.plans import llm_ops
+
+    df = llm_ops.ingest_neardup_incremental(spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 6, plan[:3000]
