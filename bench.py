@@ -23,6 +23,7 @@ from near_event_streams_spark.plans import (  # noqa: E402
     analytics_ext,
     curation,
     llm_ops,
+    timeseries,
 )
 from near_event_streams_spark.session import get_spark  # noqa: E402
 
@@ -53,6 +54,12 @@ HEADLINE = [
     # the Arrow-batched Python paths need a wall-time datapoint too
     ("pack_docs_next_fit", curation.QUERIES["pack_docs_next_fit"]),
     ("decontaminate_train_docs", curation.QUERIES["decontaminate_train_docs"]),
+    # round-4 families: hypertable rollup cascade (one raw-scan agg +
+    # re-aggregation) and the incremental near-dup ingest decision (the
+    # operator alone — fp anti-join + band probe + within-batch pass —
+    # not the invariant gate's exact ground-truth recomputation)
+    ("ts_rollup_cascade", timeseries.QUERIES["ts_rollup_cascade"]),
+    ("ingest_neardup_select", llm_ops.ingest_neardup_select),
 ]
 
 

@@ -365,8 +365,18 @@ def minhash_sig_array(
     Docs with fewer than two words have no bigram shingles and are
     ABSENT from the output — they carry no near-dup signal and callers
     must fall back to exact dedup for them.
+
+    The input is round-robin repartitioned first (same rationale as
+    :func:`shingle_id_sets`: corpus files are often few/large, and the
+    per-row hashing would otherwise run on as few cores as there are
+    input splits), then shingles explode DIRECTLY from the transform —
+    not from a pre-built array column, whose generator input Spark may
+    recompute per output row (measured 10x slower at sf0.1).
     """
-    sh = doc_shingle_ids(docs, id_col, text_col)
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    sh = doc_shingle_ids(spread, id_col, text_col)
     wide = minhash_signatures(sh, num_hashes)
     return wide.select(
         "doc_id",

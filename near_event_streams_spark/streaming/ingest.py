@@ -220,6 +220,7 @@ def neardup_select(
     num_hashes: int = 16,
     band_size: int = 4,
     est_threshold: float = 0.5,
+    cache: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The pure exact+near dedup decision (no storage): returns the batch
     rows that survive
@@ -240,6 +241,15 @@ def neardup_select(
     (:func:`neardup_batch_against_registry`) and the driver-gated
     batch-form query (``plans/llm_ops.ingest_neardup_incremental``) so
     the two cannot drift.
+
+    ``cache``: when a list is passed, the twice-plus-consumed
+    ``sigs``/``bands`` intermediates are persisted and appended to it —
+    the signature pipeline feeds four plan branches (band derivation,
+    cross-registry probe, both sides of the within-batch self-join,
+    final re-attach) and would otherwise recompute per branch. The
+    CALLER owns unpersisting (a 24/7 stream must, or per-batch plans
+    accumulate in the cache manager; one-shot batch callers may rely on
+    plan-identity cache dedup instead).
     """
     fp = batch.withColumn("fingerprint", fingerprint_col(text_col))
     keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
@@ -252,7 +262,13 @@ def neardup_select(
     )
     if id_col != "doc_id":
         sigs = sigs.withColumnRenamed("doc_id", id_col)
+    if cache is not None:
+        sigs = sigs.persist()
+        cache.append(sigs)
     bands = dedup.band_keys_from_sig(sigs, num_hashes, band_size)
+    if cache is not None:
+        bands = bands.persist()
+        cache.append(bands)
 
     if reg_bands is not None:
         cross_hits = (
@@ -306,6 +322,7 @@ def neardup_batch_against_registry(
     num_hashes: int = 16,
     band_size: int = 4,
     est_threshold: float = 0.5,
+    cache: list[DataFrame] | None = None,
 ) -> DataFrame:
     """:func:`neardup_select` against the persistent unified registry.
     Does NOT update the registry — callers commit via
@@ -333,6 +350,7 @@ def neardup_batch_against_registry(
         num_hashes,
         band_size,
         est_threshold,
+        cache,
     )
 
 
@@ -402,6 +420,7 @@ def start_incremental_neardup_ingest(
     os.makedirs(os.path.dirname(registry_path) or ".", exist_ok=True)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        cached: list[DataFrame] = []
         accepted = neardup_batch_against_registry(
             batch,
             registry_path,
@@ -410,6 +429,7 @@ def start_incremental_neardup_ingest(
             num_hashes,
             band_size,
             est_threshold,
+            cache=cached,
         ).persist()
         try:
             spark = batch.sparkSession
@@ -442,6 +462,11 @@ def start_incremental_neardup_ingest(
                 upsert.vacuum(registry_path, vacuum_retain)
         finally:
             accepted.unpersist()
+            # per-batch plans differ (new source data), so without this
+            # a 24/7 stream accumulates one sigs+bands cache entry pair
+            # per micro-batch in the cache manager
+            for df in cached:
+                df.unpersist()
 
     writer = (
         stream_df.writeStream.outputMode("append")
