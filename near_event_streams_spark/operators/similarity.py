@@ -394,3 +394,71 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "cos_sim")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): cluster the embeddings with the
+    IVF KMeans coarse quantizer, then compute EXACT pairwise cosine only
+    WITHIN each cluster. Returns ``(a_id, b_id, cluster, cos_sim)`` for
+    within-cluster pairs at or above ``threshold``.
+
+    Scale: the all-pairs comparison that is quadratic in the corpus
+    becomes quadratic per cluster — the SemDeDup design point. The
+    cluster self-join is key-equi on ``cluster`` (shuffle-partitioned,
+    AQE-splittable when one cluster runs hot); at larger corpora raise
+    ``n_clusters`` so the per-cluster pair count stays bounded. Found
+    pairs are a SUBSET of the exact global pair set by construction
+    (cosine is exact; only cross-cluster pairs can be missed).
+    """
+    assigned, _ = ivf_index(corpus, n_clusters, seed, id_col, vec_col)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        "cluster",
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            "cluster",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector SemDeDup decision: a vector is DROPPED when a
+    smaller-id vector in its cluster sits at or above the cosine
+    threshold (deterministic min-id representative, same winner rule as
+    the text dedup family). Returns the kept rows of ``corpus``."""
+    pairs = semantic_dedup_pairs(
+        corpus, threshold, n_clusters, seed, id_col, vec_col
+    )
+    dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return corpus.join(dropped, id_col, "left_anti")

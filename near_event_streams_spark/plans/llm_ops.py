@@ -437,6 +437,98 @@ WHERE ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= 0.35
 ORDER BY a_id, b_id
 """
 
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster embeddings, exact cosine
+    within cluster only — ``similarity.semantic_dedup_pairs/keep``),
+    driver-gated by engine-local invariants against the exact global
+    pair set at the same 0.35 threshold:
+
+    * ``subset_ok`` — every within-cluster pair IS a true global pair
+      (exact cosine inside the cluster can never hallucinate a pair);
+    * ``coverage_ok`` — >=15% of true pairs are co-clustered, >=2.4x
+      the 1/16 random co-cluster rate (this synthetic corpus has NO
+      high-similarity planted dups — max cosine ~0.5 — so threshold
+      pairs are weakly-structured tail pairs; on a real embedding
+      manifold, the SemDeDup setting, near-dups are near-identical and
+      coverage approaches 1). Measured 0.42 at sf0.01 / 0.35 at
+      sf0.001 / 0.26 at sf0.1;
+    * ``keep_consistent_ok`` — the kept set is exactly the corpus minus
+      the distinct higher-id members of found pairs (wiring check
+      between the pair and keep forms).
+
+    DuckDB recomputes n_vecs + the exact global pair count and pins the
+    booleans TRUE.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    keys = ["a_id", "b_id"]
+    found = similarity.semantic_dedup_pairs(emb, threshold=0.35).select(
+        *keys
+    )
+    exact = similarity.cosine_near_pairs(emb, threshold=0.35).select(*keys)
+    kept = similarity.semantic_dedup_keep(emb, threshold=0.35)
+
+    n_vecs = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_hit = found.join(exact, keys).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_extra = found.join(exact, keys, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    n_dropped = (
+        found.select("b_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    n_kept = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        n_vecs.crossJoin(n_true)
+        .crossJoin(n_hit)
+        .crossJoin(n_extra)
+        .crossJoin(n_dropped)
+        .crossJoin(n_kept)
+        .select(
+            F.col("n_vecs"),
+            F.col("n_true").alias("n_true_pairs"),
+            (F.col("n_extra") == 0).alias("subset_ok"),
+            (
+                (F.col("n_true") == 0)
+                | (
+                    F.col("n_hit").cast("double")
+                    >= 0.15 * F.col("n_true").cast("double")
+                )
+            ).alias("coverage_ok"),
+            (F.col("n_kept") == F.col("n_vecs") - F.col("n_dropped")).alias(
+                "keep_consistent_ok"
+            ),
+        )
+    )
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+), norms AS (
+  SELECT vec_id, SUM(v*v) AS nsq FROM flat GROUP BY 1
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, SUM(a.v * b.v) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), true_pairs AS (
+  SELECT a_id, b_id
+  FROM dots
+  JOIN norms na ON a_id = na.vec_id
+  JOIN norms nb ON b_id = nb.vec_id
+  WHERE ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= 0.35
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       TRUE AS subset_ok,
+       TRUE AS coverage_ok,
+       TRUE AS keep_consistent_ok
+FROM true_pairs
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -1254,6 +1346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_neardup_incremental": ingest_neardup_incremental,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_semantic_clusters": dedup_semantic_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1284,6 +1377,7 @@ ORACLE_SQL: dict[str, str] = {
     "ingest_neardup_incremental": INGEST_NEARDUP_SQL,
     "dedup_simhash_docs": DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+    "dedup_semantic_clusters": DEDUP_SEMANTIC_SQL,
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_lsh_topk": _ANN_INVARIANT_SQL,
     "ann_ivf_topk": _ANN_INVARIANT_SQL,

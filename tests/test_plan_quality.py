@@ -411,3 +411,16 @@ def test_ingest_neardup_probe_joins_are_equi(spark):
     plan = plan_text(df, mode="simple")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 6, plan[:3000]
+
+
+def test_semantic_dedup_cluster_join_is_equi(spark):
+    """SemDeDup's within-cluster pair generation must be a key-equi
+    self-join on the cluster id — never a cartesian over the corpus."""
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = similarity.semantic_dedup_pairs(emb)
+    plan = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
