@@ -286,3 +286,47 @@ def pack_next_fit(
 
     schema = f"{order_col} long, {group_col} string, n_tokens int, bin_id long"
     return base.groupBy(group_col).applyInPandas(_pack, schema)
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    key_col: str = "lang",
+    score_col: str = "avg_logprob",
+    lo_frac: float = 1.0 / 3.0,
+    hi_frac: float = 2.0 / 3.0,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet-style per-group perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting high quality monolingual datasets from web crawl
+    data"): within each group (language), label every document head /
+    middle / tail by its LM score's position against the group's
+    quantile thresholds. CCNet keeps head+middle for LM training.
+
+    Scale design: the thresholds come from ``percentile_approx`` — ONE
+    distributed aggregation whose GK sketch is mergeable across
+    partitions — and broadcast back for the labeling map. Deliberately
+    NOT a ``percent_rank`` window partitioned by group: that funnels
+    each whole language through a single task (the same
+    one-partition-window bottleneck bm25_rank had). With ``accuracy``
+    >= the per-group row count the sketch's rank error is < 1 row, i.e.
+    exact at test scale; at 100 TB the <=n/accuracy rank error is the
+    standard production tradeoff (CCNet itself buckets on sampled
+    percentiles).
+
+    Higher score = more fluent: head = score >= hi-threshold,
+    tail = score < lo-threshold, middle = the rest.
+    """
+    th = scored.groupBy(key_col).agg(
+        F.percentile_approx(
+            score_col, [float(lo_frac), float(hi_frac)], accuracy
+        ).alias("_th")
+    )
+    labeled = scored.join(F.broadcast(th), key_col).withColumn(
+        "bucket",
+        F.when(
+            F.col(score_col) >= F.element_at("_th", 2), F.lit("head")
+        )
+        .when(F.col(score_col) < F.element_at("_th", 1), F.lit("tail"))
+        .otherwise(F.lit("middle")),
+    )
+    return labeled.drop("_th")

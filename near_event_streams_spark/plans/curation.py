@@ -217,6 +217,64 @@ GROUP BY source
 ORDER BY source
 """
 
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every doc
+    with the corpus char-bigram LM (``text.lm_bigram_logprob``), label
+    head/middle/tail against the language's percentile_approx
+    thresholds (``curation.perplexity_buckets``), and gate the bucket
+    BALANCE per language: head and tail must each hold a third of the
+    language's docs within 5% + 2 rows (ties at the threshold and the
+    GK sketch's <1-row rank error at this scale are the slack).
+    DuckDB recomputes the exact per-language doc counts and pins the
+    balance booleans TRUE. The labeling itself deliberately avoids a
+    per-language percent_rank window — one-task-per-language does not
+    scale; thresholds come from one mergeable sketch aggregation.
+    """
+    from near_event_streams_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.lm_bigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    labeled = curation.perplexity_buckets(scored)
+    tol = 0.05 * F.col("n_docs").cast("double") + 2.0
+    third = F.col("n_docs").cast("double") / 3.0
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("bucket") == "head", 1).otherwise(0)
+            ).alias("n_head"),
+            F.sum(
+                F.when(F.col("bucket") == "tail", 1).otherwise(0)
+            ).alias("n_tail"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            (
+                F.abs(F.col("n_head").cast("double") - third) <= tol
+            ).alias("head_balanced_ok"),
+            (
+                F.abs(F.col("n_tail").cast("double") - third) <= tol
+            ).alias("tail_balanced_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+CURATION_PERPLEXITY_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS head_balanced_ok,
+       TRUE AS tail_balanced_ok
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -228,6 +286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_docs_concat_split": pack_docs_concat_split,
     "pack_docs_next_fit": pack_docs_next_fit,
     "arrow_group_stats": arrow_group_stats,
+    "curation_perplexity_buckets": curation_perplexity_buckets,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -237,4 +296,5 @@ ORACLE_SQL: dict[str, str] = {
     "pack_docs_concat_split": PACK_CONCAT_SQL,
     "pack_docs_next_fit": PACK_NEXT_FIT_SQL,
     "arrow_group_stats": ARROW_STATS_SQL,
+    "curation_perplexity_buckets": CURATION_PERPLEXITY_SQL,
 }
