@@ -287,3 +287,39 @@ def test_ingest_vacuum_bounds_registry_versions(spark, tmp_path):
     # ingest output unaffected by vacuuming
     ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert ids == {100, 101, 102, 103, 104}
+
+
+def test_neardup_replay_empty_on_random_corpora(spark, tmp_path):
+    """Property form of the post-commit replay proof: for ANY batch
+    (random vocab, exact dups, near-dups, sub-bigram docs), once the
+    accepted set is registered, replaying the identical batch must
+    accept ZERO docs — every accepted doc hits its own fp row, every
+    dropped doc re-resolves identically. This is the invariant the
+    at-least-once crash-window argument rests on."""
+    import random
+
+    for seed in (11, 42, 77):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(5, 30))]
+        rows = []
+        for i in range(30):
+            n = rng.randint(1, 25)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        # exact dups, near-dups (1-word mutation), and 1-word docs
+        for j, base in enumerate(rng.sample(rows, 8)):
+            w = base[1].split()
+            if len(w) > 3 and j % 2:
+                w[rng.randrange(len(w))] = rng.choice(vocab)
+            rows.append((100 + j, " ".join(w)))
+        rows.append((200, "solo"))
+        rows.append((201, "solo"))
+
+        reg = str(tmp_path / f"reg{seed}")
+        batch = _docs(spark, rows)
+        acc = ingest.neardup_batch_against_registry(batch, reg)
+        n_acc = acc.count()
+        assert 0 < n_acc <= len(rows)
+        ingest.register_batch_neardup(acc, reg, batch_id=0)
+        replay = ingest.neardup_batch_against_registry(batch, reg)
+        leaked = [tuple(r) for r in replay.select("doc_id").collect()]
+        assert not leaked, f"seed={seed}: replay accepted {leaked}"

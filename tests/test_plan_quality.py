@@ -424,3 +424,16 @@ def test_semantic_dedup_cluster_join_is_equi(spark):
     plan = plan_text(df, mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_rollup_cascade_reuses_base_exchange(spark):
+    """The cascade's scale claim: the raw events scan + partial agg
+    shuffle executes ONCE; the coarser 1h/6h levels must consume the
+    finest level's exchange as ReusedExchange, not re-scan the fact
+    table. (AQE finalizes reuse at execution, so run first.)"""
+    from near_event_streams_spark.plans import timeseries as ts
+
+    df = ts.QUERIES["ts_rollup_cascade"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2, executed[:3000]
