@@ -61,12 +61,24 @@ def dedup_batch_against_registry(
     stream): returns the batch rows that survive both within-batch and
     against-registry exact dedup, with their ``fingerprint`` attached.
     Does NOT update the registry — callers commit survivors explicitly
-    so the read-decide-commit order is theirs to control."""
+    so the read-decide-commit order is theirs to control.
+
+    The registry read is PRUNED: the store buckets by fingerprint hash,
+    the batch knows its fingerprints, so only the store buckets the
+    batch's fingerprints can live in are scanned — O(batch-touched
+    buckets), not O(registry), once ``n_buckets`` is sized to the
+    corpus."""
     spark = batch.sparkSession
     fp = batch.withColumn("fingerprint", fingerprint_col(text_col))
     keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     within = fp.join(keep, ["fingerprint", id_col], "left_semi")
-    state = upsert.read_state(spark, registry_path)
+    meta = upsert.store_meta(registry_path)
+    if meta is None:
+        return within
+    dirty = upsert.bucket_ids_for(
+        fp.select("fingerprint"), meta["bucket_cols"], meta["n_buckets"]
+    )
+    state = upsert.read_state_pruned(spark, registry_path, dirty)
     if state is None:
         return within
     return within.join(
@@ -206,9 +218,12 @@ def start_incremental_dedup_ingest(
 #
 # Scale: per batch this costs one hash agg (fingerprints), one minhash
 # agg over the batch, and joins whose left side is the (small) batch.
-# The registry read is a snapshot scan; at large corpus scale, size
-# micro-batches in minutes (availableNow / long triggers) so the
-# O(registry) read amortizes over many accepted docs per trigger.
+# The registry read is BUCKET-PRUNED: the store buckets on the
+# (kind, band, bucket) key prefix, fp rows carry a fingerprint-derived
+# bucket, and both probe shapes are computable from the batch — so each
+# trigger reads O(batch-touched buckets), never O(registry), once
+# n_buckets is sized to the corpus (a small batch saturates at
+# ~(1 + n_bands) x batch-size distinct buckets).
 
 
 def neardup_select(
@@ -256,9 +271,24 @@ def neardup_select(
     surv = fp.join(keep, ["fingerprint", id_col], "left_semi")
     if reg_fp is not None:
         surv = surv.join(reg_fp, "fingerprint", "left_anti")
+    sigs, bands = _sigs_and_bands(
+        surv, id_col, text_col, num_hashes, band_size, cache
+    )
+    return _neardup_decide(
+        surv, sigs, bands, reg_bands, id_col, num_hashes, est_threshold
+    )
 
+
+def _sigs_and_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    cache: list[DataFrame] | None,
+) -> tuple[DataFrame, DataFrame]:
     sigs = dedup.minhash_sig_array(
-        surv, num_hashes, id_col=id_col, text_col=text_col
+        docs, num_hashes, id_col=id_col, text_col=text_col
     )
     if id_col != "doc_id":
         sigs = sigs.withColumnRenamed("doc_id", id_col)
@@ -269,7 +299,28 @@ def neardup_select(
     if cache is not None:
         bands = bands.persist()
         cache.append(bands)
+    return sigs, bands
 
+
+def _neardup_decide(
+    surv: DataFrame,
+    sigs: DataFrame,
+    bands: DataFrame,
+    reg_bands: DataFrame | None,
+    id_col: str,
+    num_hashes: int,
+    est_threshold: float,
+) -> DataFrame:
+    """Steps 3-4 of the near-dup decision, shared by the pure and the
+    registry-probing forms. ``sigs``/``bands`` may cover a SUPERSET of
+    ``surv`` (docs later dropped by the registry fp anti-join): an extra
+    band row can only (a) generate a cross-hit for an already-dropped
+    doc — harmless under the anti-join — or (b) act as the smaller 'a'
+    side of a within-batch drop. Case (b) reaches the same verdict as
+    the minimal universe: the extra 'a' is an exact dup of a REGISTERED
+    doc, whose signature is identical, so any 'b' it would drop is also
+    dropped by the cross-registry probe against that registered doc's
+    bands."""
     if reg_bands is not None:
         cross_hits = (
             bands.join(reg_bands, ["band", "bucket"])
@@ -324,33 +375,61 @@ def neardup_batch_against_registry(
     est_threshold: float = 0.5,
     cache: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """:func:`neardup_select` against the persistent unified registry.
+    """The same decision as :func:`neardup_select`, probing the
+    persistent unified registry with a PRUNED read: the store buckets by
+    ``(kind, band, bucket)``, fp rows carry ``bucket =
+    xxhash64(fingerprint)``, and both probe key shapes are computable
+    from the batch — so only the store buckets the batch's fingerprints
+    and band keys can live in are scanned. With ``n_buckets`` sized to
+    the corpus, each trigger reads O(batch-touched buckets), never
+    O(registry).
+
+    The batch's signatures are computed BEFORE the registry fp
+    anti-join (the probe needs the band keys to know which buckets to
+    read) — a superset of :func:`neardup_select`'s universe with a
+    provably identical accepted set (see :func:`_neardup_decide`).
+
     Does NOT update the registry — callers commit via
     :func:`register_batch_neardup` so the read-decide-commit order
-    stays theirs. (No persist on the state read: the fp and band probes
-    each re-scan the registry parquet, which is cheaper than caching a
-    frame whose lifetime we'd have to tie to the caller's evaluation.)
+    stays theirs.
     """
     spark = batch.sparkSession
-    state = upsert.read_state(spark, registry_path)
+    fp = batch.withColumn("fingerprint", fingerprint_col(text_col))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    within = fp.join(keep, ["fingerprint", id_col], "left_semi")
+    sigs, bands = _sigs_and_bands(
+        within, id_col, text_col, num_hashes, band_size, cache
+    )
+
+    meta = upsert.store_meta(registry_path)
     reg_fp = reg_bands = None
-    if state is not None:
-        reg_fp = state.filter(F.col("kind") == "fp").select(
-            F.col("ukey").alias("fingerprint")
+    if meta is not None:
+        fp_keys = fp.select(
+            F.lit("fp").alias("kind"),
+            F.lit(-1).alias("band"),
+            F.xxhash64("fingerprint").alias("bucket"),
         )
-        reg_bands = state.filter(F.col("kind") == "band").select(
-            "band", "bucket", F.col("sig").alias("reg_sig")
+        band_keys = bands.select(
+            F.lit("band").alias("kind"), "band", "bucket"
         )
-    return neardup_select(
-        batch,
-        reg_fp,
-        reg_bands,
-        id_col,
-        text_col,
-        num_hashes,
-        band_size,
-        est_threshold,
-        cache,
+        dirty = upsert.bucket_ids_for(
+            fp_keys.unionByName(band_keys),
+            meta["bucket_cols"],
+            meta["n_buckets"],
+        )
+        state = upsert.read_state_pruned(spark, registry_path, dirty)
+        if state is not None:
+            reg_fp = state.filter(F.col("kind") == "fp").select(
+                F.col("ukey").alias("fingerprint")
+            )
+            reg_bands = state.filter(F.col("kind") == "band").select(
+                "band", "bucket", F.col("sig").alias("reg_sig")
+            )
+    surv = within
+    if reg_fp is not None:
+        surv = surv.join(reg_fp, "fingerprint", "left_anti")
+    return _neardup_decide(
+        surv, sigs, bands, reg_bands, id_col, num_hashes, est_threshold
     )
 
 
@@ -366,11 +445,16 @@ def register_batch_neardup(
     """Record an accepted batch's fingerprints AND band keys in ONE
     atomic registry commit (idempotent under replay: deterministic keys,
     same seq, same winner). ``accepted`` must carry ``fingerprint`` and
-    ``sig`` as produced by :func:`neardup_batch_against_registry`."""
+    ``sig`` as produced by :func:`neardup_batch_against_registry`.
+
+    Layout: the store buckets on ``(kind, band, bucket)`` — a PREFIX of
+    the unique key — and fp rows set ``bucket = xxhash64(fingerprint)``,
+    so BOTH probe shapes (full fp key; band key without the stored
+    doc_id) can compute their bucket ids and read pruned."""
     fp_rows = accepted.select(
         F.lit("fp").alias("kind"),
         F.lit(-1).alias("band"),
-        F.lit(0).cast("long").alias("bucket"),
+        F.xxhash64("fingerprint").alias("bucket"),
         F.col("fingerprint").alias("ukey"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.lit(None).cast("array<bigint>").alias("sig"),
@@ -394,6 +478,7 @@ def register_batch_neardup(
         key_cols=["kind", "band", "bucket", "ukey"],
         seq_col="seq",
         n_buckets=n_buckets,
+        bucket_cols=["kind", "band", "bucket"],
     )
 
 

@@ -54,15 +54,21 @@ def _read_meta(path: str) -> dict | None:
 
 
 def _check_meta(
-    path: str, key_cols: Sequence[str], seq_col: str, n_buckets: int
+    path: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    n_buckets: int,
+    bucket_cols: Sequence[str],
 ) -> None:
     """Pin the store's layout parameters on first commit; refuse to merge
     with different ones later.
 
-    The bucket assignment is ``hash(key) % n_buckets`` — existing rows
-    were partitioned under the layout recorded here, so a merge with a
-    different modulus or key set would place the same key in two buckets
-    and silently corrupt every subsequent pruned read.
+    The bucket assignment is ``hash(bucket_cols) % n_buckets`` — existing
+    rows were partitioned under the layout recorded here, so a merge with
+    a different modulus or bucketing column set would place the same key
+    in two buckets and silently corrupt every subsequent pruned read.
+    (Stores written before ``bucket_cols`` existed bucketed on the full
+    key; their meta omits the field and it defaults to ``key_cols``.)
     """
     meta = _read_meta(path)
     if meta is None:
@@ -73,18 +79,25 @@ def _check_meta(
                     "key_cols": list(key_cols),
                     "seq_col": seq_col,
                     "n_buckets": n_buckets,
+                    "bucket_cols": list(bucket_cols),
                 },
                 f,
             )
         os.replace(tmp, os.path.join(path, _META))
         return
-    want = (list(key_cols), seq_col, n_buckets)
-    got = (meta["key_cols"], meta["seq_col"], meta["n_buckets"])
+    want = (list(key_cols), seq_col, n_buckets, list(bucket_cols))
+    got = (
+        meta["key_cols"],
+        meta["seq_col"],
+        meta["n_buckets"],
+        meta.get("bucket_cols", meta["key_cols"]),
+    )
     if want != got:
         raise ValueError(
             f"upsert store at {path} was created with key_cols="
-            f"{got[0]}, seq_col={got[1]!r}, n_buckets={got[2]}; "
-            f"refusing to merge with {want[0]}, {want[1]!r}, {want[2]} "
+            f"{got[0]}, seq_col={got[1]!r}, n_buckets={got[2]}, "
+            f"bucket_cols={got[3]}; refusing to merge with {want[0]}, "
+            f"{want[1]!r}, {want[2]}, {want[3]} "
             "(would corrupt bucket pruning)"
         )
 
@@ -138,6 +151,59 @@ def read_state(spark: SparkSession, path: str) -> DataFrame | None:
     return out.drop(_BUCKET)
 
 
+def store_meta(path: str) -> dict | None:
+    """The store's pinned layout (``key_cols``, ``seq_col``,
+    ``n_buckets``, ``bucket_cols``) — what a pruning reader needs to
+    compute bucket ids the same way the writer did. None if the store
+    does not exist yet."""
+    meta = _read_meta(path)
+    if meta is not None and "bucket_cols" not in meta:
+        meta["bucket_cols"] = meta["key_cols"]
+    return meta
+
+
+def read_state_pruned(
+    spark: SparkSession, path: str, buckets: Sequence[int]
+) -> DataFrame | None:
+    """Snapshot read restricted to the given bucket ids (as computed by
+    ``hash(bucket_cols) % n_buckets`` under the store's pinned layout —
+    use :func:`store_meta` + :func:`bucket_ids_for` to derive them).
+    Returns None when none of the requested buckets exist. Soundness of
+    a pruned PROBE rests on the caller requesting a superset of the
+    buckets its lookup keys can live in."""
+    _, manifest = _read_manifest(path)
+    wanted = {str(b) for b in buckets} & manifest.keys()
+    if not wanted:
+        return None
+    by_version: dict[int, list[str]] = {}
+    for bucket in wanted:
+        by_version.setdefault(manifest[bucket], []).append(bucket)
+    out: DataFrame | None = None
+    for v, bs in sorted(by_version.items()):
+        vdir = os.path.join(path, f"v{v}")
+        part = (
+            spark.read.option("basePath", vdir)
+            .parquet(*[os.path.join(vdir, f"{_BUCKET}={b}") for b in bs])
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.drop(_BUCKET)
+
+
+def bucket_ids_for(
+    keys: DataFrame, bucket_cols: Sequence[str], n_buckets: int
+) -> list[int]:
+    """The distinct store-bucket ids a frame of (partial) keys hashes
+    to — bounded by ``n_buckets``, so the collect is safe."""
+    return sorted(
+        r[_BUCKET]
+        for r in keys.select(
+            _bucket_col(bucket_cols, n_buckets).alias(_BUCKET)
+        )
+        .distinct()
+        .collect()
+    )
+
+
 def _latest_per_key(
     df: DataFrame, key_cols: Sequence[str], seq_col: str
 ) -> DataFrame:
@@ -160,16 +226,31 @@ def merge_upsert(
     key_cols: Sequence[str],
     seq_col: str,
     n_buckets: int = 16,
+    bucket_cols: Sequence[str] | None = None,
 ) -> int:
     """Merge one (static) batch into the store; returns the committed
     version. Reads only the buckets the batch touches, writes only
     those buckets into a new version directory, commits by atomically
     advancing ``_LATEST``.
+
+    ``bucket_cols`` (default: ``key_cols``) selects which key columns
+    drive the bucket hash. Bucketing on a PREFIX of the key lets readers
+    who know only that prefix (e.g. a probe that knows the lookup key
+    but not the stored row's discriminator column) compute the bucket
+    ids they need and read a pruned subset via
+    :func:`read_state_pruned`. Must be a subset of ``key_cols`` so every
+    version of a key lands in one bucket.
     """
     spark = batch.sparkSession
+    bucket_cols = list(bucket_cols if bucket_cols is not None else key_cols)
+    if not set(bucket_cols) <= set(key_cols):
+        raise ValueError(
+            f"bucket_cols {bucket_cols} must be a subset of key_cols "
+            f"{list(key_cols)}"
+        )
     os.makedirs(path, exist_ok=True)
-    _check_meta(path, key_cols, seq_col, n_buckets)
-    batch = batch.withColumn(_BUCKET, _bucket_col(key_cols, n_buckets))
+    _check_meta(path, key_cols, seq_col, n_buckets, bucket_cols)
+    batch = batch.withColumn(_BUCKET, _bucket_col(bucket_cols, n_buckets))
     dirty = sorted(
         r[_BUCKET] for r in batch.select(_BUCKET).distinct().collect()
     )
@@ -194,7 +275,7 @@ def merge_upsert(
             # recompute the bucket: partition-column inference on read may
             # narrow the type, and union needs both sides identical
             cur = cur.drop(_BUCKET).withColumn(
-                _BUCKET, _bucket_col(key_cols, n_buckets)
+                _BUCKET, _bucket_col(bucket_cols, n_buckets)
             )
             merged = merged.unionByName(cur)
 

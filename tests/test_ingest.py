@@ -323,3 +323,97 @@ def test_neardup_replay_empty_on_random_corpora(spark, tmp_path):
         replay = ingest.neardup_batch_against_registry(batch, reg)
         leaked = [tuple(r) for r in replay.select("doc_id").collect()]
         assert not leaked, f"seed={seed}: replay accepted {leaked}"
+
+
+def test_neardup_pruned_probe_matches_full_state_decision(spark, tmp_path):
+    """The bucket-pruned registry probe must reach the SAME accepted set
+    as neardup_select over the full registry state, across a multi-batch
+    sequence with exact dups, near-dups, and new docs."""
+    from near_event_streams_spark.streaming import upsert
+
+    reg = str(tmp_path / "reg")
+    batches = [
+        [(1, BASE), (2, OTHER)],
+        [(10, NEAR), (11, BASE), (12, "brand new words for batch two")],
+        [(20, OTHER), (21, "more fresh material arrives in batch three"),
+         (22, "more fresh material arrives in batch three")],
+    ]
+    for bid, rows in enumerate(batches):
+        batch = _docs(spark, rows)
+        pruned = ingest.neardup_batch_against_registry(batch, reg)
+        got = {r["doc_id"] for r in pruned.collect()}
+        state = upsert.read_state(spark, reg)
+        reg_fp = reg_bands = None
+        if state is not None:
+            reg_fp = state.filter(F.col("kind") == "fp").select(
+                F.col("ukey").alias("fingerprint")
+            )
+            reg_bands = state.filter(F.col("kind") == "band").select(
+                "band", "bucket", F.col("sig").alias("reg_sig")
+            )
+        full = ingest.neardup_select(batch, reg_fp, reg_bands)
+        want = {r["doc_id"] for r in full.collect()}
+        assert got == want, f"batch {bid}: pruned={got} full={want}"
+        ingest.register_batch_neardup(pruned, reg, batch_id=bid)
+
+
+def test_neardup_probe_actually_prunes(spark, tmp_path):
+    """With n_buckets large relative to the batch, a small batch's probe
+    must compute a strict subset of the store's buckets."""
+    from near_event_streams_spark.streaming import upsert
+
+    reg = str(tmp_path / "reg")
+    big = [(i, f"document number {i} carries its own unique words "
+               f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(40)]
+    acc = ingest.neardup_batch_against_registry(_docs(spark, big), reg)
+    ingest.register_batch_neardup(acc, reg, batch_id=0, n_buckets=256)
+
+    meta = upsert.store_meta(reg)
+    assert meta["bucket_cols"] == ["kind", "band", "bucket"]
+    probe = _docs(spark, [(100, "one tiny probe document here")])
+    fp = probe.withColumn("fingerprint", ingest.fingerprint_col("text"))
+    from near_event_streams_spark.operators import dedup as dd
+
+    bands = dd.band_keys_from_sig(dd.minhash_sig_array(fp))
+    keys = fp.select(
+        F.lit("fp").alias("kind"), F.lit(-1).alias("band"),
+        F.xxhash64("fingerprint").alias("bucket"),
+    ).unionByName(
+        bands.select(F.lit("band").alias("kind"), "band", "bucket")
+    )
+    dirty = upsert.bucket_ids_for(
+        keys, meta["bucket_cols"], meta["n_buckets"]
+    )
+    import json as _json
+    with open(os.path.join(reg, f"v{upsert.current_version(reg)}",
+                           "manifest.json")) as f:
+        total = len(_json.load(f))
+    assert len(dirty) <= 5 < total, (len(dirty), total)
+    # and the pruned decision still drops an exact dup of a stored doc
+    dup = _docs(spark, [(200, big[7][1])])
+    out = ingest.neardup_batch_against_registry(dup, reg)
+    assert out.count() == 0
+
+
+def test_upsert_bucket_cols_meta_pinned(spark, tmp_path):
+    """A store created with prefix bucketing must refuse a merge under
+    different bucket_cols — same protection as the other layout params."""
+    import pytest
+    from near_event_streams_spark.streaming import upsert
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("a", 1, "x", 0)], "k string, b long, v string, seq long"
+    )
+    upsert.merge_upsert(
+        df, path, key_cols=["k", "b"], seq_col="seq", bucket_cols=["k"]
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        upsert.merge_upsert(
+            df, path, key_cols=["k", "b"], seq_col="seq",
+            bucket_cols=["k", "b"],
+        )
+    # matching layout still merges
+    upsert.merge_upsert(
+        df, path, key_cols=["k", "b"], seq_col="seq", bucket_cols=["k"]
+    )
