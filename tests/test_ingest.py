@@ -417,3 +417,33 @@ def test_upsert_bucket_cols_meta_pinned(spark, tmp_path):
     upsert.merge_upsert(
         df, path, key_cols=["k", "b"], seq_col="seq", bucket_cols=["k"]
     )
+
+
+def test_band_keys_from_sig_matches_wide_lsh_banding(spark):
+    """The array-form banding (registry path) must land every doc in the
+    IDENTICAL buckets as the wide h0..hk banding (batch LSH path) — the
+    claim that lets signatures registered by one pipeline be probed by
+    the other. Verified by deriving candidate pairs both ways."""
+    from near_event_streams_spark.operators import dedup as dd
+
+    rows = [(i, f"shared words {'x' * (i % 3)} alpha beta gamma {i % 4}")
+            for i in range(20)]
+    docs = _docs(spark, rows)
+    sets = dd.shingle_id_sets(docs)
+    sh = sets.select("doc_id", F.explode("sh").alias("sid"))
+    wide_pairs = {
+        (r["a_doc_id"], r["b_doc_id"])
+        for r in dd.lsh_candidate_pairs(dd.minhash_signatures(sh)).collect()
+    }
+    bands = dd.band_keys_from_sig(dd.minhash_sig_array(docs))
+    a = bands.select(F.col("doc_id").alias("a_doc_id"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("b_doc_id"), "band", "bucket")
+    arr_pairs = {
+        (r["a_doc_id"], r["b_doc_id"])
+        for r in a.join(b, ["band", "bucket"])
+        .filter(F.col("a_doc_id") < F.col("b_doc_id"))
+        .select("a_doc_id", "b_doc_id")
+        .distinct()
+        .collect()
+    }
+    assert wide_pairs == arr_pairs and arr_pairs, (wide_pairs, arr_pairs)
