@@ -108,6 +108,24 @@ def register_fingerprints(
     )
 
 
+def _maybe_compact_corpus(
+    spark, corpus_dir: str, batch_id: int, compact_every: int | None
+) -> None:
+    """Fold closed ``batch_id=N`` dirs into size-targeted files every
+    ``compact_every`` batches — the 24/7 small-files countermeasure.
+    Safe here for the same reason as the parity sink: only CLOSED
+    batches merge (the max-present id — the only batch an at-least-once
+    replay can redeliver — is always left untouched), and the rewrite
+    is transactional with crash self-repair."""
+    if compact_every is None or (batch_id + 1) % compact_every:
+        return
+    from near_event_streams_spark.sinks.parquet_sink import (
+        compact_batch_dirs_inplace,
+    )
+
+    compact_batch_dirs_inplace(spark, corpus_dir)
+
+
 def start_incremental_dedup_ingest(
     stream_df: DataFrame,
     corpus_dir: str,
@@ -118,6 +136,7 @@ def start_incremental_dedup_ingest(
     n_buckets: int = 16,
     available_now: bool = True,
     vacuum_retain: int | None = 4,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Run the incremental-dedup ingest pipeline over a stream of docs.
 
@@ -129,6 +148,9 @@ def start_incremental_dedup_ingest(
     commit — a 24/7 ingest loop creates one store version per
     micro-batch, so without it registry storage grows without bound
     (pass ``None`` to manage :func:`upsert.vacuum` externally).
+    ``compact_every`` additionally folds closed corpus batch dirs into
+    size-targeted files every that-many batches (None = never; run
+    ``sinks.parquet_sink.compact_batch_dirs_inplace`` out-of-band).
     """
     os.makedirs(os.path.dirname(registry_path) or ".", exist_ok=True)
 
@@ -159,6 +181,9 @@ def start_incremental_dedup_ingest(
             )
             if vacuum_retain is not None:
                 upsert.vacuum(registry_path, vacuum_retain)
+            _maybe_compact_corpus(
+                spark, corpus_dir, batch_id, compact_every
+            )
         finally:
             survivors.unpersist()
 
@@ -495,13 +520,16 @@ def start_incremental_neardup_ingest(
     n_buckets: int = 16,
     available_now: bool = True,
     vacuum_retain: int | None = 4,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """24/7 ingest with BOTH exact and near-dup suppression against the
     persistent registry. Same effectively-once corpus contract as
     :func:`start_incremental_dedup_ingest` (``batch_id=N`` dynamic
     partition overwrite); the registry gains band keys in the same
     atomic commit as fingerprints. ``vacuum_retain`` bounds registry
-    storage under the one-version-per-micro-batch churn."""
+    storage under the one-version-per-micro-batch churn;
+    ``compact_every`` folds closed corpus batch dirs (small-files
+    countermeasure, transactional, closed batches only)."""
     os.makedirs(os.path.dirname(registry_path) or ".", exist_ok=True)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -545,6 +573,9 @@ def start_incremental_neardup_ingest(
             )
             if vacuum_retain is not None:
                 upsert.vacuum(registry_path, vacuum_retain)
+            _maybe_compact_corpus(
+                spark, corpus_dir, batch_id, compact_every
+            )
         finally:
             accepted.unpersist()
             # per-batch plans differ (new source data), so without this

@@ -447,3 +447,36 @@ def test_band_keys_from_sig_matches_wide_lsh_banding(spark):
         .collect()
     }
     assert wide_pairs == arr_pairs and arr_pairs, (wide_pairs, arr_pairs)
+
+
+def test_ingest_compaction_folds_closed_batches(spark, tmp_path):
+    """With compact_every, closed batch dirs fold into one merged dir;
+    the corpus contents and dedup behavior are unchanged."""
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    reg = str(tmp_path / "reg")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    def text_for(i, j):
+        # fully disjoint token sets per doc — a one-token-apart template
+        # would (correctly!) trip the near-dup suppression
+        return " ".join(f"tok{i}{j}{k}" for k in range(8))
+
+    for i in range(4):
+        rows = [(10 * i + j, text_for(i, j)) for j in range(3)]
+        if i == 3:
+            rows.append((99, text_for(0, 0)))  # exact dup of doc 0
+        _docs(spark, rows).coalesce(1).write.mode("append").json(str(src))
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = ingest.start_incremental_neardup_ingest(
+            stream, corpus, reg, ck, compact_every=2
+        )
+        q.awaitTermination()
+
+    out = spark.read.parquet(corpus)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {10 * i + j for i in range(4) for j in range(3)}, ids
+    dirs = {os.path.basename(p) for p in glob.glob(f"{corpus}/batch_id=*")}
+    assert len(dirs) < 4, dirs  # closed batches folded
