@@ -396,6 +396,58 @@ def ivf_topk(
     )
 
 
+def knn_label_agreement(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out kNN label agreement — the mislabeled-sample signal
+    a labeled-embedding curation pipeline runs (cleanlab-style label
+    auditing): each vector's own label vs the majority label of its k
+    nearest neighbors (self excluded). Disagreement rows are the
+    relabel/review candidates.
+
+    Exact cosine neighbors via :func:`brute_force_topk` — the correct
+    baseline at test scale; at corpus scale swap :func:`ivf_topk` in as
+    the candidate generator (same output shape). Majority is fully
+    deterministic: most votes, ties to the smallest label. Returns
+    ``(vec_id, label, knn_label, n_votes, label_consistent)``.
+    """
+    nb = brute_force_topk(corpus, corpus, k, id_col, vec_col)
+    cand_labels = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(label_col).alias("cand_label")
+    )
+    votes = (
+        nb.join(cand_labels, "cand_id")
+        .groupBy("query_id", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("cand_label")
+    )
+    top = (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "query_id",
+            F.col("cand_label").alias("knn_label"),
+            "n_votes",
+        )
+    )
+    own = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return own.join(top, "query_id").select(
+        F.col("query_id").alias(id_col),
+        "label",
+        "knn_label",
+        "n_votes",
+        (F.col("label") == F.col("knn_label")).alias("label_consistent"),
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.35,

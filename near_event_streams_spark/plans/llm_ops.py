@@ -542,6 +542,57 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label audit over the labeled embeddings
+    (``similarity.knn_label_agreement``): own label vs the 5-NN majority
+    label, exact-oracled — neighbor ranking (6dp cosine, cand-id
+    tiebreak) and majority vote (votes desc, label asc) are both fully
+    deterministic, so DuckDB replays them bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_agreement(emb, k=5).orderBy("vec_id")
+
+
+KNN_LABEL_AUDIT_SQL = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+), norms AS (
+  SELECT vec_id, SUM(v*v) AS nsq FROM flat GROUP BY 1
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 6) DESC,
+                    cand_id
+         ) AS rank
+  FROM dots
+  JOIN norms nq ON query_id = nq.vec_id
+  JOIN norms nc ON cand_id = nc.vec_id
+), votes AS (
+  SELECT r.query_id, e.label AS cand_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM ranked r JOIN embeddings e ON r.cand_id = e.vec_id
+  WHERE r.rank <= 5
+  GROUP BY 1, 2
+), majority AS (
+  SELECT query_id, cand_label AS knn_label, n_votes,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY n_votes DESC, cand_label
+         ) AS rk
+  FROM votes
+)
+SELECT e.vec_id, e.label, m.knn_label, m.n_votes,
+       e.label = m.knn_label AS label_consistent
+FROM embeddings e JOIN majority m ON e.vec_id = m.query_id
+WHERE m.rk = 1
+ORDER BY e.vec_id
+"""
+
+
 _ANN_EXACT_TOPK_CTE = """
 WITH flat AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
@@ -1350,6 +1401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "knn_label_audit": knn_label_audit,
     "text_quality_docs": text_quality_docs,
     "text_quality_gopher": text_quality_gopher,
     "pii_scrub_docs": pii_scrub_docs,
@@ -1381,6 +1433,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": ANN_TOPK_SQL,
     "ann_lsh_topk": _ANN_INVARIANT_SQL,
     "ann_ivf_topk": _ANN_INVARIANT_SQL,
+    "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "text_quality_docs": TEXT_QUALITY_SQL,
     "text_quality_gopher": TEXT_GOPHER_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,
