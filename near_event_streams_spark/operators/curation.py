@@ -330,3 +330,66 @@ def perplexity_buckets(
         .otherwise(F.lit("middle")),
     )
     return labeled.drop("_th")
+
+
+# --------------------------------------------------------------------------
+# epoch shuffle + per-group caps
+# --------------------------------------------------------------------------
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: Column,
+    epoch: int,
+    n_shards: int = 8,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle with sharding: every row gets
+    a (shard, pos_in_shard) placement that is a pseudorandom permutation
+    of the dataset, reshuffled per epoch, reproducible across runs,
+    engines and cluster sizes (md5, the same engine-portable scheme as
+    ``hash_bucket``).
+
+    Scale shape: shard assignment is a narrow map on the hash; position
+    within a shard is a ``row_number`` window PARTITIONED BY shard — the
+    global permutation is never ordered through one task (a bare
+    ``orderBy + row_number`` would be the classic single-partition
+    bottleneck at 100 TB; sharded placement is how epoch shuffles are
+    actually materialized). One shuffle total, on the shard key; each
+    shard sorts independently.
+    """
+    okey = F.md5(
+        F.concat_ws("|", F.lit(f"{salt}:{epoch}"), key.cast("string"))
+    )
+    shard = F.conv(F.substring(okey, 1, 8), 16, 10).cast("long") % n_shards
+    placed = df.withColumn("_okey", okey).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_okey", key.cast("string"))
+    return placed.withColumn(
+        "pos_in_shard", F.row_number().over(w)
+    ).drop("_okey")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (domain balancing): within each group keep
+    the top ``cap`` rows by ``order_col`` (descending, ties by
+    ``id_col``), flag the rest dropped — the standard guard against one
+    domain dominating a crawl-derived corpus.
+
+    One shuffle on the group key; ranking is a window PARTITIONED BY the
+    group, so no global ordering. A pathologically hot group still
+    funnels through one task — at that point pre-aggregate with a
+    two-phase per-partition top-``cap`` (see ``sort_topk`` pattern) or
+    lean on AQE skew splitting for everything before the final rank.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return df.withColumn(
+        "group_rank", F.row_number().over(w)
+    ).withColumn("kept", F.col("group_rank") <= cap)

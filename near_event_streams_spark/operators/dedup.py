@@ -656,3 +656,81 @@ def duplicated_ngram_stats(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicate-span REMOVAL
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove corpus-wide duplicated token spans, keeping only the first
+    occurrence — the *removal* half of ExactSubstr dedup (the companion
+    of ``duplicated_ngram_stats``, which only profiles the signal).
+
+    Each document's whitespace tokens are partitioned into consecutive
+    non-overlapping spans of ``span_tokens`` (the last span may be
+    short). A span text that occurs more than once anywhere in the
+    corpus — in another document or earlier in the same document —
+    survives only at its first occurrence, ordered by ``(doc_id,
+    span_idx)``; every later occurrence is cut, and each document is
+    reassembled from its surviving spans in order. An exact copy of an
+    earlier document comes back as the empty string.
+
+    Plan shape at 100 TB: tokenize+span-split is a narrow map; the
+    first-occurrence decision is ONE shuffle on the span-text key
+    (a partitioned ``row_number`` window — groups are per-span-text, so
+    no global ordering bottleneck); reassembly is one more hash
+    aggregation on ``doc_id``. No pair joins, no cartesian anywhere —
+    cost is linear in corpus tokens, which is what makes ExactSubstr
+    runnable where pairwise dedup is not.
+
+    Reference parity: the reference has no dedup surface (its 16
+    operators are streaming ETL, src/*.rs); this family is the
+    training-pipeline extension mandated by the build brief.
+    """
+    from pyspark.sql.window import Window
+
+    w = words_col(F.col(text_col))
+    n_spans = F.floor((F.size(w) + span_tokens - 1) / F.lit(span_tokens))
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(w, i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    first = Window.partitionBy("span_text").orderBy("doc_id", "span_idx")
+    marked = spans.withColumn("occ", F.row_number().over(first)).withColumn(
+        "kept", F.col("occ") == 1
+    )
+    pieces = F.array_sort(
+        F.collect_list(F.struct("span_idx", "kept", "span_text"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(pieces.alias("pieces"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("pieces"), lambda p: p["kept"]),
+                    lambda p: p["span_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.size("pieces").cast("int").alias("n_spans"),
+            F.size(
+                F.filter(F.col("pieces"), lambda p: ~p["kept"])
+            ).cast("int").alias("n_spans_removed"),
+        )
+    )

@@ -399,3 +399,100 @@ def lm_bigram_logprob(
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def nb_quality_distill(
+    docs: DataFrame,
+    teacher: DataFrame,
+    buckets: int = 4096,
+    salt: str = "clf",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-classifier distillation: train a hashed naive-Bayes text
+    classifier on a heuristic teacher label and score the whole corpus —
+    the fastText-style step real pipelines use to generalize a cheap
+    rule (Gopher gates, wiki-vs-crawl seeds) into a smooth per-doc score.
+
+    ``teacher`` is any ``(doc_id, label boolean)`` frame (typically
+    ``repetition_features(...).select("doc_id", "keep")``). Tokens hash
+    into ``buckets`` feature slots via the engine-portable md5 bucket
+    (same scheme as ``curation.hash_bucket``) — the hashing trick keeps
+    the model size FIXED at ``buckets`` rows no matter the corpus, so
+    the weight table broadcasts at any scale. Per-slot class counts get
+    add-one smoothing; a doc's score is the class-prior log-odds plus
+    the mean per-token weight.
+
+    Plan shape at 100 TB: tokenize is a narrow map; ONE shuffle on the
+    bounded bucket key builds the model; totals are single-row
+    aggregates (broadcast); scoring re-joins the 4096-row weight table
+    broadcast onto the token stream and reduces per doc (one doc_id
+    shuffle). The teacher join is doc-keyed equi. No unbounded state,
+    no pair joins.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("w"),
+    )
+    hexpart = F.substring(
+        F.md5(F.concat_ws("|", F.col("w"), F.lit(salt))), 1, 8
+    )
+    tok = tok.select(
+        "doc_id", (F.conv(hexpart, 16, 10).cast("long") % buckets).alias("bucket")
+    )
+    lab = teacher.select("doc_id", F.col("label").alias("label"))
+    tl = tok.join(lab, "doc_id")
+    cls = tl.groupBy("bucket").agg(
+        F.count(F.when(F.col("label"), 1)).alias("c_pos"),
+        F.count(F.when(~F.col("label"), 1)).alias("c_neg"),
+    )
+    tot = tl.agg(
+        F.count(F.when(F.col("label"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("label"), 1)).alias("n_neg"),
+    )
+    dtot = lab.agg(
+        F.count(F.when(F.col("label"), 1)).alias("d_pos"),
+        F.count(F.when(~F.col("label"), 1)).alias("d_neg"),
+    )
+    weights = cls.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_pos") + 1.0).cast("double")
+                / (F.col("n_pos") + float(buckets))
+            )
+            - F.log(
+                (F.col("c_neg") + 1.0).cast("double")
+                / (F.col("n_neg") + float(buckets))
+            )
+        ).alias("weight"),
+    )
+    scored = (
+        tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.avg("weight").alias("avg_w"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        )
+    )
+    prior = F.log(
+        (F.col("d_pos") + 1.0).cast("double") / (F.col("d_neg") + 1.0)
+    )
+    out = (
+        scored.crossJoin(F.broadcast(dtot))
+        .join(lab, "doc_id")
+        .withColumn("clf_score", F.round(prior + F.col("avg_w"), 6))
+        .withColumn("clf_pred", (prior + F.col("avg_w")) > 0)
+    )
+    return out.select(
+        "doc_id",
+        "label",
+        "n_tokens",
+        "clf_score",
+        "clf_pred",
+        (F.col("clf_pred") == F.col("label")).alias("agree"),
+    )

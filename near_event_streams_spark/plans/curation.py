@@ -275,6 +275,80 @@ ORDER BY lang
 """
 
 
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-2 training shuffle of the corpus into 8
+    shards: pseudorandom (shard, pos_in_shard) placement, reproducible
+    across engines from the same md5 permutation key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.epoch_shuffle(
+            docs.select("doc_id", "source"),
+            key=F.col("doc_id").cast("string"),
+            epoch=2,
+            n_shards=8,
+        )
+        .select(
+            "doc_id",
+            "source",
+            "shard",
+            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH placed AS (
+  SELECT doc_id, source,
+         md5('shuf:2' || '|' || CAST(doc_id AS VARCHAR)) AS okey,
+         CAST(CAST(('0x' || substr(
+               md5('shuf:2' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 8 AS BIGINT) AS shard
+  FROM documents
+)
+SELECT doc_id, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                ORDER BY okey, CAST(doc_id AS VARCHAR)) AS BIGINT)
+         AS pos_in_shard
+FROM placed
+ORDER BY doc_id
+"""
+
+
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most 120 docs per source, preferring
+    longer documents (n_chars desc, doc_id ties) — flags the overflow
+    instead of silently dropping it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.cap_per_group(
+            docs.select("doc_id", "source", "n_chars"),
+            group_col="source",
+            order_col="n_chars",
+            cap=120,
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("group_rank").cast("long").alias("group_rank"),
+            "kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS group_rank,
+       row_number() OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id) <= 120 AS kept
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -287,6 +361,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_docs_next_fit": pack_docs_next_fit,
     "arrow_group_stats": arrow_group_stats,
     "curation_perplexity_buckets": curation_perplexity_buckets,
+    "epoch_shuffle_shards": epoch_shuffle_shards,
+    "cap_docs_per_source": cap_docs_per_source,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -297,4 +373,6 @@ ORACLE_SQL: dict[str, str] = {
     "pack_docs_next_fit": PACK_NEXT_FIT_SQL,
     "arrow_group_stats": ARROW_STATS_SQL,
     "curation_perplexity_buckets": CURATION_PERPLEXITY_SQL,
+    "epoch_shuffle_shards": EPOCH_SHUFFLE_SQL,
+    "cap_docs_per_source": CAP_PER_SOURCE_SQL,
 }

@@ -1101,6 +1101,43 @@ ORDER BY l.doc_id
 """
 
 
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span REMOVAL: corpus-wide duplicated 16-token
+    spans are cut everywhere but their first occurrence and each doc is
+    reassembled from what survives (the removal half of the
+    ``dedup_substring_spans`` profile)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, span_tokens=16).orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_REMOVE_SPANS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         array_to_string(list_slice(ws, i * 16 + 1, i * 16 + 16), ' ')
+           AS span_text
+  FROM w, unnest(range(0, (len(ws) + 15) // 16)) t(i)
+), marked AS (
+  SELECT doc_id, span_idx, span_text,
+         row_number() OVER (PARTITION BY span_text
+                            ORDER BY doc_id, span_idx) = 1 AS kept
+  FROM spans
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN kept THEN span_text END, ' '
+                           ORDER BY span_idx), '') AS clean_text,
+       CAST(COUNT(*) AS INT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE NOT kept) AS INT) AS n_spans_removed
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram LM quality score (perplexity-style signal); the
     corpus is its own model, so the oracle replays it exactly."""
@@ -1136,6 +1173,76 @@ SELECT b.doc_id,
 FROM bigrams b JOIN lp l USING (bigram)
 GROUP BY b.doc_id
 ORDER BY b.doc_id
+"""
+
+
+def text_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed naive-Bayes classifier distilled from the Gopher keep-gate
+    teacher, scored over the whole corpus (fastText-style quality
+    classifier with the hashing trick — model fixed at 4096 slots)."""
+    docs = load_table(spark, sf_dir, "documents")
+    teacher = text.repetition_features(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    return text.nb_quality_distill(docs, teacher, buckets=4096).orderBy(
+        "doc_id"
+    )
+
+
+TEXT_DISTILL_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS toks
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+    ROUND(CAST(list_max(list_transform(list_distinct(toks),
+            t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE), 6) <= 0.2
+    AND ROUND(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / CAST(len(text) AS DOUBLE), 6) <= 0.3
+    AND ROUND(CAST(len(regexp_replace(text, '[^\\s]', '', 'g')) AS DOUBLE)
+          / CAST(len(text) AS DOUBLE), 6) <= 0.35 AS label
+  FROM t
+), tok AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(w || '|' || 'clf'), 1, 8))
+             AS UBIGINT) % 4096 AS BIGINT) AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+), tl AS (
+  SELECT tok.bucket, lab.label FROM tok JOIN lab USING (doc_id)
+), cls AS (
+  SELECT bucket,
+         COUNT(*) FILTER (WHERE label) AS c_pos,
+         COUNT(*) FILTER (WHERE NOT label) AS c_neg
+  FROM tl GROUP BY bucket
+), tot AS (
+  SELECT COUNT(*) FILTER (WHERE label) AS n_pos,
+         COUNT(*) FILTER (WHERE NOT label) AS n_neg
+  FROM tl
+), dtot AS (
+  SELECT COUNT(*) FILTER (WHERE label) AS d_pos,
+         COUNT(*) FILTER (WHERE NOT label) AS d_neg
+  FROM lab
+), wt AS (
+  SELECT bucket,
+         ln(CAST(c_pos + 1 AS DOUBLE) / CAST(n_pos + 4096 AS DOUBLE))
+         - ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + 4096 AS DOUBLE))
+           AS weight
+  FROM cls, tot
+), sc AS (
+  SELECT doc_id, AVG(weight) AS avg_w, CAST(COUNT(*) AS INT) AS n_tokens
+  FROM tok JOIN wt USING (bucket) GROUP BY doc_id
+)
+SELECT sc.doc_id, lab.label, sc.n_tokens,
+  ROUND(ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
+        + sc.avg_w, 6) AS clf_score,
+  (ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
+        + sc.avg_w) > 0 AS clf_pred,
+  ((ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
+        + sc.avg_w) > 0) = lab.label AS agree
+FROM sc JOIN lab USING (doc_id), dtot
+ORDER BY sc.doc_id
 """
 
 
@@ -1411,7 +1518,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint_rolling": text_fingerprint_rolling,
     "text_bm25_rank": text_bm25_rank,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_remove_spans": dedup_remove_spans,
     "text_lm_logprob": text_lm_logprob,
+    "text_quality_distill": text_quality_distill,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "text_chunking": text_chunking,
     "curation_pipeline": curation_pipeline,
@@ -1443,7 +1552,9 @@ ORACLE_SQL: dict[str, str] = {
     "text_fingerprint_rolling": TEXT_FINGERPRINT_SQL,
     "text_bm25_rank": TEXT_BM25_SQL,
     "dedup_substring_spans": DEDUP_SUBSTRING_SQL,
+    "dedup_remove_spans": DEDUP_REMOVE_SPANS_SQL,
     "text_lm_logprob": TEXT_LM_SQL,
+    "text_quality_distill": TEXT_DISTILL_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "curation_pipeline": CURATION_SQL,

@@ -144,3 +144,89 @@ def test_decontaminate_flags_known_cross_source_dups(spark):
     n_train = out.count()
     n_bad = out.filter("is_contaminated").count()
     assert 0 < n_bad < n_train * 0.5, (n_bad, n_train)
+
+
+# --------------------------------------------------------------------------
+# epoch shuffle + per-group caps + span removal (round-4 operators)
+# --------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators.curation import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    e1 = epoch_shuffle(df, F.col("doc_id").cast("string"), epoch=1).collect()
+    # every row placed exactly once; per-shard positions are 1..n_shard
+    assert len(e1) == 200
+    by_shard = {}
+    for r in e1:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across runs...
+    e1b = epoch_shuffle(df, F.col("doc_id").cast("string"), epoch=1).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
+    # ...but a different epoch produces a different permutation
+    e2 = epoch_shuffle(df, F.col("doc_id").cast("string"), epoch=2).collect()
+    p1 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in e1}
+    p2 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in e2}
+    assert p1 != p2
+
+
+def test_cap_per_group_keeps_top_n_only(spark):
+    from near_event_streams_spark.operators.curation import cap_per_group
+
+    rows = [(i, "g%d" % (i % 2), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = cap_per_group(df, "source", "score", cap=2).collect()
+    kept = sorted(r["doc_id"] for r in out if r["kept"])
+    # per group: top-2 by score desc -> g0: 8,6  g1: 9,7
+    assert kept == [6, 7, 8, 9]
+    assert all(r["group_rank"] >= 1 for r in out)
+
+
+def test_remove_duplicate_spans_edges(spark):
+    from near_event_streams_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    a = " ".join(f"w{i}" for i in range(8))   # two spans of 4
+    b = " ".join(f"x{i}" for i in range(4))
+    c = " ".join(f"y{i}" for i in range(4))
+    rows = [
+        (0, a),            # original: fully kept
+        (1, a),            # exact copy of doc 0: fully removed
+        (2, b + " " + a),  # unique head span kept, copied spans removed
+        (3, c + " " + c),  # within-doc repeat: second span removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, span_tokens=4).collect()
+    }
+    assert out[0]["clean_text"] == a and out[0]["n_spans_removed"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_spans_removed"] == 2
+    # doc 2's spans are (b, w0..w3, w4..w7): only b survives
+    assert out[2]["clean_text"] == b and out[2]["n_spans_removed"] == 2
+    assert out[3]["clean_text"] == c and out[3]["n_spans_removed"] == 1
+
+
+def test_nb_distill_separates_planted_classes(spark):
+    """Train on a teacher where class vocabularies are disjoint: the
+    distilled scores must rank every positive doc above every negative
+    doc (the classifier actually learns, not just mirrors the prior)."""
+    from near_event_streams_spark.operators.text import nb_quality_distill
+
+    pos = [(i, "good clean prose text here", True) for i in range(20)]
+    neg = [(100 + i, "spam junk garbage noise blob", False) for i in range(10)]
+    df = spark.createDataFrame(
+        pos + neg, "doc_id long, text string, label boolean"
+    )
+    teacher = df.select("doc_id", "label")
+    out = nb_quality_distill(df.select("doc_id", "text"), teacher).collect()
+    pos_scores = [r["clf_score"] for r in out if r["label"]]
+    neg_scores = [r["clf_score"] for r in out if not r["label"]]
+    assert min(pos_scores) > max(neg_scores)
+    assert all(r["agree"] for r in out if r["label"])

@@ -16,6 +16,8 @@ tests catch.
 
 import re
 
+from pyspark.sql import functions as F
+
 from near_event_streams_spark.plans import analytics, analytics_ext
 from tests.conftest import SF_DIR
 
@@ -437,3 +439,76 @@ def test_rollup_cascade_reuses_base_exchange(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("ReusedExchange") >= 2, executed[:3000]
+
+
+def test_remove_spans_window_is_partitioned(spark):
+    """ExactSubstr removal's first-occurrence decision must be a window
+    PARTITIONED BY the span text (per-span groups, one key-equi shuffle)
+    — an empty partition spec would order the whole corpus through one
+    task. And there must be no pair joins anywhere."""
+    from near_event_streams_spark.operators import dedup
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = dedup.remove_duplicate_spans(docs, span_tokens=16)
+    plan = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    m = re.search(r"windowspecdefinition\((.*?)\)", plan)
+    assert m and "span_text" in m.group(1), (
+        "row_number window must partition by span_text:\n" + plan[:2000]
+    )
+
+
+def test_nb_distill_model_joins_broadcast(spark):
+    """The hashed-NB model is bounded (4096 buckets) by construction, so
+    BOTH model-side joins — weights back onto the token stream and the
+    single-row totals — must broadcast; the token stream itself must
+    never be broadcast or nested-loop joined."""
+    from near_event_streams_spark.operators import text as text_ops
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    teacher = text_ops.repetition_features(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    df = text_ops.nb_quality_distill(docs, teacher, buckets=4096)
+    plan = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan[:2000]
+
+
+def test_epoch_shuffle_window_partitioned_by_shard(spark):
+    """Epoch shuffle must never rank the global permutation through one
+    task: the row_number window has to be partitioned by the shard."""
+    from near_event_streams_spark.operators import curation
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = curation.epoch_shuffle(
+        docs.select("doc_id"), key=F.col("doc_id").cast("string"), epoch=1
+    )
+    plan = plan_text(df, mode="simple")
+    m = re.search(r"windowspecdefinition\((.*?)\)", plan)
+    assert m and "shard" in m.group(1), plan[:2000]
+    assert count_exchanges(plan) <= 1, plan[:2000]
+
+
+def test_cap_per_group_single_group_shuffle(spark):
+    """Per-source caps: one shuffle on the group key, group-partitioned
+    window, no joins at all."""
+    from near_event_streams_spark.operators import curation
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = curation.cap_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        group_col="source",
+        order_col="n_chars",
+        cap=10,
+    )
+    plan = plan_text(df, mode="simple")
+    m = re.search(r"windowspecdefinition\((.*?)\)", plan)
+    assert m and "source" in m.group(1), plan[:2000]
+    assert count_exchanges(plan) <= 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
