@@ -496,3 +496,193 @@ def nb_quality_distill(
         "clf_pred",
         (F.col("clf_pred") == F.col("label")).alias("agree"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-N terms per document by smoothed TF-IDF — the per-doc keyword
+    signal used for topic tagging, clustering features and near-dup
+    triage.
+
+    Plan shape at 100 TB: tf is one hash agg on (doc, term); df is one
+    on term; the doc count is a broadcast scalar. The df table is
+    vocabulary-sized and therefore NOT hinted broadcast — the tf←df join
+    stays a key-equi shuffle join that AQE may downgrade to broadcast
+    when the vocab is small. Ranking is a window PARTITIONED BY doc —
+    per-doc groups, no global ordering. Scores round to 6 dp before
+    ranking so rank ties resolve identically cross-engine (term asc).
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf_count"),
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top_n)
+        .select("doc_id", "term_rank", "term", "tf_count", "tfidf")
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information —
+    the phrase-mining pass (think "new york", "machine learning") over a
+    training corpus.
+
+    PMI(x,y) = ln( P(xy) / (P(x)·P(y)) ) with bigram/unigram MLE counts.
+    Plan shape at 100 TB: unigram and bigram counts are each one hash
+    agg; the two totals are broadcast scalars; the pair←unigram joins
+    are key-equi on the words (the unigram table is vocabulary-sized, so
+    no forced broadcast). The final top-k is TakeOrdered, never a global
+    sort. ``min_count`` prunes the hapax tail before the joins.
+    """
+    from near_event_streams_spark.operators.dedup import (
+        word_bigrams,
+        words_col,
+    )
+
+    toks = docs.select(
+        words_col(F.lower(F.col(text_col))).alias("ws")
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    t_uni = uni.agg(F.sum("c").alias("t_uni"))
+    bi = (
+        toks.select(F.explode(word_bigrams(F.col("ws"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .withColumn("x", F.split("bg", " ")[0])
+        .withColumn("y", F.split("bg", " ")[1])
+    )
+    t_bi = (
+        toks.select(F.size(word_bigrams(F.col("ws"))).alias("n"))
+        .agg(F.sum("n").cast("double").alias("t_bi"))
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("w").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy") / F.col("t_bi"))
+            / ((F.col("c_x") / F.col("t_uni")) * (F.col("c_y") / F.col("t_uni")))
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+        .limit(top_k)
+    )
+
+
+def encode_token_ids(
+    docs: DataFrame,
+    vocab_size: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-id encoding against a corpus-derived vocabulary — the final
+    text→ids step before sequence packing. Vocabulary = top
+    ``vocab_size`` terms by (tf desc, term asc), ids 1..V in that order;
+    out-of-vocabulary tokens encode as UNK id 0.
+
+    Plan shape at 100 TB: the vocab is BOUNDED at ``vocab_size`` rows by
+    construction (TakeOrdered + a window over those k rows only), so the
+    encode join broadcasts no matter the corpus size; reassembly is one
+    hash agg on doc_id. The id list serializes with ``concat_ws`` (the
+    driver canon requires scalar cells).
+    """
+    from pyspark.sql.window import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("pos", "term"),
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(vocab_size)
+    )
+    # ranking k rows: bounded input, the single-partition window is fine
+    vw = Window.orderBy(F.desc("tf"), F.asc("term"))
+    vocab_ids = vocab.select(
+        "term", F.row_number().over(vw).cast("long").alias("token_id")
+    )
+    encoded = terms.join(F.broadcast(vocab_ids), "term", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).alias("token_id"),
+    )
+    pieces = F.array_sort(F.collect_list(F.struct("pos", "token_id")))
+    return (
+        encoded.groupBy("doc_id")
+        .agg(pieces.alias("pieces"))
+        .select(
+            "doc_id",
+            F.size("pieces").cast("long").alias("n_tokens"),
+            F.size(
+                F.filter(F.col("pieces"), lambda p: p["token_id"] == 0)
+            ).cast("long").alias("n_unk"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("pieces"), lambda p: p["token_id"].cast("string")
+                ),
+            ).alias("token_ids"),
+        )
+    )

@@ -1176,6 +1176,114 @@ ORDER BY b.doc_id
 """
 
 
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, top_n=3).orderBy(
+        "doc_id", "term_rank"
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM terms GROUP BY term
+), nd AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+), s AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf_count,
+         ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term), nd
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS term_rank
+  FROM s
+)
+SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf_count,
+       tfidf
+FROM r WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by PMI (min pair count 5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, min_count=5, top_k=50)
+
+
+TEXT_PMI_SQL = """
+WITH ws AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), uc AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM (SELECT unnest(w) AS tok FROM ws) GROUP BY tok
+), tu AS (
+  SELECT SUM(c) AS t_uni FROM uc
+), bg AS (
+  SELECT CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+    ELSE CAST([] AS VARCHAR[]) END AS bgs
+  FROM ws
+), bcc AS (
+  SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c_xy
+  FROM (SELECT unnest(bgs) AS bg FROM bg)
+  GROUP BY bg HAVING COUNT(*) >= 5
+), tb AS (
+  SELECT CAST(SUM(len(bgs)) AS DOUBLE) AS t_bi FROM bg
+), j AS (
+  SELECT split_part(bg, ' ', 1) AS x, split_part(bg, ' ', 2) AS y, c_xy
+  FROM bcc
+)
+SELECT j.x, j.y, CAST(c_xy AS BIGINT) AS pair_count,
+       ROUND(ln((c_xy / t_bi)
+                / ((cx.c / t_uni) * (cy.c / t_uni))), 6) AS pmi
+FROM j JOIN uc cx ON j.x = cx.tok JOIN uc cy ON j.y = cy.tok, tu, tb
+ORDER BY pmi DESC, j.x, j.y
+LIMIT 50
+"""
+
+
+def text_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding against the corpus top-128 vocabulary (UNK=0),
+    id lists serialized for the driver canon."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.encode_token_ids(docs, vocab_size=128).orderBy("doc_id")
+
+
+TEXT_ENCODE_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS toks
+  FROM documents
+), terms AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS term
+  FROM t, unnest(range(1, len(toks) + 1)) u(i)
+), vocab AS (
+  SELECT term, COUNT(*) AS tf FROM terms GROUP BY term
+  ORDER BY tf DESC, term LIMIT 128
+), vids AS (
+  SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS token_id
+  FROM vocab
+), enc AS (
+  SELECT doc_id, pos, COALESCE(v.token_id, 0) AS tid
+  FROM terms LEFT JOIN vids v USING (term)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE tid = 0) AS BIGINT) AS n_unk,
+       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids
+FROM enc GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def text_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed naive-Bayes classifier distilled from the Gopher keep-gate
     teacher, scored over the whole corpus (fastText-style quality
@@ -1521,6 +1629,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_remove_spans": dedup_remove_spans,
     "text_lm_logprob": text_lm_logprob,
     "text_quality_distill": text_quality_distill,
+    "text_tfidf_topterms": text_tfidf_topterms,
+    "text_pmi_collocations": text_pmi_collocations,
+    "text_token_encode": text_token_encode,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "text_chunking": text_chunking,
     "curation_pipeline": curation_pipeline,
@@ -1555,6 +1666,9 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_remove_spans": DEDUP_REMOVE_SPANS_SQL,
     "text_lm_logprob": TEXT_LM_SQL,
     "text_quality_distill": TEXT_DISTILL_SQL,
+    "text_tfidf_topterms": TEXT_TFIDF_SQL,
+    "text_pmi_collocations": TEXT_PMI_SQL,
+    "text_token_encode": TEXT_ENCODE_SQL,
     "sketch_cms_heavy_hitters": SKETCH_CMS_SQL,
     "text_chunking": TEXT_CHUNKING_SQL,
     "curation_pipeline": CURATION_SQL,

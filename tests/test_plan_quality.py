@@ -512,3 +512,53 @@ def test_cap_per_group_single_group_shuffle(spark):
     assert m and "source" in m.group(1), plan[:2000]
     assert count_exchanges(plan) <= 1, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_tfidf_df_join_not_forced_broadcast(spark):
+    """The term→df table is vocabulary-sized (unbounded at corpus
+    scale): the tf←df join must not carry a broadcast hint, and the
+    ranking window must partition by doc_id."""
+    from near_event_streams_spark.operators import text as text_ops
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").filter("doc_id >= 1")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = text_ops.tfidf_top_terms(docs, top_n=3)
+        plan = plan_text(df, mode="simple")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+        m = re.search(r"windowspecdefinition\((.*?)\)", plan)
+        assert m and "doc_id" in m.group(1), plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """PMI's final top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a global sort; the pair←unigram joins are
+    key-equi (no cartesian beyond the two 1-row scalar totals)."""
+    from near_event_streams_spark.operators import text as text_ops
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = text_ops.pmi_collocations(docs, min_count=5, top_k=50)
+    plan = plan_text(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # only the two broadcast 1-row totals may nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:2000]
+
+
+def test_token_encode_vocab_join_broadcasts(spark):
+    """The vocabulary is bounded at vocab_size rows by construction, so
+    the encode join must broadcast — the token stream never shuffles on
+    the term key for the join itself."""
+    from near_event_streams_spark.operators import text as text_ops
+    from near_event_streams_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = text_ops.encode_token_ids(docs, vocab_size=64)
+    plan = plan_text(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
