@@ -60,6 +60,9 @@ HEADLINE = [
     # not the invariant gate's exact ground-truth recomputation)
     ("ts_rollup_cascade", timeseries.QUERIES["ts_rollup_cascade"]),
     ("ingest_neardup_select", llm_ops.ingest_neardup_select),
+    # round-4: ExactSubstr removal — span-key shuffle + doc reassembly,
+    # the linear-cost dedup path that replaces pair joins at 100 TB
+    ("dedup_remove_spans", llm_ops.QUERIES["dedup_remove_spans"]),
 ]
 
 
