@@ -514,3 +514,97 @@ def semantic_dedup_keep(
     )
     dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return corpus.join(dropped, id_col, "left_anti")
+
+
+def quantize_int8_recon(
+    emb: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Int8 scalar quantization of an embedding column with
+    reconstruction audit — the 4× storage/bandwidth reduction step for a
+    100 TB embedding store (serve quantized, rescore exact on the
+    shortlist).
+
+    Per-dimension min/max over the corpus define an affine code:
+    ``q = floor((v-mn)/(mx-mn)*255 + 0.5) - 128`` (int8), decoded as
+    ``mn + (q+128)*(mx-mn)/255``. Per vector the operator emits the
+    code's quality: cosine(original, reconstruction) and the max
+    absolute per-dim error, both computed as SEQUENTIAL folds so a
+    cross-engine oracle replays them bit-for-bit.
+
+    Plan shape at 100 TB: the per-dim stats are ONE scalar aggregate
+    (2·dim columns in a single row — no explode, no shuffle on a dim
+    key), broadcast back; encode/decode/audit are a narrow map of array
+    expressions inside codegen. Nothing scales with corpus size but the
+    scan.
+    """
+    v = F.col(vec_col)
+    # stats arrays are double so every engine runs the affine code in
+    # float64 (float32 minus float32 stays float32 in Spark but not in
+    # every SQL engine — pin the width instead of trusting promotion)
+    stats = emb.agg(
+        F.array(
+            *[
+                F.min(F.element_at(v, i + 1)).cast("double")
+                for i in range(dim)
+            ]
+        ).alias("mins"),
+        F.array(
+            *[
+                F.max(F.element_at(v, i + 1)).cast("double")
+                for i in range(dim)
+            ]
+        ).alias("maxs"),
+    )
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    enc = F.transform(
+        idx,
+        lambda i: (
+            F.floor(
+                (F.element_at(v, i).cast("double") - F.element_at("mins", i))
+                / (F.element_at("maxs", i) - F.element_at("mins", i))
+                * 255.0
+                + 0.5
+            ).cast("int")
+            - 128
+        ),
+    )
+    coded = emb.crossJoin(F.broadcast(stats)).withColumn("q", enc)
+    rec = F.transform(
+        idx,
+        lambda i: F.element_at("mins", i)
+        + (F.element_at("q", i) + 128).cast("double")
+        * (F.element_at("maxs", i) - F.element_at("mins", i))
+        / 255.0,
+    )
+    coded = coded.withColumn("recon", rec)
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold_sum(
+        F.zip_with(v, F.col("recon"), lambda a, b: a.cast("double") * b)
+    )
+    n_orig = F.sqrt(
+        fold_sum(
+            F.transform(v, lambda a: a.cast("double") * a.cast("double"))
+        )
+    )
+    n_rec = F.sqrt(
+        fold_sum(F.transform("recon", lambda a: a * a))
+    )
+    max_err = F.array_max(
+        F.zip_with(
+            v, F.col("recon"), lambda a, b: F.abs(a.cast("double") - b)
+        )
+    )
+    return coded.select(
+        F.col(id_col).alias("vec_id"),
+        F.concat_ws(
+            ",", F.transform(F.slice("q", 1, 8), lambda x: x.cast("string"))
+        ).alias("q_head"),
+        F.round(dot / (n_orig * n_rec), 6).alias("recon_cosine"),
+        F.round(max_err, 6).alias("max_abs_err"),
+    )

@@ -2100,6 +2100,141 @@ WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# Event product analytics: ordered funnel + retention cohorts.
+# Scale: both are user-keyed — every shuffle is on user_id (or the small
+# cohort key), steps compose as conditional aggregates + equi self-joins.
+# No windows over the global event stream, no per-user collect.
+# --------------------------------------------------------------------------
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): per user, step N
+    counts only if it happens strictly AFTER the user's step-N-1 time.
+
+    Each step is one conditional min-aggregate on user_id followed by an
+    equi join back — at 100 TB that is three user-keyed hash aggs and
+    two user-keyed joins (AQE co-partitions them); the final rollup is a
+    3-row scalar aggregate. This is the join-free-of-cartesians funnel
+    shape; a per-user sorted-array fold would be the non-scalable
+    alternative.
+    """
+    from near_event_streams_spark.plans._common import ts_us
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us().alias("ts_us")
+    )
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(1).alias("step"), F.lit("view").alias("step_name"), "n")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(2).alias("step"), F.lit("click").alias("step_name"), "n"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(3).alias("step"),
+                F.lit("purchase").alias("step_name"),
+                "n",
+            )
+        )
+    )
+    w = Window.orderBy("step")  # 3 rows — bounded by construction
+    return counts.withColumn(
+        "conv_from_prev",
+        F.round(
+            F.col("n").cast("double") / F.lag("n").over(w).cast("double"), 6
+        ),
+    ).orderBy("step")
+
+
+FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_us) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT ev.user_id, MIN(ts_us) AS t2
+  FROM ev JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts_us > t1
+  GROUP BY ev.user_id
+), s3 AS (
+  SELECT ev.user_id, MIN(ts_us) AS t3
+  FROM ev JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_us > t2
+  GROUP BY ev.user_id
+), counts AS (
+  SELECT 1 AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+)
+SELECT step, step_name, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(lag(n) OVER (ORDER BY step) AS DOUBLE), 6)
+         AS conv_from_prev
+FROM counts
+ORDER BY step
+"""
+
+
+def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention: users grouped by first-activity day; for
+    offsets 0..7 count how many are active again that many days later.
+
+    One user_id agg for cohort assignment, one user-keyed equi join back,
+    one (cohort_day, offset) agg — the cohort key space is bounded by
+    the calendar, so the final agg is small no matter the user count.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .withColumn("offset_days", F.datediff("day", "cohort_day"))
+        .filter(F.col("offset_days").between(0, 7))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT cohort_day, datediff('day', cohort_day, day) AS offset_days,
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+FROM ev JOIN cohort USING (user_id)
+WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 7
+GROUP BY cohort_day, offset_days
+ORDER BY cohort_day, offset_days
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -2150,6 +2285,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conditional_functions": conditional_functions,
     "bitwise_functions": bitwise_functions,
     "generator_functions": generator_functions,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "retention_cohorts_daily": retention_cohorts_daily,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2202,4 +2339,6 @@ ORACLE_SQL: dict[str, str] = {
     "conditional_functions": CONDITIONAL_SQL,
     "bitwise_functions": BITWISE_SQL,
     "generator_functions": GENERATOR_SQL,
+    "funnel_view_click_purchase": FUNNEL_SQL,
+    "retention_cohorts_daily": RETENTION_SQL,
 }

@@ -710,6 +710,59 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table with per-vector
+    reconstruction audit (cosine + max abs error as sequential folds the
+    DuckDB oracle replays bit-for-bit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8_recon(emb, dim=64).orderBy("vec_id")
+
+
+EMB_QUANTIZE_SQL = """
+WITH dims AS (
+  SELECT i, CAST(MIN(embedding[i]) AS DOUBLE) AS mn,
+         CAST(MAX(embedding[i]) AS DOUBLE) AS mx
+  FROM embeddings, unnest(range(1, 65)) t(i)
+  GROUP BY i
+), stats AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+  FROM dims
+), coded AS (
+  SELECT vec_id, embedding, mins, maxs,
+    list_transform(range(1, 65), i ->
+      CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+                 / (maxs[i] - mins[i]) * 255.0 + 0.5) AS INT) - 128) AS q
+  FROM embeddings, stats
+), rec AS (
+  SELECT vec_id, embedding, q,
+    list_transform(range(1, 65), i ->
+      mins[i] + CAST(q[i] + 128 AS DOUBLE) * (maxs[i] - mins[i]) / 255.0)
+      AS recon
+  FROM coded
+)
+SELECT vec_id,
+  array_to_string(q[1:8], ',') AS q_head,
+  ROUND(
+    list_reduce(list_prepend(0.0,
+        list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE) * recon[i])),
+        (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_prepend(0.0,
+          list_transform(range(1, 65),
+                         i -> CAST(embedding[i] AS DOUBLE)
+                              * CAST(embedding[i] AS DOUBLE))),
+          (acc, x) -> acc + x))
+       * sqrt(list_reduce(list_prepend(0.0,
+            list_transform(recon, x -> x * x)),
+            (acc, x) -> acc + x))), 6) AS recon_cosine,
+  ROUND(list_max(list_transform(range(1, 65),
+        i -> abs(CAST(embedding[i] AS DOUBLE) - recon[i]))), 6)
+    AS max_abs_err
+FROM rec
+ORDER BY vec_id
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.quality_features(docs)
@@ -1617,6 +1670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "knn_label_audit": knn_label_audit,
+    "emb_quantize_int8": emb_quantize_int8,
     "text_quality_docs": text_quality_docs,
     "text_quality_gopher": text_quality_gopher,
     "pii_scrub_docs": pii_scrub_docs,
@@ -1654,6 +1708,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": _ANN_INVARIANT_SQL,
     "ann_ivf_topk": _ANN_INVARIANT_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
+    "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "text_quality_docs": TEXT_QUALITY_SQL,
     "text_quality_gopher": TEXT_GOPHER_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,
