@@ -2235,6 +2235,86 @@ ORDER BY cohort_day, offset_days
 """
 
 
+# --------------------------------------------------------------------------
+# Data layout: Z-order clustering audit.
+# --------------------------------------------------------------------------
+
+
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over orders(custkey, orderkey):
+    rows bucketed by the TOP 6 BITS of their Z-key — i.e. the 64 spatial
+    quadrants a Z-clustered file layout would produce — with each
+    quadrant's min/max span on BOTH dimensions.
+
+    The point of the layout: sort by one column and every file spans the
+    other's full range; Z-cluster and each file covers a small (x, y)
+    rectangle, so parquet min/max pruning works for predicates on either
+    column. The quadrant spans here are exactly those per-file stats.
+    Plan shape: corpus bounds are one broadcast scalar aggregate; the
+    key is a narrow bit-interleave inside codegen (no windows, no
+    range shuffle — the write-time layout pass lives in
+    ``sinks.parquet_sink.write_zordered``); the audit is one hash agg on
+    the bounded 64-value quadrant key.
+    """
+    from near_event_streams_spark.sinks.parquet_sink import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("xlo"),
+        F.max("o_custkey").alias("xhi"),
+        F.min("o_orderkey").alias("ylo"),
+        F.max("o_orderkey").alias("yhi"),
+    )
+    keyed = orders.crossJoin(F.broadcast(bounds)).withColumn(
+        "zkey",
+        zorder_key(
+            F.col("o_custkey"),
+            F.col("o_orderkey"),
+            (F.col("xlo"), F.col("xhi")),
+            (F.col("ylo"), F.col("yhi")),
+            bits=16,
+        ),
+    )
+    return (
+        keyed.withColumn("quadrant", F.shiftright("zkey", 26))
+        .groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("o_custkey") - F.min("o_custkey")).alias("x_span"),
+            (F.max("o_orderkey") - F.min("o_orderkey")).alias("y_span"),
+        )
+        .orderBy("quadrant")
+    )
+
+
+ZORDER_SQL = """
+WITH b AS (
+  SELECT MIN(o_custkey) AS xlo, MAX(o_custkey) AS xhi,
+         MIN(o_orderkey) AS ylo, MAX(o_orderkey) AS yhi
+  FROM orders
+), s AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(floor((o_custkey - xlo) * 65535 / (xhi - xlo)) AS BIGINT) AS sx,
+    CAST(floor((o_orderkey - ylo) * 65535 / (yhi - ylo)) AS BIGINT) AS sy
+  FROM orders, b
+), z AS (
+  SELECT o_orderkey, o_custkey,
+    list_sum(list_transform(range(0, 16), bb ->
+      ((sx >> bb) & 1) * (CAST(1 AS BIGINT) << (2 * bb))
+      + ((sy >> bb) & 1) * (CAST(1 AS BIGINT) << (2 * bb + 1))))
+      AS zkey
+  FROM s
+)
+SELECT zkey >> 26 AS quadrant,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(o_custkey) - MIN(o_custkey) AS BIGINT) AS x_span,
+       CAST(MAX(o_orderkey) - MIN(o_orderkey) AS BIGINT) AS y_span
+FROM z
+GROUP BY quadrant
+ORDER BY quadrant
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -2287,6 +2367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "generator_functions": generator_functions,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_cohorts_daily": retention_cohorts_daily,
+    "layout_zorder_locality": layout_zorder_locality,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2341,4 +2422,5 @@ ORACLE_SQL: dict[str, str] = {
     "generator_functions": GENERATOR_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "retention_cohorts_daily": RETENTION_SQL,
+    "layout_zorder_locality": ZORDER_SQL,
 }

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -215,3 +216,87 @@ def compact_batches(
         max_records_per_file=max_records_per_file,
     )
     return n
+
+
+def zorder_key(
+    x: Column, y: Column, x_rng: tuple, y_rng: tuple, bits: int = 16
+) -> Column:
+    """Morton (Z-order) interleave of two integer columns — the layout
+    key that makes parquet min/max pruning effective on BOTH columns at
+    once (sort by one column and every file spans the other's full
+    range; sort by the Z-key and each file covers a small rectangle in
+    (x, y) space).
+
+    ``x_rng``/``y_rng`` are the (min, max) corpus bounds — one tiny
+    aggregate upstream, passed as literals so the key itself is a pure
+    narrow expression (integer scale to ``bits`` + bit interleave, all
+    whole-stage codegen; engine-portable: the same &/>>/<< arithmetic is
+    writable in DuckDB for the cross-engine oracle).
+    """
+    top = (1 << bits) - 1
+
+    def _as_col(v) -> Column:
+        return v if isinstance(v, Column) else F.lit(int(v))
+
+    def scale(c: Column, lo, hi) -> Column:
+        lo_c, hi_c = _as_col(lo), _as_col(hi)
+        span = hi_c.cast("long") - lo_c.cast("long")
+        # floor-then-cast: integral result, so Spark's truncating cast
+        # and DuckDB's rounding cast agree (products stay < 2^53, exact
+        # in the double division)
+        scaled = F.floor(
+            (c.cast("long") - lo_c.cast("long")) * top / span
+        ).cast("long")
+        return F.when(span > 0, scaled).otherwise(F.lit(0).cast("long"))
+
+    sx, sy = scale(x, *x_rng), scale(y, *y_rng)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = key + (
+            F.shiftleft(F.shiftright(sx, b).bitwiseAND(F.lit(1)), 2 * b)
+        ) + (
+            F.shiftleft(
+                F.shiftright(sy, b).bitwiseAND(F.lit(1)), 2 * b + 1
+            )
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of two columns:
+    range-repartition on the Z-key (contiguous key ranges per output
+    task → per-file min/max stats cover small (x, y) rectangles), sort
+    within partitions, one file per task.
+
+    At 100 TB this is the standard multi-dimensional layout pass: one
+    range shuffle at write time buys file-level pruning for predicates
+    on EITHER clustered column forever after.
+    """
+    bounds = df.agg(
+        F.min(x_col).alias("x_lo"),
+        F.max(x_col).alias("x_hi"),
+        F.min(y_col).alias("y_lo"),
+        F.max(y_col).alias("y_hi"),
+    ).collect()[0]
+    key = zorder_key(
+        F.col(x_col),
+        F.col(y_col),
+        (bounds["x_lo"], bounds["x_hi"]),
+        (bounds["y_lo"], bounds["y_hi"]),
+        bits=bits,
+    )
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
