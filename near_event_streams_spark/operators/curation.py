@@ -447,3 +447,42 @@ def cap_per_group_twophase(
         kept.withColumn("kept", F.lit(True))
         .unionByName(dropped.withColumn("kept", F.lit(False)))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws a reproducible uniform u from the md5
+    of its key and competes with priority ``ln(u)/w`` — the top-``k``
+    priorities are exactly a weighted sample without replacement, with
+    inclusion probability proportional to weight.
+
+    The md5-derived u uses the first 52 hex-bits as ``(h + 0.5)/2^52`` —
+    exact in a double, so the identical expression in any engine draws
+    the identical sample (the same property ``hash_bucket`` gives plain
+    rates). Plan shape: priority is a narrow map; selection is
+    TakeOrdered — per-partition top-k then a k-row merge, never a global
+    sort. This is how you take a 10M-doc weighted subsample from 100 TB
+    in one pass.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", key, F.lit(salt))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / float(1 << 52)
+    priority = F.log(u) / weight.cast("double")
+    # round for cross-engine determinism; +0.0 folds -0.0 to +0.0 so the
+    # value hashes identically everywhere
+    return (
+        df.withColumn(
+            "sample_priority", F.round(priority, 6) + F.lit(0.0)
+        )
+        .orderBy(F.desc("sample_priority"), key)
+        .limit(k)
+    )

@@ -349,6 +349,36 @@ ORDER BY doc_id
 """
 
 
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    100 docs with inclusion probability ∝ n_chars, drawn from md5-seeded
+    priorities so any engine reproduces the identical sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        key=F.col("doc_id").cast("string"),
+        weight=F.col("n_chars"),
+        k=100,
+    )
+
+
+SAMPLE_WEIGHTED_SQL = """
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+    ROUND(
+      ln((CAST(CAST(('0x' || substr(
+            md5(CAST(doc_id AS VARCHAR) || '|' || 'ws'), 1, 13))
+          AS UBIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)
+      / CAST(n_chars AS DOUBLE), 6) + 0.0 AS sample_priority
+  FROM documents
+)
+SELECT doc_id, source, n_chars, sample_priority
+FROM p
+ORDER BY sample_priority DESC, CAST(doc_id AS VARCHAR)
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -363,6 +393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_perplexity_buckets": curation_perplexity_buckets,
     "epoch_shuffle_shards": epoch_shuffle_shards,
     "cap_docs_per_source": cap_docs_per_source,
+    "sample_weighted_topk": sample_weighted_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -375,4 +406,5 @@ ORACLE_SQL: dict[str, str] = {
     "curation_perplexity_buckets": CURATION_PERPLEXITY_SQL,
     "epoch_shuffle_shards": EPOCH_SHUFFLE_SQL,
     "cap_docs_per_source": CAP_PER_SOURCE_SQL,
+    "sample_weighted_topk": SAMPLE_WEIGHTED_SQL,
 }

@@ -255,3 +255,26 @@ def test_cap_twophase_matches_single_phase(spark):
     assert kept1 == kept2
     assert {r["doc_id"] for r in two} == {r["doc_id"] for r in one}
     assert all(r["group_rank"] is None for r in two if not r["kept"])
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    """A-ES weighted sampling: identical sample across runs and
+    partitionings; rows with 100x the weight must be strongly
+    overrepresented vs their uniform share."""
+    from near_event_streams_spark.operators.curation import weighted_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    key = F.col("id").cast("string")
+    a = [r["id"] for r in weighted_sample(df, key, F.col("w"), k=60).collect()]
+    b = [
+        r["id"]
+        for r in weighted_sample(
+            df.repartition(17), key, F.col("w"), k=60
+        ).collect()
+    ]
+    assert a == b
+    heavy = sum(1 for i in a if i < 50)
+    # uniform draw would include ~6 of the 50 heavy rows in 60 picks;
+    # weight 100x must pull in the large majority of them
+    assert heavy >= 35, heavy
