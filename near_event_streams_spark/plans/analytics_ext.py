@@ -2235,6 +2235,76 @@ ORDER BY cohort_day, offset_days
 """
 
 
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join via bin equi-join
+    (``operators/rangejoin.py:interval_overlap_join``): per-user daily
+    activity spans × 10-minute windows around high-value error events —
+    how many incident windows each user-day brushed against.
+
+    Scale shape: both interval sets explode onto fixed-width time bins
+    and meet in an ordinary shuffle equi-join (plan-gated: no nested
+    loop, no cartesian); the exact overlap predicate prunes boundary
+    false positives and ``distinct`` collapses multi-bin meetings.
+    """
+    from near_event_streams_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+    from near_event_streams_spark.plans._common import ts_us
+
+    ev = _t(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.min(ts_us()).alias("span_start"),
+            F.max(ts_us()).alias("span_end"),
+        )
+    )
+    win_us = 10 * 60 * 1_000_000
+    wins = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 9.5)
+    ).select(
+        "event_id",
+        (ts_us() - win_us).alias("win_start"),
+        (ts_us() + win_us).alias("win_end"),
+    )
+    pairs = interval_overlap_join(
+        spans,
+        wins,
+        "span_start",
+        "span_end",
+        "win_start",
+        "win_end",
+        bin_width=2 * win_us,
+    )
+    return (
+        pairs.groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_error_windows"))
+        .orderBy("user_id", "day")
+    )
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(epoch_ns(ts) // 1000) AS span_start,
+         MAX(epoch_ns(ts) // 1000) AS span_end
+  FROM events WHERE user_id < 30
+  GROUP BY user_id, CAST(ts AS DATE)
+), wins AS (
+  SELECT event_id,
+         epoch_ns(ts) // 1000 - 600000000 AS win_start,
+         epoch_ns(ts) // 1000 + 600000000 AS win_end
+  FROM events WHERE event_type = 'error' AND value >= 9.5
+)
+SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_error_windows
+FROM spans JOIN wins
+  ON span_start <= win_end AND win_start <= span_end
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+
 # --------------------------------------------------------------------------
 # Data layout: Z-order clustering audit.
 # --------------------------------------------------------------------------
@@ -2368,6 +2438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_cohorts_daily": retention_cohorts_daily,
     "layout_zorder_locality": layout_zorder_locality,
+    "join_interval_overlap": join_interval_overlap,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2423,4 +2494,5 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_view_click_purchase": FUNNEL_SQL,
     "retention_cohorts_daily": RETENTION_SQL,
     "layout_zorder_locality": ZORDER_SQL,
+    "join_interval_overlap": INTERVAL_OVERLAP_SQL,
 }

@@ -23,3 +23,37 @@ def test_query_matches_oracle(spark, duck, name):
     else:
         # rows-only entries (approximate ops) must at least run
         assert df.count() >= 0
+
+
+def test_interval_overlap_matches_naive_theta_join(spark):
+    """Bin-join + residual predicate must return exactly the naive
+    overlap theta-join's pairs, bin boundaries and multi-bin meetings
+    included."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0, 10), (2, 15, 25), (3, 100, 200), (4, 30, 30)],
+        "a_id long, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [(10, 5, 15), (20, 25, 29), (30, 150, 160), (40, 30, 31),
+         (50, 300, 400)],
+        "b_id long, ws long, we long",
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, "s", "e", "ws", "we", bin_width=7
+        ).collect()
+    }
+    naive = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(
+            b, (F.col("s") <= F.col("we")) & (F.col("ws") <= F.col("e"))
+        ).collect()
+    }
+    assert got == naive and (1, 10) in got and (4, 40) in got

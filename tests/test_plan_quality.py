@@ -589,3 +589,16 @@ def test_cap_twophase_windows_are_salted_then_bounded(spark):
         "group-only window must consume the salted window's survivors:\n"
         + plan[:2000]
     )
+
+
+def test_interval_overlap_join_is_equi_not_nlj(spark):
+    """The interval×interval overlap join must meet on the bin equi-key
+    — an ordinary shuffle/broadcast HASH join — never a nested loop or
+    cartesian over the two interval sets."""
+    from near_event_streams_spark.plans import analytics_ext
+
+    df = analytics_ext.join_interval_overlap(spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Join" in plan and "_bin" in plan, plan[:2000]
