@@ -2235,6 +2235,85 @@ ORDER BY cohort_day, offset_days
 """
 
 
+def feature_zscore_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise feature prep: per-event-type z-score + 2σ winsorize
+    (clip) + outlier flag — the numeric-column normalization pass of a
+    feature pipeline.
+
+    Moments come from EXACT decimal sums evaluated in double with the
+    same IEEE op sequence as the oracle (plain double aggregation would
+    drift with engine summation order — same trick as
+    ``agg_value_stats``). Plan shape: one hash agg on the bounded
+    event_type key, the 5-row stats table broadcasts back, and the
+    normalize/clip is a narrow map. Rows bounded to user_id < 10 to keep
+    the gated output small; the operator itself is corpus-wide.
+    """
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.sum(dec("value")).cast("double").alias("_s"),
+        F.sum(dec("value", 12, 2) * dec("value", 12, 2))
+        .cast("double")
+        .alias("_s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n").cast("double")
+    st = g.select(
+        "event_type",
+        (F.col("_s") / n).alias("avg_v"),
+        F.sqrt(
+            (F.col("_s2") - F.col("_s") * F.col("_s") / n) / (n - F.lit(1.0))
+        ).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("avg_v")) / F.col("std_v")
+    lo = F.col("avg_v") - 2.0 * F.col("std_v")
+    hi = F.col("avg_v") + 2.0 * F.col("std_v")
+    return (
+        ev.filter(F.col("user_id") < 10)
+        .join(F.broadcast(st), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+            F.round(
+                F.when(F.col("value") < lo, lo)
+                .when(F.col("value") > hi, hi)
+                .otherwise(F.col("value")),
+                6,
+            ).alias("value_winsorized"),
+            (F.abs(z) > 2.0).alias("is_outlier"),
+        )
+        .orderBy("event_id")
+    )
+
+
+FEATURE_ZSCORE_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))
+                  * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+), st AS (
+  SELECT event_type,
+         s / CAST(n AS DOUBLE) AS avg_v,
+         sqrt((s2 - s * s / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)) AS std_v
+  FROM g
+)
+SELECT e.event_id, e.event_type, e.value,
+  ROUND((e.value - avg_v) / std_v, 6) AS zscore,
+  ROUND(CASE WHEN e.value < avg_v - 2.0 * std_v THEN avg_v - 2.0 * std_v
+             WHEN e.value > avg_v + 2.0 * std_v THEN avg_v + 2.0 * std_v
+             ELSE e.value END, 6) AS value_winsorized,
+  ABS((e.value - avg_v) / std_v) > 2.0 AS is_outlier
+FROM events e JOIN st USING (event_type)
+WHERE e.user_id < 10
+ORDER BY e.event_id
+"""
+
+
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join via bin equi-join
     (``operators/rangejoin.py:interval_overlap_join``): per-user daily
@@ -2439,6 +2518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts_daily": retention_cohorts_daily,
     "layout_zorder_locality": layout_zorder_locality,
     "join_interval_overlap": join_interval_overlap,
+    "feature_zscore_winsorize": feature_zscore_winsorize,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2495,4 +2575,5 @@ ORACLE_SQL: dict[str, str] = {
     "retention_cohorts_daily": RETENTION_SQL,
     "layout_zorder_locality": ZORDER_SQL,
     "join_interval_overlap": INTERVAL_OVERLAP_SQL,
+    "feature_zscore_winsorize": FEATURE_ZSCORE_SQL,
 }

@@ -1,0 +1,57 @@
+"""Shuffle-budget regression gate for every headline query.
+
+Each entry is the MAXIMUM number of shuffle exchanges (hash/range
+partitionings — broadcast exchanges excluded) that query's logical plan
+is allowed to produce. The budgets are the counts the current plans
+actually need; a refactor that adds an exchange still returns correct
+rows at sf0.01 but pays an extra full-data shuffle at 100 TB — exactly
+the regression this file exists to catch. Lower is always fine.
+"""
+
+import pytest
+
+import bench
+from tests.conftest import SF_DIR
+from tests.test_plan_quality import count_exchanges, plan_text
+
+SHUFFLE_BUDGETS = {
+    "q1_pricing_summary": 2,
+    "q3_shipping_priority": 1,
+    "q5_local_supplier": 2,
+    "join_outer_order_counts": 1,
+    "join_asof_purchase_click": 1,
+    "window_running_user_spend": 1,
+    "sessionize_events": 2,
+    "tumbling_quarter_hour": 2,
+    "parity_event_routing": 0,
+    "q9_product_profit": 2,
+    "q13_customer_distribution": 3,
+    "q18_large_volume": 1,
+    "dedup_ngram_jaccard_docs": 7,
+    # LSH dedup: signatures + banding + pair-verify, the deliberate
+    # multi-stage shape
+    "dedup_minhash_lsh_docs": 11,
+    "ann_cosine_topk": 2,
+    "curation_pipeline": 2,
+    "pack_docs_next_fit": 2,
+    "decontaminate_train_docs": 5,
+    "ts_rollup_cascade": 6,
+    # registry probe + band probe + within-batch pass + invariant
+    # recomputation feeds; intentionally the deepest pipeline here
+    "ingest_neardup_select": 34,
+    "dedup_remove_spans": 3,
+}
+
+_FNS = dict(bench.HEADLINE)
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_headline_query_stays_within_shuffle_budget(spark, name):
+    df = _FNS[name](spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    n = count_exchanges(plan)
+    assert n <= SHUFFLE_BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges > budget "
+        f"{SHUFFLE_BUDGETS[name]} — a new full-data shuffle crept into "
+        f"the plan:\n{plan[:2000]}"
+    )
