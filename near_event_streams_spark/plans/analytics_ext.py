@@ -2235,6 +2235,74 @@ ORDER BY cohort_day, offset_days
 """
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change stream: each user's
+    event_type is treated as a changing attribute; consecutive repeats
+    collapse, and each surviving change becomes a validity interval
+    ``[effective_from_us, effective_to_us)`` with an ``is_current``
+    flag — the standard CDC → warehouse-dimension transformation.
+
+    Plan shape: ONE shuffle on the dimension key (user_id); the
+    change-collapse lag and the interval-closing lead share the same
+    window partitioning, so Spark reuses a single exchange (the
+    window-suite plan gate pattern). No self-joins — the naive
+    "join next change" formulation would shuffle twice and skew on hot
+    keys.
+    """
+    from near_event_streams_spark.plans._common import ts_us
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .select(
+            "user_id", "event_id", ts_us().alias("ts_us"), "event_type"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changed = ev.withColumn(
+        "_prev", F.lag("event_type").over(w)
+    ).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        changed.withColumn("_next_from", F.lead("ts_us").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_us").alias("effective_from_us"),
+            F.coalesce(F.col("_next_from"), F.lit(None)).alias(
+                "effective_to_us"
+            ),
+            F.col("_next_from").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "effective_from_us")
+    )
+
+
+SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+  FROM events WHERE user_id < 15
+), changed AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts_us, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS prev
+    FROM ev
+  ) WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state,
+       ts_us AS effective_from_us,
+       LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         AS effective_to_us,
+       LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         IS NULL AS is_current
+FROM changed
+ORDER BY user_id, effective_from_us
+"""
+
+
 def feature_zscore_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise feature prep: per-event-type z-score + 2σ winsorize
     (clip) + outlier flag — the numeric-column normalization pass of a
@@ -2519,6 +2587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_zorder_locality": layout_zorder_locality,
     "join_interval_overlap": join_interval_overlap,
     "feature_zscore_winsorize": feature_zscore_winsorize,
+    "scd2_user_state": scd2_user_state,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2576,4 +2645,5 @@ ORACLE_SQL: dict[str, str] = {
     "layout_zorder_locality": ZORDER_SQL,
     "join_interval_overlap": INTERVAL_OVERLAP_SQL,
     "feature_zscore_winsorize": FEATURE_ZSCORE_SQL,
+    "scd2_user_state": SCD2_SQL,
 }
