@@ -57,3 +57,41 @@ def test_interval_overlap_matches_naive_theta_join(spark):
         ).collect()
     }
     assert got == naive and (1, 10) in got and (4, 40) in got
+
+
+def test_interval_overlap_randomized_equivalence(spark):
+    """Randomized property: for arbitrary interval sets and bin widths,
+    bin-join + residual == naive theta join (seeded, deterministic)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        mk = lambda n, span: [
+            (i, s, s + rng.randint(0, span))
+            for i, s in enumerate(
+                rng.randint(0, 1000) for _ in range(n)
+            )
+        ]
+        a = spark.createDataFrame(mk(40, 60), "a_id long, s long, e long")
+        b = spark.createDataFrame(mk(40, 15), "b_id long, ws long, we long")
+        width = rng.choice([3, 17, 64])
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in interval_overlap_join(
+                a, b, "s", "e", "ws", "we", bin_width=width
+            ).collect()
+        }
+        naive = {
+            (r["a_id"], r["b_id"])
+            for r in a.join(
+                b,
+                (F.col("s") <= F.col("we")) & (F.col("ws") <= F.col("e")),
+            ).collect()
+        }
+        assert got == naive, (trial, width, len(got), len(naive))
