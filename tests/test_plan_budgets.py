@@ -55,3 +55,37 @@ def test_headline_query_stays_within_shuffle_budget(spark, name):
         f"{SHUFFLE_BUDGETS[name]} — a new full-data shuffle crept into "
         f"the plan:\n{plan[:2000]}"
     )
+
+
+# Round-4 registry queries (not in the bench headline set). Several
+# budgets include one rangepartitioning exchange for the final
+# presentation ORDER BY — the data-path shuffle count is one lower.
+ROUND4_BUDGETS = {
+    "funnel_view_click_purchase": 5,
+    "retention_cohorts_daily": 4,
+    "scd2_user_state": 2,
+    "feature_zscore_winsorize": 2,
+    "join_interval_overlap": 2,
+    "layout_zorder_locality": 2,
+    "text_quality_distill": 3,
+    "text_tfidf_topterms": 5,
+    "text_pmi_collocations": 4,
+    "text_token_encode": 3,
+    "emb_quantize_int8": 1,
+    "epoch_shuffle_shards": 2,
+    "cap_docs_per_source": 2,
+    "sample_weighted_topk": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROUND4_BUDGETS))
+def test_round4_query_stays_within_shuffle_budget(spark, name):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    n = count_exchanges(plan)
+    assert n <= ROUND4_BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges > budget {ROUND4_BUDGETS[name]}:"
+        f"\n{plan[:2000]}"
+    )
