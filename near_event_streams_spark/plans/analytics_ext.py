@@ -2235,6 +2235,86 @@ ORDER BY cohort_day, offset_days
 """
 
 
+def join_asof_forward_tolerance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORWARD as-of join with tolerance: each purchase matched to the
+    user's FIRST error event at-or-after it, but only within 30 minutes
+    — the complement of ``join_asof_purchase_click``'s backward match.
+
+    Same scalable shape: tagged union + a forward-looking
+    ``first(…, ignorenulls)`` window — ONE shuffle on user_id, no cross
+    product. Ties pinned: a same-instant error sorts after the purchase
+    and is therefore visible to it. Matches beyond the tolerance are
+    nulled, not dropped — the row set stays exactly the purchases.
+    """
+    from near_event_streams_spark.plans._common import ts_us
+
+    tol_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        ts_us().alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("src"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "src", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    err_ts = F.first(
+        F.when(F.col("src") == 1, F.col("ts_us")), ignorenulls=True
+    ).over(wf)
+    err_id = F.first(
+        F.when(F.col("src") == 1, F.col("event_id")), ignorenulls=True
+    ).over(wf)
+    # the tolerance mask must read the MATERIALIZED _ets column — reusing
+    # the window expression after filter(src=0) would re-evaluate it over
+    # the purchases-only frame, where no error rows remain
+    in_tol = (F.col("_ets") - F.col("ts_us")) <= tol_us
+    return (
+        tagged.withColumn("_ets", err_ts)
+        .withColumn("_eid", err_id)
+        .filter(F.col("src") == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.when(in_tol, F.col("_eid")).alias("next_error_id"),
+            F.when(in_tol, F.col("_ets")).alias("next_error_ts_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS src
+  FROM events WHERE event_type IN ('purchase', 'error')
+), matched AS (
+  SELECT user_id, event_id, ts_us, src,
+    first_value(CASE WHEN src = 1 THEN ts_us END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, src, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ets,
+    first_value(CASE WHEN src = 1 THEN event_id END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, src, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS eid
+  FROM tagged
+)
+SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
+  CASE WHEN ets - ts_us <= 1800000000 THEN eid END AS next_error_id,
+  CASE WHEN ets - ts_us <= 1800000000 THEN ets END AS next_error_ts_us
+FROM matched WHERE src = 0
+ORDER BY purchase_id
+"""
+
+
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension build from a change stream: each user's
     event_type is treated as a changing attribute; consecutive repeats
@@ -2588,6 +2668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_interval_overlap": join_interval_overlap,
     "feature_zscore_winsorize": feature_zscore_winsorize,
     "scd2_user_state": scd2_user_state,
+    "join_asof_forward_tolerance": join_asof_forward_tolerance,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2646,4 +2727,5 @@ ORACLE_SQL: dict[str, str] = {
     "join_interval_overlap": INTERVAL_OVERLAP_SQL,
     "feature_zscore_winsorize": FEATURE_ZSCORE_SQL,
     "scd2_user_state": SCD2_SQL,
+    "join_asof_forward_tolerance": ASOF_FORWARD_SQL,
 }
