@@ -2235,6 +2235,52 @@ ORDER BY cohort_day, offset_days
 """
 
 
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation in batch: 1-hour windows
+    every 15 minutes over the event stream, per event type — the batch
+    twin of the streaming sliding-window job (`streaming/stateful.py`),
+    via Spark's native ``F.window(ts, "1 hour", "15 minutes")``.
+
+    Each event lands in exactly 4 windows (the built-in does the
+    explode); the aggregate is one hash agg on the (window, type) key
+    with exact-decimal sums. The window keyspace is calendar-bounded —
+    at 100 TB the fan-out is a fixed 4× and the agg output stays tiny.
+    The oracle replays the epoch-aligned window arithmetic on micros.
+    """
+    ev = _t(spark, sf_dir, "events")
+    win = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(dec("value"), "total_value"),
+    )
+    return win.select(
+        F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+            "window_start_us"
+        ),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start_us", "event_type")
+
+
+HOPPING_WINDOW_SQL = """
+WITH ev AS (
+  SELECT event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events
+), placed AS (
+  SELECT event_type, value,
+         (ts_us // 900000000 - k) * 900000000 AS window_start_us
+  FROM ev, unnest(range(0, 4)) t(k)
+)
+SELECT window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM placed
+GROUP BY window_start_us, event_type
+ORDER BY window_start_us, event_type
+"""
+
+
 def join_asof_forward_tolerance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2669,6 +2715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_zscore_winsorize": feature_zscore_winsorize,
     "scd2_user_state": scd2_user_state,
     "join_asof_forward_tolerance": join_asof_forward_tolerance,
+    "hopping_window_events": hopping_window_events,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2728,4 +2775,5 @@ ORACLE_SQL: dict[str, str] = {
     "feature_zscore_winsorize": FEATURE_ZSCORE_SQL,
     "scd2_user_state": SCD2_SQL,
     "join_asof_forward_tolerance": ASOF_FORWARD_SQL,
+    "hopping_window_events": HOPPING_WINDOW_SQL,
 }
