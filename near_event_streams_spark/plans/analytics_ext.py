@@ -2235,6 +2235,84 @@ ORDER BY cohort_day, offset_days
 """
 
 
+def active_users_dau_wau_mau(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU / WAU(7d) / MAU(28d) per day — rolling DISTINCT users, the
+    product-analytics staple that naive windows cannot express (distinct
+    over a sliding frame).
+
+    The scalable shape: dedupe to (user, day) pairs once, then each pair
+    fans out to the report days it supports (1 for DAU, 7 for WAU, 28
+    for MAU — a FIXED fan-out) and each report day is one distinct-count
+    hash agg. At 100 TB the fan-out is 36× on the already-deduped
+    user-day pairs, not on raw events; the exact-tolerant alternative is
+    one HLL sketch per day merged over the window
+    (``agg_hll_sketch_union`` pattern). Report range clipped to observed
+    days so no partial trailing windows appear.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = ev.distinct()
+    bounds = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+
+    def rolling(days: int, alias: str) -> DataFrame:
+        fan = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(days - 1))
+            ).alias("k"),
+            "day",
+        ).select(
+            "user_id", F.date_add("day", F.col("k")).alias("report_day")
+        )
+        return fan.groupBy("report_day").agg(
+            F.countDistinct("user_id").alias(alias)
+        )
+
+    out = (
+        rolling(1, "dau")
+        .join(rolling(7, "wau"), "report_day")
+        .join(rolling(28, "mau"), "report_day")
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("report_day") >= F.col("lo"))
+            & (F.col("report_day") <= F.col("hi"))
+        )
+    )
+    return out.select("report_day", "dau", "wau", "mau").orderBy(
+        "report_day"
+    )
+
+
+DAU_WAU_MAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud
+), dau AS (
+  SELECT day AS report_day, COUNT(DISTINCT user_id) AS dau
+  FROM ud GROUP BY day
+), wau AS (
+  SELECT day + CAST(k AS INT) AS report_day,
+         COUNT(DISTINCT user_id) AS wau
+  FROM ud, unnest(range(0, 7)) t(k) GROUP BY 1
+), mau AS (
+  SELECT day + CAST(k AS INT) AS report_day,
+         COUNT(DISTINCT user_id) AS mau
+  FROM ud, unnest(range(0, 28)) t(k) GROUP BY 1
+)
+SELECT report_day, CAST(dau AS BIGINT) AS dau,
+       CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau
+FROM dau JOIN wau USING (report_day) JOIN mau USING (report_day), bounds
+WHERE report_day >= lo AND report_day <= hi
+ORDER BY report_day
+"""
+
+
 def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) window aggregation in batch: 1-hour windows
     every 15 minutes over the event stream, per event type — the batch
@@ -2716,6 +2794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_state": scd2_user_state,
     "join_asof_forward_tolerance": join_asof_forward_tolerance,
     "hopping_window_events": hopping_window_events,
+    "active_users_dau_wau_mau": active_users_dau_wau_mau,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2776,4 +2855,5 @@ ORACLE_SQL: dict[str, str] = {
     "scd2_user_state": SCD2_SQL,
     "join_asof_forward_tolerance": ASOF_FORWARD_SQL,
     "hopping_window_events": HOPPING_WINDOW_SQL,
+    "active_users_dau_wau_mau": DAU_WAU_MAU_SQL,
 }
