@@ -79,6 +79,11 @@ ROUND4_BUDGETS = {
     "epoch_shuffle_shards": 2,
     "cap_docs_per_source": 2,
     "sample_weighted_topk": 0,
+    "join_asof_forward_tolerance": 2,
+    "hopping_window_events": 2,
+    # 3 horizons × (fan-out agg partial+final) + joins + clip: the fixed
+    # price of exact rolling distinct; HLL-merge is the cheaper approx
+    "active_users_dau_wau_mau": 10,
 }
 
 
