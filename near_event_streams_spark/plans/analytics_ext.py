@@ -2726,7 +2726,7 @@ WITH b AS (
       AS zkey
   FROM s
 )
-SELECT zkey >> 26 AS quadrant,
+SELECT CAST(zkey >> 26 AS BIGINT) AS quadrant,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(MAX(o_custkey) - MIN(o_custkey) AS BIGINT) AS x_span,
        CAST(MAX(o_orderkey) - MIN(o_orderkey) AS BIGINT) AS y_span

@@ -65,7 +65,64 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+# DuckDB integer widths the driver's hash demonstrably tolerates against a
+# Spark integral column (r4 verdict: 39 INTEGER-oracle queries hash-green).
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+# Types the driver's type-sensitive hash NEVER matches to a Spark column:
+# HUGEINT (DuckDB list_sum / SUM(BIGINT) inference) burned
+# layout_zorder_locality in round 4 despite value-identical rows.
+_DUCK_FORBIDDEN = {"HUGEINT", "UHUGEINT"}
+
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+
+
+def assert_type_parity(spark_df, con, sql: str, name: str = "query") -> None:
+    """Fail when the oracle SQL's result types would trip the driver's
+    type-sensitive value hash even at equal values.
+
+    The driver hashes (value, type) pairs, so DuckDB HUGEINT != Spark
+    BIGINT and DuckDB FLOAT != Spark DOUBLE no matter the values. The
+    round-4 red row (layout_zorder_locality) was exactly this class; the
+    stringifying canonicalizer below cannot see it, so this check runs
+    first on the bound (unexecuted) relation.
+    """
+    rel = con.sql(sql)
+    duck_types = {
+        c: str(t).upper().split("(")[0]
+        for c, t in zip(rel.columns, rel.types)
+    }
+    spark_types = dict(spark_df.dtypes)
+    for col, dt in duck_types.items():
+        assert dt not in _DUCK_FORBIDDEN, (
+            f"{name}: oracle column {col!r} is {dt} — DuckDB wide-int "
+            f"types never hash-match Spark; CAST(... AS BIGINT) in the SQL"
+        )
+        st = spark_types.get(col)
+        if st is None:
+            continue  # column-set mismatch reported by compare() proper
+        st_base = st.split("(")[0]
+        if st_base == "double":
+            assert dt in ("DOUBLE", "DECIMAL"), (
+                f"{name}: oracle column {col!r} is {dt} but Spark emits "
+                f"double — cast the SQL to DOUBLE"
+            )
+        elif st_base == "float":
+            assert dt in ("FLOAT", "REAL"), (
+                f"{name}: oracle column {col!r} is {dt} but Spark emits "
+                f"float — cast the SQL to FLOAT/REAL"
+            )
+        elif st_base in _SPARK_INT:
+            assert dt in _DUCK_INT, (
+                f"{name}: oracle column {col!r} is {dt} but Spark emits "
+                f"{st} — cast the SQL to an integer width"
+            )
+
+
 def compare(spark_df, con, sql: str, name: str = "query") -> None:
+    assert_type_parity(spark_df, con, sql, name=name)
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = list(spark_df.columns)
     res = con.execute(sql)

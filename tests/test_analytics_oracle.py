@@ -15,6 +15,34 @@ def duck():
     con.close()
 
 
+def test_harness_rejects_hugeint_oracle(spark, duck):
+    """The driver's value hash is type-sensitive: DuckDB HUGEINT never
+    matches a Spark BIGINT even at equal values (the round-4
+    layout_zorder_locality red). The local harness must fail the same
+    way, BEFORE value comparison, so the gate catches it pre-driver."""
+    df = spark.range(1).selectExpr("CAST(42 AS BIGINT) AS v")
+    # list_sum over BIGINT infers HUGEINT in DuckDB — the exact shape
+    # that shipped the round-4 bug.
+    hugeint_sql = "SELECT list_sum([CAST(42 AS BIGINT)]) AS v"
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        compare(df, duck, hugeint_sql, name="hugeint_regression")
+    # and the cast fix must pass
+    compare(
+        df,
+        duck,
+        "SELECT CAST(list_sum([CAST(42 AS BIGINT)]) AS BIGINT) AS v",
+        name="hugeint_cast_ok",
+    )
+
+
+def test_harness_rejects_float_vs_double(spark, duck):
+    df = spark.range(1).selectExpr("CAST(1.5 AS DOUBLE) AS v")
+    with pytest.raises(AssertionError, match="double"):
+        compare(
+            df, duck, "SELECT CAST(1.5 AS REAL) AS v", name="float_reg"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
