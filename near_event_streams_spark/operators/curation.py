@@ -477,12 +477,15 @@ def weighted_sample(
     ).cast("long")
     u = (h.cast("double") + 0.5) / float(1 << 52)
     priority = F.log(u) / weight.cast("double")
-    # round for cross-engine determinism; +0.0 folds -0.0 to +0.0 so the
-    # value hashes identically everywhere
+    # Order by the FULL-precision priority: large weights compress
+    # priorities into a sliver near 0, so a pre-rounded ordering
+    # collides en masse and the key tie-break would bias selection
+    # toward lexicographically small keys. Round only the emitted
+    # display column (cross-engine hash determinism; +0.0 folds -0.0).
     return (
-        df.withColumn(
-            "sample_priority", F.round(priority, 6) + F.lit(0.0)
-        )
-        .orderBy(F.desc("sample_priority"), key)
+        df.withColumn("_pri", priority)
+        .orderBy(F.desc("_pri"), key)
         .limit(k)
+        .withColumn("sample_priority", F.round(F.col("_pri"), 6) + F.lit(0.0))
+        .drop("_pri")
     )

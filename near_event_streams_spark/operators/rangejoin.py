@@ -70,18 +70,26 @@ def interval_overlap_join(
 
     Both sides explode onto the fixed-width bins their interval covers
     and equi-join on the bin key; the exact overlap predicate then
-    discards bin-boundary false positives, and a ``distinct`` collapses
-    pairs that met in several bins. Cost: fan-out is
-    Σ ⌈len/bin_width⌉ + 1 per side — choose ``bin_width`` near the
-    median interval length and it stays O(rows); the join itself is an
-    ordinary shuffle hash/merge join, parallel and AQE-skew-handled.
-    A nested-loop would be O(|a|·|b|) and is plan-gated away.
+    discards bin-boundary false positives. A pair of overlapping
+    intervals meets in EVERY shared bin, so each pair is emitted only
+    from its FIRST shared bin — ``_bin == greatest(start_bin_a,
+    start_bin_b)``, which both sides necessarily cover when they
+    overlap. That keeps the output exactly the naive theta join's bag
+    (duplicate input rows keep their multiplicity) with no distinct()
+    full-width shuffle. Cost: fan-out is Σ ⌈len/bin_width⌉ + 1 per
+    side — choose ``bin_width`` near the median interval length and it
+    stays O(rows); the join itself is an ordinary shuffle hash/merge
+    join, parallel and AQE-skew-handled. A nested-loop would be
+    O(|a|·|b|) and is plan-gated away.
 
     Columns must be pre-disambiguated (no shared names beyond none).
     """
+    def start_bin(lo: str):
+        return F.floor(F.col(lo) / F.lit(bin_width)).cast("long")
+
     def bins(lo: str, hi: str):
         return F.sequence(
-            F.floor(F.col(lo) / F.lit(bin_width)).cast("long"),
+            start_bin(lo),
             F.floor(F.col(hi) / F.lit(bin_width)).cast("long"),
         )
 
@@ -92,7 +100,10 @@ def interval_overlap_join(
         .filter(
             (F.col(a_start) <= F.col(b_end))
             & (F.col(b_start) <= F.col(a_end))
+            & (
+                F.col("_bin")
+                == F.greatest(start_bin(a_start), start_bin(b_start))
+            )
         )
         .drop("_bin")
-        .distinct()
     )

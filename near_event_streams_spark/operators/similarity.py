@@ -402,6 +402,7 @@ def knn_label_agreement(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """Leave-one-out kNN label agreement — the mislabeled-sample signal
     a labeled-embedding curation pipeline runs (cleanlab-style label
@@ -409,13 +410,20 @@ def knn_label_agreement(
     nearest neighbors (self excluded). Disagreement rows are the
     relabel/review candidates.
 
-    Exact cosine neighbors via :func:`brute_force_topk` — the correct
-    baseline at test scale; at corpus scale swap :func:`ivf_topk` in as
-    the candidate generator (same output shape). Majority is fully
-    deterministic: most votes, ties to the smallest label. Returns
+    ``neighbors`` is the pluggable candidate generator: any frame with
+    ``(query_id, cand_id, cos_sim)`` — :func:`ivf_topk`'s shape — and
+    THIS is the 100 TB path (cluster-pruned candidates, never an
+    all-pairs GEMM over the corpus). When None, falls back to exact
+    :func:`brute_force_topk` — quadratic, the correct baseline at test
+    scale only. Majority is fully deterministic: most votes, ties to
+    the smallest label. Returns
     ``(vec_id, label, knn_label, n_votes, label_consistent)``.
     """
-    nb = brute_force_topk(corpus, corpus, k, id_col, vec_col)
+    nb = (
+        neighbors
+        if neighbors is not None
+        else brute_force_topk(corpus, corpus, k, id_col, vec_col)
+    )
     cand_labels = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(label_col).alias("cand_label")
     )
@@ -559,17 +567,22 @@ def quantize_int8_recon(
         ).alias("maxs"),
     )
     idx = F.sequence(F.lit(1), F.lit(dim))
+
+    # A dimension that is constant across the corpus has zero span; the
+    # unguarded ratio is 0/0 (NULL in Spark, NaN/Inf in IEEE engines).
+    # Pin the ratio to 0 so the code round-trips mn exactly on both
+    # engines (decode multiplies by the zero span, no guard needed).
+    def _ratio(i):
+        span = F.element_at("maxs", i) - F.element_at("mins", i)
+        return F.when(
+            span > 0,
+            (F.element_at(v, i).cast("double") - F.element_at("mins", i))
+            / span,
+        ).otherwise(F.lit(0.0))
+
     enc = F.transform(
         idx,
-        lambda i: (
-            F.floor(
-                (F.element_at(v, i).cast("double") - F.element_at("mins", i))
-                / (F.element_at("maxs", i) - F.element_at("mins", i))
-                * 255.0
-                + 0.5
-            ).cast("int")
-            - 128
-        ),
+        lambda i: F.floor(_ratio(i) * 255.0 + 0.5).cast("int") - 128,
     )
     coded = emb.crossJoin(F.broadcast(stats)).withColumn("q", enc)
     rec = F.transform(

@@ -471,8 +471,20 @@ def nb_quality_distill(
             )
         ).alias("weight"),
     )
+    # Partial teachers are the normal distillation setup: buckets no
+    # training token ever hit get the add-one-smoothed zero-count weight
+    # log(1/(n_pos+B)) - log(1/(n_neg+B)) rather than silently dropping
+    # the token, and docs outside the teacher still get scored (null
+    # label/agree) rather than disappearing.
+    default_w = F.log(
+        F.lit(1.0) / (F.col("n_pos") + float(buckets))
+    ) - F.log(F.lit(1.0) / (F.col("n_neg") + float(buckets)))
     scored = (
-        tok.join(F.broadcast(weights), "bucket")
+        tok.join(F.broadcast(weights), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", F.coalesce(F.col("weight"), default_w).alias("weight")
+        )
         .groupBy("doc_id")
         .agg(
             F.avg("weight").alias("avg_w"),
@@ -484,7 +496,7 @@ def nb_quality_distill(
     )
     out = (
         scored.crossJoin(F.broadcast(dtot))
-        .join(lab, "doc_id")
+        .join(lab, "doc_id", "left")
         .withColumn("clf_score", F.round(prior + F.col("avg_w"), 6))
         .withColumn("clf_pred", (prior + F.col("avg_w")) > 0)
     )

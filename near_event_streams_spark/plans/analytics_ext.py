@@ -2243,13 +2243,17 @@ def active_users_dau_wau_mau(
     over a sliding frame).
 
     The scalable shape: dedupe to (user, day) pairs once, then each pair
-    fans out to the report days it supports (1 for DAU, 7 for WAU, 28
-    for MAU — a FIXED fan-out) and each report day is one distinct-count
-    hash agg. At 100 TB the fan-out is 36× on the already-deduped
-    user-day pairs, not on raw events; the exact-tolerant alternative is
-    one HLL sketch per day merged over the window
-    (``agg_hll_sketch_union`` pattern). Report range clipped to observed
-    days so no partial trailing windows appear.
+    fans out to the (metric, report_day) combinations it supports (1 for
+    DAU, 7 for WAU, 28 for MAU — a FIXED 36× fan-out on already-deduped
+    pairs, not raw events). ONE distinct collapses multi-day activity
+    inside a window, then ONE report_day agg takes conditional counts
+    per metric — no per-horizon join tree at all, and a calendar day
+    with zero DAU but nonzero rolling WAU/MAU keeps its row with DAU 0
+    (the conditional count is simply empty) instead of vanishing in an
+    inner join. The exact-tolerant alternative at 100 TB is one HLL
+    sketch per day merged over the window (``active_users_hll``).
+    Report range clipped to observed days so no partial trailing
+    windows appear.
     """
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
@@ -2259,32 +2263,38 @@ def active_users_dau_wau_mau(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
 
-    def rolling(days: int, alias: str) -> DataFrame:
-        fan = ud.select(
+    # One literal (metric, offset) combo array explodes every metric's
+    # fan-out from a SINGLE pass over ud — a union of per-metric
+    # branches would recompute the (user, day) distinct three times.
+    combos = F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), F.lit(k).alias("k"))
+            for m, days in (("dau", 1), ("wau", 7), ("mau", 28))
+            for k in range(days)
+        ]
+    )
+    pairs = (
+        ud.select("user_id", "day", F.explode(combos).alias("c"))
+        .select(
+            F.col("c.m").alias("metric"),
             "user_id",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(days - 1))
-            ).alias("k"),
-            "day",
-        ).select(
-            "user_id", F.date_add("day", F.col("k")).alias("report_day")
+            F.date_add("day", F.col("c.k")).alias("report_day"),
         )
-        return fan.groupBy("report_day").agg(
-            F.countDistinct("user_id").alias(alias)
-        )
-
-    out = (
-        rolling(1, "dau")
-        .join(rolling(7, "wau"), "report_day")
-        .join(rolling(28, "mau"), "report_day")
-        .crossJoin(F.broadcast(bounds))
+        .distinct()
+    )
+    counts = pairs.groupBy("report_day").agg(
+        F.count(F.when(F.col("metric") == "dau", 1)).alias("dau"),
+        F.count(F.when(F.col("metric") == "wau", 1)).alias("wau"),
+        F.count(F.when(F.col("metric") == "mau", 1)).alias("mau"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(bounds))
         .filter(
             (F.col("report_day") >= F.col("lo"))
             & (F.col("report_day") <= F.col("hi"))
         )
-    )
-    return out.select("report_day", "dau", "wau", "mau").orderBy(
-        "report_day"
+        .select("report_day", "dau", "wau", "mau")
+        .orderBy("report_day")
     )
 
 
@@ -2305,12 +2315,98 @@ WITH ud AS (
          COUNT(DISTINCT user_id) AS mau
   FROM ud, unnest(range(0, 28)) t(k) GROUP BY 1
 )
-SELECT report_day, CAST(dau AS BIGINT) AS dau,
-       CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau
-FROM dau JOIN wau USING (report_day) JOIN mau USING (report_day), bounds
+SELECT report_day, CAST(COALESCE(dau, 0) AS BIGINT) AS dau,
+       CAST(COALESCE(wau, 0) AS BIGINT) AS wau,
+       CAST(COALESCE(mau, 0) AS BIGINT) AS mau
+FROM dau FULL JOIN wau USING (report_day)
+         FULL JOIN mau USING (report_day), bounds
 WHERE report_day >= lo AND report_day <= hi
 ORDER BY report_day
 """
+
+
+def active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU via per-day HLL sketch merge — the fan-out-FREE
+    rolling-distinct path for 100 TB (the alternative the exact
+    operator's docstring names).
+
+    The exact operator fans every deduped (user, day) pair 36×; here
+    the raw events collapse to ONE ``hll_sketch_agg`` per calendar day
+    first, and only the ~calendar-bounded day rows fan out — sketch
+    bytes travel, user rows never do. Each report day unions the
+    sketches of its trailing 1/7/28 days (``hll_union_agg``, the
+    mergeable-sketch property that lets executors sketch locally).
+
+    Invariant-gated like ``agg_hll_sketch_union``: the emitted
+    dau/wau/mau are the EXACT rolling distincts (oracle-replayable);
+    the booleans pin that each horizon's merged-sketch estimate lands
+    within 5% of exact (datasketches HLL at default lgK≈12 has ~1.6%
+    relative error).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    combos = F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), F.lit(k).alias("k"))
+            for m, days in (("dau", 1), ("wau", 7), ("mau", 28))
+            for k in range(days)
+        ]
+    )
+    est = (
+        daily.select("day", "sk", F.explode(combos).alias("c"))
+        .select(
+            F.col("c.m").alias("metric"),
+            F.date_add("day", F.col("c.k")).alias("report_day"),
+            "sk",
+        )
+        .groupBy("report_day")
+        .agg(
+            *[
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(
+                        F.when(F.col("metric") == m, F.col("sk"))
+                    )
+                ).alias(f"{m}_est")
+                for m in ("dau", "wau", "mau")
+            ]
+        )
+    )
+    exact = active_users_dau_wau_mau(spark, sf_dir)
+
+    def within(m: str):
+        e = F.coalesce(F.col(f"{m}_est"), F.lit(0)).cast("double")
+        x = F.col(m).cast("double")
+        return (
+            F.abs(e - x) / F.greatest(x, F.lit(1.0)) <= 0.05
+        ).alias(f"{m}_within_5pct")
+
+    return (
+        exact.join(est, "report_day")
+        .select(
+            "report_day",
+            "dau",
+            "wau",
+            "mau",
+            within("dau"),
+            within("wau"),
+            within("mau"),
+        )
+        .orderBy("report_day")
+    )
+
+
+ACTIVE_USERS_HLL_SQL = (
+    DAU_WAU_MAU_SQL.rstrip().removesuffix("ORDER BY report_day").rstrip()
+    .replace(
+        "SELECT report_day, CAST(COALESCE(dau, 0) AS BIGINT) AS dau,",
+        "SELECT report_day, CAST(COALESCE(dau, 0) AS BIGINT) AS dau,\n"
+        "       TRUE AS dau_within_5pct, TRUE AS wau_within_5pct,\n"
+        "       TRUE AS mau_within_5pct,",
+    )
+    + "\nORDER BY report_day\n"
+)
 
 
 def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2595,7 +2691,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both interval sets explode onto fixed-width time bins
     and meet in an ordinary shuffle equi-join (plan-gated: no nested
     loop, no cartesian); the exact overlap predicate prunes boundary
-    false positives and ``distinct`` collapses multi-bin meetings.
+    false positives and each pair is emitted only from its first shared
+    bin, so multi-bin meetings never duplicate (no distinct shuffle).
     """
     from near_event_streams_spark.operators.rangejoin import (
         interval_overlap_join,
@@ -2795,6 +2892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_asof_forward_tolerance": join_asof_forward_tolerance,
     "hopping_window_events": hopping_window_events,
     "active_users_dau_wau_mau": active_users_dau_wau_mau,
+    "active_users_hll": active_users_hll,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2856,4 +2954,5 @@ ORACLE_SQL: dict[str, str] = {
     "join_asof_forward_tolerance": ASOF_FORWARD_SQL,
     "hopping_window_events": HOPPING_WINDOW_SQL,
     "active_users_dau_wau_mau": DAU_WAU_MAU_SQL,
+    "active_users_hll": ACTIVE_USERS_HLL_SQL,
 }

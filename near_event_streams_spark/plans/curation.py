@@ -365,17 +365,20 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_WEIGHTED_SQL = """
 WITH p AS (
   SELECT doc_id, source, n_chars,
-    ROUND(
-      ln((CAST(CAST(('0x' || substr(
-            md5(CAST(doc_id AS VARCHAR) || '|' || 'ws'), 1, 13))
-          AS UBIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)
-      / CAST(n_chars AS DOUBLE), 6) + 0.0 AS sample_priority
+    ln((CAST(CAST(('0x' || substr(
+          md5(CAST(doc_id AS VARCHAR) || '|' || 'ws'), 1, 13))
+        AS UBIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)
+    / CAST(n_chars AS DOUBLE) AS pri
   FROM documents
+), top AS (
+  SELECT doc_id, source, n_chars, pri
+  FROM p
+  ORDER BY pri DESC, CAST(doc_id AS VARCHAR)
+  LIMIT 100
 )
-SELECT doc_id, source, n_chars, sample_priority
-FROM p
-ORDER BY sample_priority DESC, CAST(doc_id AS VARCHAR)
-LIMIT 100
+SELECT doc_id, source, n_chars,
+       ROUND(pri, 6) + 0.0 AS sample_priority
+FROM top
 """
 
 

@@ -593,6 +593,91 @@ ORDER BY e.vec_id
 """
 
 
+def knn_label_audit_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label audit with IVF candidate generation —
+    the 100 TB shape: neighbors come from ``similarity.ivf_topk``
+    (cluster-pruned, ~nprobe/n_clusters of the corpus scored per query)
+    plugged into ``knn_label_agreement(neighbors=...)``; no all-pairs
+    GEMM anywhere in the audit path.
+
+    Gated with the ``_ann_recall_invariant`` style: the exact audit
+    (brute-force neighbors — affordable at test scale only) runs
+    in-engine alongside; the output pins corpus-size and
+    exact-flag counts the oracle replays exactly, plus
+    ``audit_agree_ok`` — the IVF audit must reproduce the exact
+    majority label for ≥90% of vectors (a vector the IVF audit cannot
+    score counts as disagreement)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nb = similarity.ivf_topk(
+        emb, emb, k=5, n_clusters=16, nprobe=12
+    ).select("query_id", "cand_id", "cos_sim")
+    ivf_audit = similarity.knn_label_agreement(emb, k=5, neighbors=nb)
+    exact_audit = similarity.knn_label_agreement(emb, k=5)
+    joined = exact_audit.select(
+        "vec_id",
+        F.col("knn_label").alias("exact_knn"),
+        F.col("label_consistent").alias("exact_ok"),
+    ).join(
+        ivf_audit.select(
+            "vec_id", F.col("knn_label").alias("ivf_knn")
+        ),
+        "vec_id",
+        "left",
+    )
+    n = F.count(F.lit(1))
+    n_agree = F.count(
+        F.when(F.col("ivf_knn") == F.col("exact_knn"), 1)
+    )
+    return joined.agg(
+        n.alias("n_docs"),
+        F.count(F.when(~F.col("exact_ok"), 1)).alias("n_flagged_exact"),
+        (n_agree.cast("double") >= 0.9 * n.cast("double")).alias(
+            "audit_agree_ok"
+        ),
+    )
+
+
+KNN_LABEL_AUDIT_IVF_SQL = """
+WITH flat AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding)+1)) t(i)
+), norms AS (
+  SELECT vec_id, SUM(v*v) AS nsq FROM flat GROUP BY 1
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+  FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id != c.vec_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ROUND(dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 6) DESC,
+                    cand_id
+         ) AS rank
+  FROM dots
+  JOIN norms nq ON query_id = nq.vec_id
+  JOIN norms nc ON cand_id = nc.vec_id
+), votes AS (
+  SELECT r.query_id, e.label AS cand_label, COUNT(*) AS n_votes
+  FROM ranked r JOIN embeddings e ON r.cand_id = e.vec_id
+  WHERE r.rank <= 5
+  GROUP BY 1, 2
+), majority AS (
+  SELECT query_id, cand_label AS knn_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY n_votes DESC, cand_label
+         ) AS rk
+  FROM votes
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE e.label != m.knn_label) AS BIGINT)
+         AS n_flagged_exact,
+       TRUE AS audit_agree_ok
+FROM embeddings e JOIN majority m ON e.vec_id = m.query_id
+WHERE m.rk = 1
+"""
+
+
 _ANN_EXACT_TOPK_CTE = """
 WITH flat AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
@@ -730,8 +815,11 @@ WITH dims AS (
 ), coded AS (
   SELECT vec_id, embedding, mins, maxs,
     list_transform(range(1, 65), i ->
-      CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
-                 / (maxs[i] - mins[i]) * 255.0 + 0.5) AS INT) - 128) AS q
+      CAST(floor(
+        (CASE WHEN maxs[i] - mins[i] > 0
+              THEN (CAST(embedding[i] AS DOUBLE) - mins[i])
+                   / (maxs[i] - mins[i])
+              ELSE 0.0 END) * 255.0 + 0.5) AS INT) - 128) AS q
   FROM embeddings, stats
 ), rec AS (
   SELECT vec_id, embedding, q,
@@ -1392,8 +1480,12 @@ WITH t AS (
            AS weight
   FROM cls, tot
 ), sc AS (
-  SELECT doc_id, AVG(weight) AS avg_w, CAST(COUNT(*) AS INT) AS n_tokens
-  FROM tok JOIN wt USING (bucket) GROUP BY doc_id
+  SELECT doc_id,
+         AVG(COALESCE(weight,
+             ln(1.0 / CAST(n_pos + 4096 AS DOUBLE))
+             - ln(1.0 / CAST(n_neg + 4096 AS DOUBLE)))) AS avg_w,
+         CAST(COUNT(*) AS INT) AS n_tokens
+  FROM (tok LEFT JOIN wt USING (bucket)) CROSS JOIN tot GROUP BY doc_id
 )
 SELECT sc.doc_id, lab.label, sc.n_tokens,
   ROUND(ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
@@ -1402,7 +1494,7 @@ SELECT sc.doc_id, lab.label, sc.n_tokens,
         + sc.avg_w) > 0 AS clf_pred,
   ((ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
         + sc.avg_w) > 0) = lab.label AS agree
-FROM sc JOIN lab USING (doc_id), dtot
+FROM (sc LEFT JOIN lab USING (doc_id)) CROSS JOIN dtot
 ORDER BY sc.doc_id
 """
 
@@ -1670,6 +1762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "knn_label_audit": knn_label_audit,
+    "knn_label_audit_ivf": knn_label_audit_ivf,
     "emb_quantize_int8": emb_quantize_int8,
     "text_quality_docs": text_quality_docs,
     "text_quality_gopher": text_quality_gopher,
@@ -1708,6 +1801,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": _ANN_INVARIANT_SQL,
     "ann_ivf_topk": _ANN_INVARIANT_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
+    "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "text_quality_docs": TEXT_QUALITY_SQL,
     "text_quality_gopher": TEXT_GOPHER_SQL,

@@ -63,8 +63,11 @@ def test_interval_overlap_matches_naive_theta_join(spark):
         interval_overlap_join,
     )
 
+    # a_id=3 appears TWICE: bag semantics must keep both copies (the
+    # old full-row distinct() collapsed legitimately duplicate inputs)
     a = spark.createDataFrame(
-        [(1, 0, 10), (2, 15, 25), (3, 100, 200), (4, 30, 30)],
+        [(1, 0, 10), (2, 15, 25), (3, 100, 200), (4, 30, 30),
+         (3, 100, 200)],
         "a_id long, s long, e long",
     )
     b = spark.createDataFrame(
@@ -72,19 +75,20 @@ def test_interval_overlap_matches_naive_theta_join(spark):
          (50, 300, 400)],
         "b_id long, ws long, we long",
     )
-    got = {
+    got = sorted(
         (r["a_id"], r["b_id"])
         for r in interval_overlap_join(
             a, b, "s", "e", "ws", "we", bin_width=7
         ).collect()
-    }
-    naive = {
+    )
+    naive = sorted(
         (r["a_id"], r["b_id"])
         for r in a.join(
             b, (F.col("s") <= F.col("we")) & (F.col("ws") <= F.col("e"))
         ).collect()
-    }
+    )
     assert got == naive and (1, 10) in got and (4, 40) in got
+    assert got.count((3, 30)) == 2
 
 
 def test_interval_overlap_randomized_equivalence(spark):
@@ -109,17 +113,17 @@ def test_interval_overlap_randomized_equivalence(spark):
         a = spark.createDataFrame(mk(40, 60), "a_id long, s long, e long")
         b = spark.createDataFrame(mk(40, 15), "b_id long, ws long, we long")
         width = rng.choice([3, 17, 64])
-        got = {
+        got = sorted(
             (r["a_id"], r["b_id"])
             for r in interval_overlap_join(
                 a, b, "s", "e", "ws", "we", bin_width=width
             ).collect()
-        }
-        naive = {
+        )
+        naive = sorted(
             (r["a_id"], r["b_id"])
             for r in a.join(
                 b,
                 (F.col("s") <= F.col("we")) & (F.col("ws") <= F.col("e")),
             ).collect()
-        }
+        )
         assert got == naive, (trial, width, len(got), len(naive))

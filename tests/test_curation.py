@@ -278,3 +278,97 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     # uniform draw would include ~6 of the 50 heavy rows in 60 picks;
     # weight 100x must pull in the large majority of them
     assert heavy >= 35, heavy
+
+
+def test_nb_distill_partial_teacher_keeps_unlabeled_docs(spark):
+    """The normal distillation setup: the teacher labels a SUBSET and
+    the model scores the whole corpus. Unlabeled docs must survive with
+    null label/agree (not vanish), and tokens hashing to never-trained
+    buckets must still count toward n_tokens via the smoothed
+    zero-count prior weight."""
+    from near_event_streams_spark.operators.text import nb_quality_distill
+
+    rows = (
+        [(i, "good clean prose text here", True) for i in range(10)]
+        + [(100 + i, "spam junk garbage noise blob", False) for i in range(5)]
+        # unseen vocabulary AND outside the teacher
+        + [(200, "zyzzyva qwyjibo xylophone", None)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean"
+    )
+    teacher = df.filter(F.col("label").isNotNull()).select(
+        "doc_id", "label"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality_distill(
+            df.select("doc_id", "text"), teacher
+        ).collect()
+    }
+    assert 200 in out, "unlabeled doc dropped from scoring"
+    r = out[200]
+    assert r["label"] is None and r["agree"] is None
+    assert r["n_tokens"] == 3, "never-trained buckets dropped from count"
+    assert r["clf_score"] is not None
+    # labeled docs unchanged by the left-join rework
+    assert all(out[i]["agree"] for i in range(10))
+
+
+def test_quantize_zero_span_dimension_is_guarded(spark):
+    """A corpus-constant dimension has max-min == 0; the code must pin
+    its ratio to 0 (q = -128, exact reconstruction) instead of emitting
+    NULL/NaN through the 0/0 division."""
+    import math
+
+    from near_event_streams_spark.operators.similarity import (
+        quantize_int8_recon,
+    )
+
+    rows = [
+        (i, [float(i), 7.5, float(i * 2), -1.0 + i]) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantize_int8_recon(df, dim=4).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["recon_cosine"] is not None
+        assert math.isfinite(r["recon_cosine"])
+        assert r["max_abs_err"] is not None and r["max_abs_err"] < 0.02
+        # constant dim 2 encodes as -128 (ratio 0) for every vector
+        assert r["q_head"].split(",")[1] == "-128"
+
+
+def test_weighted_sample_large_weights_not_biased_by_rounding(spark):
+    """With huge weights every priority ln(u)/w collapses into a sliver
+    near 0: a pre-rounded ordering ties en masse and the key tie-break
+    then favors lexicographically small keys. The ordering must use
+    full-precision priorities — verified against an exact replica of
+    the A-ES draw computed in Python."""
+    import hashlib
+    import math
+
+    from near_event_streams_spark.operators.curation import weighted_sample
+
+    w = 1.0e9
+    rows = [(i, w) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [
+        r["id"]
+        for r in weighted_sample(
+            df, F.col("id").cast("string"), F.col("w"), k=40
+        ).collect()
+    ]
+
+    def pri(i: int) -> float:
+        h = int(hashlib.md5(f"{i}|ws".encode()).hexdigest()[:13], 16)
+        return math.log((h + 0.5) / float(1 << 52)) / w
+
+    want = [
+        i
+        for i in sorted(range(300), key=lambda i: (-pri(i), str(i)))[:40]
+    ]
+    assert got == want
+    # rounding-bias fingerprint: the biased sampler returns ids 0,1,10,
+    # 100,101... (lexicographic head); the exact one must not
+    assert got != sorted(got, key=str)[:40] or want == got

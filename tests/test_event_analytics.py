@@ -1,0 +1,190 @@
+"""Edge-case unit tests for the event-analytics family (round-4
+operators gated only through the sf0.01 oracle until now): SCD2,
+forward as-of with tolerance, ordered funnel, and rolling-distinct
+DAU/WAU/MAU — driven through the REAL registered plan callables over a
+crafted events.parquet, so the exact code the driver gates is what the
+fixtures exercise (mirrors tests/test_timeseries.py's approach for the
+timeseries family).
+
+Fixture timeline (all users < 15 so the SCD2 cohort filter keeps them):
+
+  2024-01-01  u1 view,view,view          (all-same-state stream)
+              u2 click                   (single-event user)
+              u3 click, view, purchase   (out-of-order funnel steps)
+              u4 view, click, purchase   (clean funnel completion)
+              u5 purchase+error same instant; purchase, error +31min
+              u7 view+click same instant (strictly-after boundary)
+  2024-01-04  u6 view                    (activity gap on 01-02/01-03)
+"""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entry
+
+D0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(h=0, m=0, s=0, day=0):
+    return D0 + dt.timedelta(days=day, hours=h, minutes=m, seconds=s)
+
+
+EVENTS = [
+    # (event_id, ts, user_id, event_type)
+    (1, _ts(0, 1), 1, "view"),
+    (2, _ts(0, 2), 1, "view"),
+    (3, _ts(0, 3), 1, "view"),
+    (4, _ts(0, 5), 2, "click"),
+    (5, _ts(0, 10), 3, "click"),
+    (6, _ts(0, 20), 3, "view"),
+    (7, _ts(0, 30), 3, "purchase"),
+    (8, _ts(0, 10), 4, "view"),
+    (9, _ts(0, 20), 4, "click"),
+    (10, _ts(0, 30), 4, "purchase"),
+    (11, _ts(1, 0), 5, "purchase"),
+    (12, _ts(1, 0), 5, "error"),
+    (13, _ts(2, 0), 5, "purchase"),
+    (14, _ts(2, 31), 5, "error"),
+    (15, _ts(3, 0), 7, "view"),
+    (16, _ts(3, 0), 7, "click"),
+    (17, _ts(0, 0, 30, day=3), 6, "view"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events")
+    table = pa.table(
+        {
+            "event_id": pa.array([e[0] for e in EVENTS], pa.int64()),
+            "ts": pa.array([e[1] for e in EVENTS], pa.timestamp("us")),
+            "user_id": pa.array([e[2] for e in EVENTS], pa.int64()),
+            "event_type": pa.array([e[3] for e in EVENTS], pa.string()),
+            "value": pa.array([1.0] * len(EVENTS), pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(EVENTS), pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+def _us(t: dt.datetime) -> int:
+    return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def test_scd2_edge_users(spark, edge_dir):
+    rows = (
+        entry.queries()["scd2_user_state"](spark, edge_dir)
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+
+    # all-same-state stream collapses to ONE current interval
+    u1 = by_user[1]
+    assert len(u1) == 1
+    assert u1[0]["state"] == "view"
+    assert u1[0]["effective_from_us"] == _us(_ts(0, 1))
+    assert u1[0]["effective_to_us"] is None and u1[0]["is_current"]
+
+    # single-event user: one open interval
+    u2 = by_user[2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+    assert u2[0]["state"] == "click"
+
+    # same-instant state change (purchase+error at 01:00, ids 11/12):
+    # event_id breaks the tie, so purchase's interval is zero-length
+    u5 = by_user[5]
+    assert [r["state"] for r in u5] == [
+        "purchase", "error", "purchase", "error",
+    ]
+    assert u5[0]["effective_from_us"] == u5[0]["effective_to_us"]
+    assert u5[1]["effective_to_us"] == _us(_ts(2, 0))
+    assert u5[3]["is_current"] and u5[3]["effective_to_us"] is None
+    assert sum(r["is_current"] for r in u5) == 1
+
+    # same-instant view+click (ids 15/16): id order, zero-length first
+    u7 = by_user[7]
+    assert [r["state"] for r in u7] == ["view", "click"]
+    assert u7[0]["effective_from_us"] == u7[0]["effective_to_us"]
+
+
+def test_asof_forward_tie_and_tolerance(spark, edge_dir):
+    rows = {
+        r["purchase_id"]: r
+        for r in entry.queries()["join_asof_forward_tolerance"](
+            spark, edge_dir
+        ).collect()
+    }
+    # row set is exactly the purchases — beyond-tolerance and
+    # no-error-at-all purchases are NULLED, never dropped
+    assert set(rows) == {7, 10, 11, 13}
+
+    # same-instant error IS visible to the purchase (tie pinned by
+    # src ordering: purchase sorts before error at equal ts)
+    assert rows[11]["next_error_id"] == 12
+    assert rows[11]["next_error_ts_us"] == rows[11]["purchase_ts_us"]
+
+    # next error 31min out: beyond the 30min tolerance -> nulled
+    assert rows[13]["next_error_id"] is None
+    assert rows[13]["next_error_ts_us"] is None
+
+    # users with no error events at all
+    assert rows[7]["next_error_id"] is None
+    assert rows[10]["next_error_id"] is None
+
+
+def test_funnel_out_of_order_and_same_instant_steps(spark, edge_dir):
+    rows = {
+        r["step"]: r
+        for r in entry.queries()["funnel_view_click_purchase"](
+            spark, edge_dir
+        ).collect()
+    }
+    # viewers: u1, u3, u4, u6, u7
+    assert rows[1]["n"] == 5
+    # clicks counted only STRICTLY after the first view: u3's click
+    # precedes its view, u7's click is the same instant, u2 never
+    # viewed -> only u4 converts
+    assert rows[2]["n"] == 1
+    # u4's purchase is after its click; u3's purchase doesn't count
+    # (no qualifying click), u5's purchases lack views entirely
+    assert rows[3]["n"] == 1
+    assert rows[1]["conv_from_prev"] is None
+    assert rows[2]["conv_from_prev"] == pytest.approx(0.2)
+    assert rows[3]["conv_from_prev"] == pytest.approx(1.0)
+
+
+def test_dau_wau_mau_gap_days_and_clip(spark, edge_dir):
+    rows = [
+        (str(r["report_day"]), r["dau"], r["wau"], r["mau"])
+        for r in entry.queries()["active_users_dau_wau_mau"](
+            spark, edge_dir
+        ).collect()
+    ]
+    # clipped exactly to the observed [2024-01-01, 2024-01-04]; the
+    # zero-DAU gap days 01-02/01-03 keep their rolling WAU/MAU rows
+    assert rows == [
+        ("2024-01-01", 6, 6, 6),
+        ("2024-01-02", 0, 6, 6),
+        ("2024-01-03", 0, 6, 6),
+        ("2024-01-04", 1, 7, 7),
+    ]
+
+
+def test_active_users_hll_matches_exact_on_fixture(spark, edge_dir):
+    rows = entry.queries()["active_users_hll"](spark, edge_dir).collect()
+    got = [(str(r["report_day"]), r["dau"], r["wau"], r["mau"]) for r in rows]
+    assert got == [
+        ("2024-01-01", 6, 6, 6),
+        ("2024-01-02", 0, 6, 6),
+        ("2024-01-03", 0, 6, 6),
+        ("2024-01-04", 1, 7, 7),
+    ]
+    for r in rows:
+        assert r["dau_within_5pct"] and r["wau_within_5pct"]
+        assert r["mau_within_5pct"]

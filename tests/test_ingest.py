@@ -451,7 +451,9 @@ def test_band_keys_from_sig_matches_wide_lsh_banding(spark):
 
 def test_ingest_compaction_folds_closed_batches(spark, tmp_path):
     """With compact_every, closed batch dirs fold into one merged dir;
-    the corpus contents and dedup behavior are unchanged."""
+    the corpus contents and dedup behavior are unchanged, and the
+    small-files count PLATEAUS instead of growing one dir (and several
+    files) per micro-batch — the property a 24/7 ingest loop needs."""
     src = tmp_path / "src"
     src.mkdir()
     corpus = str(tmp_path / "corpus")
@@ -464,7 +466,18 @@ def test_ingest_compaction_folds_closed_batches(spark, tmp_path):
         # would (correctly!) trip the near-dup suppression
         return " ".join(f"tok{i}{j}{k}" for k in range(8))
 
-    for i in range(4):
+    def layout():
+        dirs = glob.glob(f"{corpus}/batch_id=*")
+        files = [
+            f
+            for d in dirs
+            for f in glob.glob(f"{d}/*.parquet")
+        ]
+        return len(dirs), len(files)
+
+    n_batches = 8
+    checkpoints = {}
+    for i in range(n_batches):
         rows = [(10 * i + j, text_for(i, j)) for j in range(3)]
         if i == 3:
             rows.append((99, text_for(0, 0)))  # exact dup of doc 0
@@ -474,9 +487,18 @@ def test_ingest_compaction_folds_closed_batches(spark, tmp_path):
             stream, corpus, reg, ck, compact_every=2
         )
         q.awaitTermination()
+        checkpoints[i] = layout()
 
     out = spark.read.parquet(corpus)
     ids = {r["doc_id"] for r in out.collect()}
-    assert ids == {10 * i + j for i in range(4) for j in range(3)}, ids
-    dirs = {os.path.basename(p) for p in glob.glob(f"{corpus}/batch_id=*")}
-    assert len(dirs) < 4, dirs  # closed batches folded
+    assert ids == {
+        10 * i + j for i in range(n_batches) for j in range(3)
+    }, ids
+    # plateau: dir/file counts right after a compaction batch must not
+    # trend upward as batches accumulate (merged + the one open batch)
+    dirs4, files4 = checkpoints[3]
+    dirs8, files8 = checkpoints[7]
+    assert dirs8 <= max(dirs4, 3), checkpoints
+    assert files8 <= max(files4, 6), checkpoints
+    # and in absolute terms: far fewer dirs than micro-batches ran
+    assert dirs8 < n_batches / 2, checkpoints

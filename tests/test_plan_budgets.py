@@ -81,9 +81,9 @@ ROUND4_BUDGETS = {
     "sample_weighted_topk": 0,
     "join_asof_forward_tolerance": 2,
     "hopping_window_events": 2,
-    # 3 horizons × (fan-out agg partial+final) + joins + clip: the fixed
-    # price of exact rolling distinct; HLL-merge is the cheaper approx
-    "active_users_dau_wau_mau": 10,
+    # union of tagged fan-outs → one distinct → one conditional-count
+    # agg → presentation sort; no per-horizon join tree
+    "active_users_dau_wau_mau": 4,
 }
 
 
