@@ -107,6 +107,121 @@ def decontaminate(
     )
 
 
+def bloom_bitmap(
+    keys: DataFrame,
+    m_bits: int,
+    k: int,
+    col: str = "gram",
+) -> DataFrame:
+    """ONE-row DataFrame ``(bitmap array<boolean>)`` — a Bloom filter of
+    ``keys[col]`` with ``k`` xxhash64 seeds over ``m_bits`` positions.
+
+    The set-bit positions are computed distributedly and only the
+    DISTINCT positions come back to the driver — bounded by
+    ``min(m_bits, k·|keys|)`` regardless of data volume (same bounded-
+    collect contract as the sketch operators). The bitmap broadcasts as
+    one row; membership probes are then pure ``element_at`` expressions
+    inside codegen — no join at all for candidate generation.
+    """
+    spark = keys.sparkSession
+    pos_rows = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(i)),
+                            F.lit(m_bits),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = [False] * m_bits
+    for r in pos_rows:
+        bits[r["pos"]] = True
+    return spark.createDataFrame([(bits,)], "bitmap array<boolean>")
+
+
+def bloom_probe(gram: Column, m_bits: int, k: int) -> Column:
+    """All-``k``-bits-set membership test against the broadcast
+    ``bitmap`` column (pure codegen; no false negatives by Bloom
+    construction, so an EXACT verify of the surviving candidates
+    reproduces the exact-join answer)."""
+    checks = [
+        F.element_at(
+            F.col("bitmap"),
+            (
+                F.pmod(F.xxhash64(gram, F.lit(i)), F.lit(m_bits)) + 1
+            ).cast("int"),
+        )
+        for i in range(k)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 6,
+    broadcast_flags: bool | None = None,
+    max_broadcast_ids: int = 5_000_000,
+) -> DataFrame:
+    """:func:`decontaminate` with Bloom-prefiltered candidate
+    generation — identical EXACT output, cheaper shape at 100 TB.
+
+    The plain operator probes EVERY train n-gram against the broadcast
+    eval-gram hash table. Here the eval grams compress to a fixed-size
+    Bloom bitmap (``m_bits`` bits, ``k`` xxhash64 probes — at the
+    defaults ~1 MB and <2% false positives for ≤10⁵ eval grams, tune
+    ``m_bits`` ≈ 10 bits/gram); the train gram stream is filtered by
+    pure ``element_at`` bit tests inside whole-stage codegen, and only
+    the tiny candidate remainder meets the real eval-gram equi-join for
+    EXACT verification. Bloom filters have no false negatives, so the
+    verified result equals the exact join's — the oracle is the same
+    SQL as the exact operator. False positives cost only wasted
+    verify-join rows, never wrong output.
+    """
+    ev = eval_docs.select(
+        F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    bitmap = bloom_bitmap(ev, m_bits, k)
+    tr_grams = train.select(
+        F.col(id_col),
+        F.explode(ngrams_col(F.col(text_col), n)).alias("gram"),
+    )
+    cand = tr_grams.crossJoin(F.broadcast(bitmap)).filter(
+        bloom_probe(F.col("gram"), m_bits, k)
+    )
+    bad = (
+        cand.join(F.broadcast(ev), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    if broadcast_flags is None:
+        bad = bad.persist()
+        broadcast_flags = bad.count() <= max_broadcast_ids
+    if broadcast_flags:
+        bad = F.broadcast(bad)
+    out = train.join(bad, id_col, "left")
+    return out.withColumn(
+        "is_contaminated",
+        F.coalesce(F.col("is_contaminated"), F.lit(False)),
+    )
+
+
 # --------------------------------------------------------------------------
 # deterministic hash sampling + dataset mixture
 # --------------------------------------------------------------------------
@@ -487,5 +602,47 @@ def weighted_sample(
         .orderBy(F.desc("_pri"), key)
         .limit(k)
         .withColumn("sample_priority", F.round(F.col("_pri"), 6) + F.lit(0.0))
+        .drop("_pri")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    weight: Column,
+    k_per_group: int,
+    salt: str = "wsg",
+) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement: the A-ES draw of
+    :func:`weighted_sample` ranked WITHIN each group — k docs per
+    source/domain with inclusion probability ∝ weight inside its group.
+    This is the stratified form a mixture pipeline actually runs ("keep
+    the best-weighted k per domain"), and the window is partitioned by
+    the group key so no global sort and no driver-side top-k exist:
+    each group's rank is computed inside its own shuffle partition
+    (skew-bounded by the per-group row count, AQE-splittable).
+
+    Full-precision priorities order the window (the rounding-bias
+    lesson from :func:`weighted_sample`); the emitted ``sample_rank``
+    is the within-group rank, deterministic across engines.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", key, F.lit(salt))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / float(1 << 52)
+    priority = F.log(u) / weight.cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_pri"), key
+    )
+    return (
+        df.withColumn("_pri", priority)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k_per_group)
+        .withColumn(
+            "sample_priority", F.round(F.col("_pri"), 6) + F.lit(0.0)
+        )
         .drop("_pri")
     )

@@ -65,6 +65,73 @@ WHERE d.source NOT IN ('src0', 'src1')
 ORDER BY d.doc_id
 """
 
+def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered 8-gram decontamination: eval grams compress to
+    a fixed-size broadcast bitmap probed inside codegen; only Bloom
+    hits meet the real eval-gram join for exact verification. No false
+    negatives, so the output — and the oracle — are IDENTICAL to the
+    exact operator's."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    flagged = curation.decontaminate_bloom(
+        docs.filter(~is_eval), docs.filter(is_eval), n=8, m_bits=1 << 18
+    )
+    return flagged.select("doc_id", "source", "is_contaminated").orderBy(
+        "doc_id"
+    )
+
+
+def sample_weighted_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified A-ES weighted sampling: 20 docs per source with
+    within-source inclusion probability ∝ n_chars — the per-domain
+    form of sample_weighted_topk (window-ranked per group, no global
+    sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.weighted_sample_per_group(
+            docs.select("doc_id", "source", "n_chars"),
+            "source",
+            key=F.col("doc_id").cast("string"),
+            weight=F.col("n_chars"),
+            k_per_group=20,
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            "sample_priority",
+        )
+        .orderBy("source", "sample_rank")
+    )
+
+
+SAMPLE_WEIGHTED_GROUP_SQL = """
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+    ln((CAST(CAST(('0x' || substr(
+          md5(CAST(doc_id AS VARCHAR) || '|' || 'wsg'), 1, 13))
+        AS UBIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)
+    / CAST(n_chars AS DOUBLE) AS pri
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars, pri,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY pri DESC, CAST(doc_id AS VARCHAR)
+         ) AS BIGINT) AS sample_rank
+  FROM p
+)
+SELECT doc_id, source, n_chars, sample_rank,
+       ROUND(pri, 6) + 0.0 AS sample_priority
+FROM ranked
+WHERE sample_rank <= 20
+ORDER BY source, sample_rank
+"""
+
+
 # --------------------------------------------------------------------------
 # deterministic sampling + mixture
 # --------------------------------------------------------------------------
@@ -388,6 +455,8 @@ FROM top
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_train_docs": decontaminate_train_docs,
+    "decontaminate_bloom_docs": decontaminate_bloom_docs,
+    "sample_weighted_per_source": sample_weighted_per_source,
     "sample_hash_deterministic": sample_hash_deterministic,
     "mixture_weighted_sources": mixture_weighted_sources,
     "pack_docs_concat_split": pack_docs_concat_split,
@@ -401,6 +470,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "decontaminate_train_docs": DECONTAMINATE_SQL,
+    "decontaminate_bloom_docs": DECONTAMINATE_SQL,
+    "sample_weighted_per_source": SAMPLE_WEIGHTED_GROUP_SQL,
     "sample_hash_deterministic": SAMPLE_HASH_SQL,
     "mixture_weighted_sources": MIXTURE_SQL,
     "pack_docs_concat_split": PACK_CONCAT_SQL,

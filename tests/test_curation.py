@@ -372,3 +372,72 @@ def test_weighted_sample_large_weights_not_biased_by_rounding(spark):
     # rounding-bias fingerprint: the biased sampler returns ids 0,1,10,
     # 100,101... (lexicographic head); the exact one must not
     assert got != sorted(got, key=str)[:40] or want == got
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """Bloom-prefiltered decontamination must return EXACTLY the plain
+    operator's flags (no false negatives by construction; false
+    positives die in the verify join) — checked at a deliberately tiny
+    m_bits where bloom collisions are guaranteed to occur."""
+    ev = spark.createDataFrame(
+        [(100 + i, " ".join(f"ev{i}w{k}" for k in range(10)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = [
+        # doc 0 embeds eval doc 0's 8-gram -> contaminated
+        (0, " ".join(f"ev0w{k}" for k in range(8)) + " tail here"),
+        (1, " ".join(f"clean{k}" for k in range(12))),
+        (2, "short doc"),
+        (3, " ".join(f"other{k}" for k in range(20))),
+    ]
+    tr = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in curation.decontaminate(tr, ev, n=8).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in curation.decontaminate_bloom(
+            tr, ev, n=8, m_bits=256, k=3
+        ).collect()
+    }
+    assert bloom == exact
+    assert bloom[0] is True and bloom[1] is False and bloom[2] is False
+
+
+def test_weighted_sample_per_group_matches_global_draw_per_stratum(spark):
+    """The per-group sampler must equal running the global A-ES draw
+    independently inside each stratum (same salt -> same priorities),
+    and every group contributes exactly min(k, group size) rows."""
+    import hashlib
+    import math
+
+    rows = [(i, f"s{i % 3}", float(1 + i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, source string, w double")
+    got = curation.weighted_sample_per_group(
+        df, "source", F.col("id").cast("string"), F.col("w"), k_per_group=5
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1", "s2"}
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"{i}|wsg".encode()).hexdigest()[:13], 16)
+        return math.log((h + 0.5) / float(1 << 52)) / w
+
+    for src, members in by_src.items():
+        assert len(members) == 5
+        assert sorted(r["sample_rank"] for r in members) == [1, 2, 3, 4, 5]
+        pool = [(i, w) for i, s, w in rows if s == src]
+        want = [
+            i
+            for i, _ in sorted(
+                pool, key=lambda t: (-pri(t[0], t[1]), str(t[0]))
+            )[:5]
+        ]
+        got_ids = [
+            r["id"] for r in sorted(members, key=lambda r: r["sample_rank"])
+        ]
+        assert got_ids == want, src

@@ -84,6 +84,17 @@ ROUND4_BUDGETS = {
     # union of tagged fan-outs → one distinct → one conditional-count
     # agg → presentation sort; no per-horizon join tree
     "active_users_dau_wau_mau": 4,
+    # per-day sketch agg + horizon-merge agg + exact companion (4) —
+    # the day-keyed path itself is 2 shuffles
+    "active_users_hll": 6,
+    # ivf assignment/probe aggs + vote/majority windows; NO brute-force
+    # all-pairs exchange in the candidate path
+    "knn_label_audit_ivf": 4,
+    # bloom candidate gen is a 1-row broadcast + codegen filter: only
+    # the bitmap build, verify semi-join, and flag-back shuffle remain
+    "decontaminate_bloom_docs": 5,
+    # one group-partitioned rank window + presentation sort
+    "sample_weighted_per_source": 2,
 }
 
 
