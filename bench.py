@@ -63,6 +63,11 @@ HEADLINE = [
     # round-4: ExactSubstr removal — span-key shuffle + doc reassembly,
     # the linear-cost dedup path that replaces pair joins at 100 TB
     ("dedup_remove_spans", llm_ops.QUERIES["dedup_remove_spans"]),
+    # round-5: rolling-distinct actives (combo-explode + 2-agg shape)
+    # and the Bloom-prefiltered decontamination — bench next to its
+    # exact twin above to keep the candidate-pruning payoff measured
+    ("active_users_dau_wau_mau", analytics_ext.QUERIES["active_users_dau_wau_mau"]),
+    ("decontaminate_bloom_docs", curation.QUERIES["decontaminate_bloom_docs"]),
 ]
 
 

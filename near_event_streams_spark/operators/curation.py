@@ -113,18 +113,37 @@ def bloom_bitmap(
     k: int,
     col: str = "gram",
 ) -> DataFrame:
-    """ONE-row DataFrame ``(bitmap array<boolean>)`` — a Bloom filter of
-    ``keys[col]`` with ``k`` xxhash64 seeds over ``m_bits`` positions.
+    """ONE-row DataFrame ``(bitmap array<long>)`` — a Bloom filter of
+    ``keys[col]`` with ``k`` xxhash64 seeds over ``m_bits`` positions,
+    bit-packed 64 per word.
 
-    The set-bit positions are computed distributedly and only the
-    DISTINCT positions come back to the driver — bounded by
-    ``min(m_bits, k·|keys|)`` regardless of data volume (same bounded-
-    collect contract as the sketch operators). The bitmap broadcasts as
-    one row; membership probes are then pure ``element_at`` expressions
-    inside codegen — no join at all for candidate generation.
+    The packing happens DISTRIBUTEDLY: each key expands to its k bit
+    positions, positions fold into (word, bits) via a bounded-key
+    ``bit_or`` aggregate, and only ≤ ``m_bits/64`` packed words come
+    back to the driver — a fixed few-hundred-KB collect no matter the
+    key volume (same bounded-collect contract as the sketch operators).
+    The bitmap broadcasts as one row; membership probes are then pure
+    ``element_at`` + shift expressions inside codegen — no join at all
+    for candidate generation.
     """
     spark = keys.sparkSession
-    pos_rows = (
+    words = bloom_bitmap_words(keys, m_bits, k, col)
+    return spark.createDataFrame([(words,)], "bitmap array<long>")
+
+
+def bloom_bitmap_words(
+    keys: DataFrame,
+    m_bits: int,
+    k: int,
+    col: str = "gram",
+) -> list[int]:
+    """The packed Bloom words of :func:`bloom_bitmap` as a plain Python
+    list, for embedding as a PLAN LITERAL: probing a literal array
+    reads the one shared ArrayData inside codegen, whereas a
+    crossJoin'd bitmap column is re-materialized onto EVERY probed row
+    (a 256 KiB copy per gram — measured 10× slower at sf0.1)."""
+    n_words = (m_bits + 63) // 64
+    packed = (
         keys.select(
             F.explode(
                 F.array(
@@ -138,29 +157,62 @@ def bloom_bitmap(
                 )
             ).alias("pos")
         )
-        .distinct()
+        .select(
+            F.shiftrightunsigned("pos", 6).alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod("pos", F.lit(64)).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
         .collect()
     )
-    bits = [False] * m_bits
-    for r in pos_rows:
-        bits[r["pos"]] = True
-    return spark.createDataFrame([(bits,)], "bitmap array<boolean>")
+    words = [0] * n_words
+    for r in packed:
+        words[r["w"]] = r["bits"]
+    return words
 
 
-def bloom_probe(gram: Column, m_bits: int, k: int) -> Column:
-    """All-``k``-bits-set membership test against the broadcast
-    ``bitmap`` column (pure codegen; no false negatives by Bloom
-    construction, so an EXACT verify of the surviving candidates
-    reproduces the exact-join answer)."""
-    checks = [
-        F.element_at(
-            F.col("bitmap"),
-            (
-                F.pmod(F.xxhash64(gram, F.lit(i)), F.lit(m_bits)) + 1
-            ).cast("int"),
+def bloom_probe(
+    gram: Column, words: list[int], m_bits: int, k: int
+) -> Column:
+    """All-``k``-bits-set membership test against the bitmap embedded
+    as a BINARY literal (pure scalar expressions — never a per-row
+    bitmap column; no false negatives by Bloom construction, so an
+    EXACT verify of the surviving candidates reproduces the exact-join
+    answer).
+
+    Literal transport matters enormously (all measured at 256 KiB):
+    ``F.lit(python_list)`` ships one py4j literal PER ELEMENT;
+    ``F.lit(np.ndarray)`` pays ~5 s of py4j conversion per plan build;
+    a SQL-text ``array(...)`` parses fast but its 32k-child
+    CreateArray costs ~4 s of analysis PER REFERENCE. A base64 STRING
+    literal is ONE py4j string; ``unbase64`` constant-folds it to a
+    single binary Literal whose 6 probe references are O(1) tree
+    copies. Each probe reads one byte by position (``substring`` on
+    binary is an O(1) slice) and tests one bit.
+    """
+    import base64
+
+    raw = bytearray(len(words) * 8)
+    for wi, word in enumerate(words):
+        raw[wi * 8 : (wi + 1) * 8] = (
+            word & 0xFFFFFFFFFFFFFFFF
+        ).to_bytes(8, "little")
+    bitmap = F.unbase64(F.lit(base64.b64encode(bytes(raw)).decode()))
+    checks = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(gram, F.lit(i)), F.lit(m_bits))
+        byte = F.substring(
+            bitmap, (F.shiftrightunsigned(pos, 3) + 1).cast("int"), 1
         )
-        for i in range(k)
-    ]
+        val = F.conv(F.hex(byte), 16, 10).cast("int")
+        bit = F.call_function(
+            "shiftrightunsigned", val, F.pmod(pos, F.lit(8)).cast("int")
+        )
+        checks.append(bit.bitwiseAND(F.lit(1)) == 1)
     out = checks[0]
     for c in checks[1:]:
         out = out & c
@@ -193,17 +245,19 @@ def decontaminate_bloom(
     SQL as the exact operator. False positives cost only wasted
     verify-join rows, never wrong output.
     """
-    ev = eval_docs.select(
-        F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
-    ).distinct()
-    bitmap = bloom_bitmap(ev, m_bits, k)
+    ev = (
+        eval_docs.select(
+            F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+        .persist()  # consumed twice: bitmap build + exact verify join
+    )
+    words = bloom_bitmap_words(ev, m_bits, k)
     tr_grams = train.select(
         F.col(id_col),
         F.explode(ngrams_col(F.col(text_col), n)).alias("gram"),
     )
-    cand = tr_grams.crossJoin(F.broadcast(bitmap)).filter(
-        bloom_probe(F.col("gram"), m_bits, k)
-    )
+    cand = tr_grams.filter(bloom_probe(F.col("gram"), words, m_bits, k))
     bad = (
         cand.join(F.broadcast(ev), "gram", "left_semi")
         .select(id_col)

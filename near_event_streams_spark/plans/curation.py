@@ -73,8 +73,19 @@ def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact operator's."""
     docs = load_table(spark, sf_dir, "documents")
     is_eval = F.col("source").isin(*EVAL_SOURCES)
+    # ~10+ bits per eval gram at sf0.1 (eval side ≈ 10^5 grams there);
+    # the packed bitmap is m/64 longs = 256 KiB embedded either way.
+    # The 8-gram explode amplifies each doc ~90×, so fan the train scan
+    # out to the core count BEFORE exploding (a small file arrives as
+    # ONE split; at 100 TB the same repartition bounds per-task explode
+    # amplification). The flag set is known-tiny here, so skip the
+    # size-adaptive count and broadcast the flags directly.
     flagged = curation.decontaminate_bloom(
-        docs.filter(~is_eval), docs.filter(is_eval), n=8, m_bits=1 << 18
+        docs.filter(~is_eval).repartition(32),
+        docs.filter(is_eval).repartition(8),
+        n=8,
+        m_bits=1 << 21,
+        broadcast_flags=True,
     )
     return flagged.select("doc_id", "source", "is_contaminated").orderBy(
         "doc_id"
