@@ -1,0 +1,131 @@
+"""Iterative graph algorithms on DataFrames: PageRank power iteration.
+
+The Pregel-on-DataFrames shape Spark uses for graph workloads when a
+dedicated graph engine isn't warranted: vertices and edges are plain
+DataFrames, one superstep = join(ranks, edges) + aggregate-by-dst, and
+``localCheckpoint`` truncates the lineage each round (the same guard
+``dedup.connected_components`` uses — without it the plan doubles per
+iteration).
+
+Cross-engine determinism (so a SQL oracle can replay the result
+bit-for-bit): floating-point SUM is order-dependent and even
+ROUND(double, p) disagrees between engines at half-way boundaries
+(Spark rounds the shortest decimal repr, DuckDB rounds in binary — an
+off-by-1e-8 surfaced immediately at sf0.01). So the whole iteration
+runs in FIXED-POINT integer units of 1e-8: integer division floors,
+integer sums are exact, and every engine produces the identical bigint
+rank vector. The float view is derived once at the end by dividing by
+the power-of-ten scale (exact-input IEEE division — deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+SCALE = 10**8  # fixed-point units per unit of rank
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+
+
+def _idiv(a, b):
+    """Exact integral division (SQL ``div``) — floors like every other
+    engine's integer division, with none of double's >2^53 risk."""
+    return F.call_function("div", a, b)
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list. Returns
+    ``(node, pagerank_units, pagerank)`` after ``iterations``
+    supersteps from a uniform start — ``pagerank_units`` is the exact
+    fixed-point rank (bigint, 1e-8 units), ``pagerank`` its float view.
+
+    Per superstep: one join of the rank vector with the edge list on
+    ``src`` and one sum-by-``dst`` — two key-equi shuffles, both on the
+    node key, so AQE co-partitions them; the rank vector is O(nodes)
+    and never collects to the driver. Nodes with no in-edges keep the
+    teleport mass ``⌊0.15·SCALE/N⌋``; contributions of dangling nodes
+    (no OUT-edges) are dropped, the standard simplified variant — feed
+    a symmetrized edge list if mass conservation matters.
+
+    ``checkpoint=True`` materializes each iteration via
+    ``localCheckpoint`` — mandatory beyond a few supersteps (lineage
+    doubles per round) and the reason each superstep is computed once.
+    Set False only for plan-inspection tests.
+    """
+    # Cache the edge list HASH-PARTITIONED ON THE JOIN KEY: every
+    # superstep joins on src, so the big side never re-shuffles — only
+    # the O(nodes) rank vector moves each round. (Without this the
+    # union's doubled partition count also fragments every superstep
+    # into task-overhead-dominated splits.)
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sym = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .repartition(nparts, "src")
+        .persist()
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()  # reused every superstep; caller may clearCache after
+    )
+    outdeg = (
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    )
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    teleport = _idiv(
+        F.lit((_DAMP_DEN - _DAMP_NUM) * SCALE).cast("long"),
+        F.lit(_DAMP_DEN).cast("long") * F.col("n"),
+    )
+    ranks = nodes.crossJoin(n).select(
+        "node", _idiv(F.lit(SCALE).cast("long"), F.col("n")).alias("pr")
+    )
+    if checkpoint:
+        ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(sym, ranks["node"] == sym["src"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                _idiv(F.col("pr"), F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(n)
+            .select(
+                "node",
+                (
+                    teleport
+                    + _idiv(
+                        F.lit(_DAMP_NUM).cast("long")
+                        * F.coalesce(
+                            F.col("in_mass"), F.lit(0).cast("long")
+                        ),
+                        F.lit(_DAMP_DEN).cast("long"),
+                    )
+                ).alias("pr"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        F.col("pr").alias("pagerank_units"),
+        (F.col("pr").cast("double") / F.lit(float(SCALE))).alias(
+            "pagerank"
+        ),
+    )

@@ -2409,6 +2409,88 @@ ACTIVE_USERS_HLL_SQL = (
 )
 
 
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier co-purchase graph
+    (``operators/graph.py:pagerank``, 5 power-iteration supersteps):
+    nodes are customers and suppliers (namespaced ids), an undirected
+    edge joins each customer to every supplier it bought from —
+    symmetric, so no dangling mass. The iterative-graph-algorithm
+    family: per superstep one node-keyed join + one dst-keyed sum,
+    lineage truncated by localCheckpoint.
+
+    Deterministic cross-engine by construction: the entire iteration is
+    FIXED-POINT bigint arithmetic (1e-8 units, integral division) — no
+    float sums, no ROUND(double) boundary disagreements — and the DuckDB
+    oracle replays all 5 supersteps via chained CTEs bit-for-bit."""
+    from near_event_streams_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.orderBy(F.desc("pagerank_units"), "node").limit(100)
+
+
+def _pagerank_iter_cte(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT nodes.node,
+    tele + (85 * COALESCE(m.in_mass, 0)) // 100 AS pr
+  FROM nodes
+  LEFT JOIN (
+    SELECT dst AS node, SUM(pr // deg) AS in_mass
+    FROM {prev} JOIN edges ON {prev}.node = edges.src
+    JOIN outdeg USING (src)
+    GROUP BY dst
+  ) m USING (node), nn
+)"""
+
+
+PAGERANK_SQL = (
+    """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s, c FROM pairs
+), nodes AS (
+  SELECT src AS node FROM edges
+  UNION SELECT dst FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(15 * 100000000 AS BIGINT) // (100 * CAST(COUNT(*) AS BIGINT))
+           AS tele
+  FROM nodes
+), outdeg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(100000000 AS BIGINT) // n AS pr FROM nodes, nn
+), """
+    + ",\n".join(
+        _pagerank_iter_cte(f"r{i}", f"r{i + 1}") for i in range(5)
+    )
+    + """
+SELECT node, CAST(pr AS BIGINT) AS pagerank_units,
+       CAST(pr AS DOUBLE) / 100000000.0 AS pagerank
+FROM r5
+ORDER BY pagerank_units DESC, node
+LIMIT 100
+"""
+)
+
+
 def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) window aggregation in batch: 1-hour windows
     every 15 minutes over the event stream, per event type — the batch
@@ -2893,6 +2975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hopping_window_events": hopping_window_events,
     "active_users_dau_wau_mau": active_users_dau_wau_mau,
     "active_users_hll": active_users_hll,
+    "graph_pagerank_copurchase": graph_pagerank_copurchase,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2955,4 +3038,5 @@ ORACLE_SQL: dict[str, str] = {
     "hopping_window_events": HOPPING_WINDOW_SQL,
     "active_users_dau_wau_mau": DAU_WAU_MAU_SQL,
     "active_users_hll": ACTIVE_USERS_HLL_SQL,
+    "graph_pagerank_copurchase": PAGERANK_SQL,
 }

@@ -95,6 +95,9 @@ ROUND4_BUDGETS = {
     "decontaminate_bloom_docs": 5,
     # one group-partitioned rank window + presentation sort
     "sample_weighted_per_source": 2,
+    # iterations are localCheckpoint-materialized during construction;
+    # the final plan is a checkpoint scan + TakeOrdered
+    "graph_pagerank_copurchase": 1,
 }
 
 
