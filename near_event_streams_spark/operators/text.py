@@ -698,3 +698,75 @@ def encode_token_ids(
             ).alias("token_ids"),
         )
     )
+
+
+def kl_source_drift(
+    docs: DataFrame,
+    vocab_size: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-shift audit: smoothed KL divergence between each
+    group's token distribution and the whole-corpus distribution over
+    the corpus top-``vocab_size`` vocabulary — the drift signal a
+    pipeline watches across crawl snapshots / domains (a source whose
+    KL jumps is the one whose content changed).
+
+    ``KL(p_g ‖ q) = Σ_v p_g(v)·ln(p_g(v)/q(v))`` with add-one smoothing
+    on both sides so vocabulary terms absent from a group contribute
+    finitely. Returns ``(source, n_tokens, kl_divergence)``.
+
+    Plan shape at 100 TB: one (group, term) count aggregate over the
+    token stream; the corpus totals REUSE those counts (a re-aggregate
+    of the group counts, not a second scan); the vocabulary is bounded
+    at ``vocab_size`` rows by construction so the per-group × vocab
+    frame is |groups|·V rows — tiny — built by a broadcast cross join,
+    never touching the token stream again. Cross-engine determinism:
+    counts are exact integers, each KL term rounds to 12 dp and sums as
+    exact DECIMAL(26,12) (float-sum order dependence cannot leak in),
+    final value rounds to 6 dp.
+    """
+    terms = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("term"),
+    )
+    gcounts = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ccounts = gcounts.groupBy("term").agg(F.sum("c").alias("ctf"))
+    vocab = ccounts.orderBy(F.desc("ctf"), F.asc("term")).limit(vocab_size)
+    gtotals = gcounts.groupBy("source").agg(
+        F.sum("c").alias("g_total")
+    )
+    ctotal = ccounts.agg(F.sum("ctf").alias("c_total"))
+    v = float(vocab_size)
+    grid = (
+        gtotals.crossJoin(F.broadcast(vocab))
+        .join(
+            gcounts.join(F.broadcast(vocab.select("term")), "term"),
+            ["source", "term"],
+            "left",
+        )
+        .crossJoin(F.broadcast(ctotal))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1.0).cast("double") / (
+        F.col("g_total") + v
+    )
+    q = (F.col("ctf") + 1.0).cast("double") / (F.col("c_total") + v)
+    term_kl = F.round(p * F.log(p / q), 12).cast("decimal(26,12)")
+    return (
+        grid.groupBy("source", "g_total")
+        .agg(F.sum(term_kl).alias("_kl"))
+        .select(
+            "source",
+            F.col("g_total").alias("n_tokens"),
+            F.round(F.col("_kl").cast("double"), 6).alias(
+                "kl_divergence"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1499,6 +1499,52 @@ ORDER BY sc.doc_id
 """
 
 
+def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-shift audit: smoothed KL divergence of
+    each source's token distribution against the corpus distribution
+    over the corpus top-512 vocabulary (``text.kl_source_drift``) —
+    KL terms round to 12 dp and sum as exact decimals, so the oracle
+    replays the whole computation bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.kl_source_drift(docs, vocab_size=512)
+
+
+TEXT_KL_DRIFT_SQL = """
+WITH terms AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+  FROM documents
+), gcounts AS (
+  SELECT source, term, COUNT(*) AS c FROM terms GROUP BY 1, 2
+), ccounts AS (
+  SELECT term, CAST(SUM(c) AS BIGINT) AS ctf FROM gcounts GROUP BY 1
+), vocab AS (
+  SELECT term, ctf FROM ccounts ORDER BY ctf DESC, term LIMIT 512
+), gtotals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS g_total
+  FROM gcounts GROUP BY 1
+), ctotal AS (
+  SELECT CAST(SUM(ctf) AS BIGINT) AS c_total FROM ccounts
+), grid AS (
+  SELECT gt.source, gt.g_total, v.term, v.ctf, gc.c, c_total
+  FROM gtotals gt CROSS JOIN vocab v
+  LEFT JOIN gcounts gc ON gc.source = gt.source AND gc.term = v.term
+  CROSS JOIN ctotal
+), kl AS (
+  SELECT source, g_total,
+    SUM(CAST(ROUND(
+      ((COALESCE(c, 0) + 1.0) / (g_total + 512.0))
+      * ln(((COALESCE(c, 0) + 1.0) / (g_total + 512.0))
+           / ((ctf + 1.0) / (c_total + 512.0))), 12)
+      AS DECIMAL(26,12))) AS _kl
+  FROM grid GROUP BY 1, 2
+)
+SELECT source, g_total AS n_tokens,
+       ROUND(CAST(_kl AS DOUBLE), 6) AS kl_divergence
+FROM kl ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -1776,6 +1822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_remove_spans": dedup_remove_spans,
     "text_lm_logprob": text_lm_logprob,
     "text_quality_distill": text_quality_distill,
+    "text_kl_source_drift": text_kl_source_drift,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
     "text_token_encode": text_token_encode,
@@ -1815,6 +1862,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_remove_spans": DEDUP_REMOVE_SPANS_SQL,
     "text_lm_logprob": TEXT_LM_SQL,
     "text_quality_distill": TEXT_DISTILL_SQL,
+    "text_kl_source_drift": TEXT_KL_DRIFT_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_pmi_collocations": TEXT_PMI_SQL,
     "text_token_encode": TEXT_ENCODE_SQL,

@@ -365,3 +365,34 @@ def test_cms_driver_query_gate(spark):
     rows = QUERIES["sketch_cms_heavy_hitters"](spark, SF_DIR).collect()
     assert len(rows) == 20
     assert all(r["est_ge_true_ok"] and r["est_within_ok"] for r in rows)
+
+
+def test_kl_source_drift_ranks_planted_shift(spark):
+    """A source whose token distribution diverges from the corpus must
+    score a strictly higher KL than sources drawn from the corpus
+    mixture; a near-corpus source scores near zero."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators.text import kl_source_drift
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = (
+        [(i, "bulk", base) for i in range(40)]
+        # drifted: disjoint vocabulary (same group size as "near" so the
+        # add-one smoothing penalty is identical and only content drives
+        # the difference)
+        + [
+            (100 + i, "drift", "zzz yyy xxx www vvv uuu qqq ppp")
+            for i in range(40)
+        ]
+        # near-corpus: same words, same size as bulk -> identical KL
+        + [(200 + i, "near", base) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r["kl_divergence"]
+        for r in kl_source_drift(df, vocab_size=32).collect()
+    }
+    assert out["drift"] > out["near"] and out["drift"] > out["bulk"]
+    assert out["near"] == out["bulk"]
+    assert out["drift"] > 0.5

@@ -98,6 +98,10 @@ ROUND4_BUDGETS = {
     # iterations are localCheckpoint-materialized during construction;
     # the final plan is a checkpoint scan + TakeOrdered
     "graph_pagerank_copurchase": 1,
+    # one (source,term) token agg fans into ccounts/vocab/gtotals —
+    # printed thrice in the text plan but deduped at runtime by
+    # ReuseExchange; grid-side joins are broadcast (V=512 rows)
+    "text_kl_source_drift": 10,
 }
 
 
