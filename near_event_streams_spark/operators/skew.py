@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _salt_col(df: DataFrame, salt: int, spread_col: str | None) -> Column:
@@ -76,3 +77,62 @@ def salted_join(
         "_salt", (F.rand(seed=7) * salt).cast("int")
     )
     return big_salted.join(small_rep, [key, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, top_k: int = 10
+) -> DataFrame:
+    """Skew diagnostic for a join/agg key: the ``top_k`` heaviest keys
+    with their row share and cumulative share, against the key-space
+    totals — the report you read before deciding whether a key needs
+    salting (``salted_aggregate``/``salted_join``) or AQE skew-join
+    hints. A key whose share dwarfs 1/parallelism is the straggler.
+
+    Returns ``(rank, key, cnt, n_rows, n_keys, share_pct, cum_share_pct)``.
+
+    Plan shape at 100 TB: ONE count aggregate on the key (map-side
+    partial collapses per-task duplicates), a TakeOrdered for the
+    top-k, and one broadcast scalar total — the ranking/cumsum window
+    runs over the k selected rows only, never the key space.
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))  # k rows, bounded
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(totals)
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            "n_rows",
+            "n_keys",
+            F.round(
+                F.col("cnt").cast("double")
+                / F.col("n_rows").cast("double")
+                * 100.0,
+                6,
+            ).alias("share_pct"),
+            F.round(
+                F.col("cum_cnt").cast("double")
+                / F.col("n_rows").cast("double")
+                * 100.0,
+                6,
+            ).alias("cum_share_pct"),
+        )
+        .orderBy("rank")
+    )

@@ -2491,6 +2491,45 @@ LIMIT 100
 )
 
 
+def diag_key_skew_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (``operators/skew.py:key_skew_profile``) on
+    the event stream's user_id — the report read before choosing
+    salting or AQE skew hints for a key. One key-count agg + TakeOrdered
+    top-10 + broadcast totals; the rank/cumsum window sees 10 rows."""
+    from near_event_streams_spark.operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_k=10)
+
+
+DIAG_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+), top AS (
+  SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 10
+), ranked AS (
+  SELECT key, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+           AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, key
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_cnt
+  FROM top
+)
+SELECT rank, key, CAST(cnt AS BIGINT) AS cnt, n_rows, n_keys,
+  ROUND(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) * 100.0, 6)
+    AS share_pct,
+  ROUND(CAST(cum_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) * 100.0, 6)
+    AS cum_share_pct
+FROM ranked, totals
+ORDER BY rank
+"""
+
+
 def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) window aggregation in batch: 1-hour windows
     every 15 minutes over the event stream, per event type — the batch
@@ -2976,6 +3015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_users_dau_wau_mau": active_users_dau_wau_mau,
     "active_users_hll": active_users_hll,
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
+    "diag_key_skew_users": diag_key_skew_users,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3039,4 +3079,5 @@ ORACLE_SQL: dict[str, str] = {
     "active_users_dau_wau_mau": DAU_WAU_MAU_SQL,
     "active_users_hll": ACTIVE_USERS_HLL_SQL,
     "graph_pagerank_copurchase": PAGERANK_SQL,
+    "diag_key_skew_users": DIAG_KEY_SKEW_SQL,
 }

@@ -102,6 +102,9 @@ ROUND4_BUDGETS = {
     # printed thrice in the text plan but deduped at runtime by
     # ReuseExchange; grid-side joins are broadcast (V=512 rows)
     "text_kl_source_drift": 10,
+    # one key-count agg (counts + totals reuse it) + top-k; the
+    # rank/cumsum window runs over the 10 selected rows
+    "diag_key_skew_users": 2,
 }
 
 

@@ -148,3 +148,24 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert zx < 0.6 and zy < 0.6, (zx, zy)
     # and the content round-trips
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_key_skew_profile_ranks_planted_hot_key(spark):
+    """A planted 60%-share hot key must rank first with the exact
+    share; cumulative share is monotone and totals cover the whole
+    frame, not just the top-k."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators.skew import key_skew_profile
+
+    rows = [(0,)] * 600 + [(k,) for k in range(1, 101) for _ in range(4)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_profile(df, "k", top_k=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    top = out[0]
+    assert top["key"] == 0 and top["cnt"] == 600
+    assert top["n_rows"] == 1000 and top["n_keys"] == 101
+    assert top["share_pct"] == 60.0
+    shares = [r["cum_share_pct"] for r in out]
+    assert shares == sorted(shares)
+    assert out[1]["key"] == 1 and out[1]["cnt"] == 4  # tie-break by key
