@@ -2724,6 +2724,85 @@ ORDER BY user_id, effective_from_us
 """
 
 
+def join_pointintime_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension: each
+    purchase event picks the state interval valid AT its event time —
+    ``from <= ts AND (to IS NULL OR ts < to)`` — the classic
+    as-of-dimension lookup every warehouse fact load runs.
+
+    Scale shape: the join is EQUI on user_id with the interval predicate
+    as a residual filter — per-user interval counts are bounded by that
+    user's change history, so this is an ordinary key join (AQE-skewable),
+    never a cartesian and never a global range join. A purchase that is
+    itself a state change matches its own interval (from == ts
+    inclusive), pinning the boundary semantics.
+    """
+    from near_event_streams_spark.plans._common import ts_us
+
+    states = scd2_user_state(spark, sf_dir).select(
+        "user_id",
+        F.col("state").alias("state_at_purchase"),
+        "effective_from_us",
+        "effective_to_us",
+    )
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") < 15) & (F.col("event_type") == "purchase")
+        )
+        .select("user_id", F.col("event_id").alias("purchase_id"),
+                ts_us().alias("ts_us"))
+    )
+    return (
+        purchases.join(states, "user_id")
+        .filter(
+            (F.col("ts_us") >= F.col("effective_from_us"))
+            & (
+                F.col("effective_to_us").isNull()
+                | (F.col("ts_us") < F.col("effective_to_us"))
+            )
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "ts_us",
+            "state_at_purchase",
+            "effective_from_us",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+POINTINTIME_SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+  FROM events WHERE user_id < 15
+), changed AS (
+  SELECT * FROM (
+    SELECT user_id, event_id, ts_us, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS prev
+    FROM ev
+  ) WHERE prev IS NULL OR prev <> event_type
+), states AS (
+  SELECT user_id, event_type AS state_at_purchase,
+         ts_us AS effective_from_us,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS effective_to_us
+  FROM changed
+), purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts_us
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT purchase_id, p.user_id, ts_us, state_at_purchase,
+       effective_from_us
+FROM purchases p JOIN states s ON p.user_id = s.user_id
+WHERE ts_us >= effective_from_us
+  AND (effective_to_us IS NULL OR ts_us < effective_to_us)
+ORDER BY purchase_id
+"""
+
+
 def feature_zscore_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise feature prep: per-event-type z-score + 2σ winsorize
     (clip) + outlier flag — the numeric-column normalization pass of a
@@ -3016,6 +3095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_users_hll": active_users_hll,
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
     "diag_key_skew_users": diag_key_skew_users,
+    "join_pointintime_scd2": join_pointintime_scd2,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3080,4 +3160,5 @@ ORACLE_SQL: dict[str, str] = {
     "active_users_hll": ACTIVE_USERS_HLL_SQL,
     "graph_pagerank_copurchase": PAGERANK_SQL,
     "diag_key_skew_users": DIAG_KEY_SKEW_SQL,
+    "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
 }

@@ -188,3 +188,25 @@ def test_active_users_hll_matches_exact_on_fixture(spark, edge_dir):
     for r in rows:
         assert r["dau_within_5pct"] and r["wau_within_5pct"]
         assert r["mau_within_5pct"]
+
+
+def test_pointintime_scd2_zero_length_interval_semantics(spark, edge_dir):
+    """Half-open interval lookup: a state opened and closed at the SAME
+    instant (u5's purchase+error at 01:00, tie-broken by event_id) is
+    zero-length, so the simultaneous purchase resolves to the *error*
+    state that superseded it — and every purchase matches exactly one
+    interval."""
+    rows = {
+        r["purchase_id"]: r
+        for r in entry.queries()["join_pointintime_scd2"](
+            spark, edge_dir
+        ).collect()
+    }
+    assert set(rows) == {7, 10, 11, 13}
+    assert rows[7]["state_at_purchase"] == "purchase"
+    assert rows[10]["state_at_purchase"] == "purchase"
+    # zero-length [T,T) purchase interval is unmatchable; the error
+    # state that starts at the same instant wins
+    assert rows[11]["state_at_purchase"] == "error"
+    assert rows[11]["effective_from_us"] == rows[11]["ts_us"]
+    assert rows[13]["state_at_purchase"] == "purchase"

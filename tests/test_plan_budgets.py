@@ -105,6 +105,9 @@ ROUND4_BUDGETS = {
     # one key-count agg (counts + totals reuse it) + top-k; the
     # rank/cumsum window runs over the 10 selected rows
     "diag_key_skew_users": 2,
+    # SCD2 window shuffle + the user-keyed equi join with interval
+    # residual; presentation sort
+    "join_pointintime_scd2": 2,
 }
 
 
