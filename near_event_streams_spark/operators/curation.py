@@ -107,6 +107,64 @@ def decontaminate(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GRADED decontamination report: per train doc, how many of its
+    distinct word n-grams appear in the eval set and the overlap
+    fraction — the thresholdable signal behind the boolean
+    :func:`decontaminate` flag (pipelines drop at high overlap,
+    down-weight or review the middle band).
+
+    Returns ``(doc_id, n_grams, n_shared, overlap_pct)``; docs shorter
+    than ``n`` words report 0/0/0.0. Same plan skeleton as the boolean
+    operator: eval grams distinct + broadcast, one train-side gram
+    explode, one doc-keyed count agg — the share computation adds no
+    extra pass over the corpus.
+    """
+    ev = eval_docs.select(
+        F.explode(ngrams_col(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    tr_grams = train.select(
+        F.col(id_col),
+        F.explode(ngrams_col(F.col(text_col), n)).alias("gram"),
+    )
+    per_doc = (
+        tr_grams.join(
+            F.broadcast(ev.withColumn("_hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("_hit")).alias("n_shared"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", zero).alias("n_grams"),
+            F.coalesce("n_shared", zero).alias("n_shared"),
+            F.when(
+                F.coalesce("n_grams", zero) > 0,
+                F.round(
+                    F.coalesce("n_shared", zero).cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_pct"),
+        )
+    )
+
+
 def bloom_bitmap(
     keys: DataFrame,
     m_bits: int,

@@ -770,3 +770,102 @@ def kl_source_drift(
         )
         .orderBy("source")
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus — the actual
+    tokenizer-training loop (Sennrich et al. 2016), not the BPE-ish
+    regex approximation used for token counting.
+
+    The distributed shape every large-scale BPE trainer uses: the
+    corpus is touched ONCE to build the word-frequency table (one
+    shuffle); the merge loop then runs entirely on that bounded,
+    vocabulary-sized table — per iteration one adjacent-pair count
+    aggregate (weighted by word frequency), a TakeOrdered-1 for the
+    best pair (ties to the lexicographically smallest, so the merge
+    sequence is fully deterministic), and a narrow array-fold applying
+    the merge greedily left-to-right. Only the single best-pair row
+    ever reaches the driver per iteration.
+
+    Returns ``(iteration, left, right, merged, pair_count)`` —
+    ``n_merges`` rows describing the learned merge table in order.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("sym"), "freq")
+        .localCheckpoint(eager=True)  # merge loop input; lineage root
+    )
+    out_rows = []
+    for it in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("sym") >= 2,
+                        F.zip_with(
+                            F.slice(
+                                "sym", 1, F.size("sym") - F.lit(1)
+                            ),
+                            F.slice("sym", 2, F.size("sym") - F.lit(1)),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<l:string,r:string>>"
+                        )
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("p.l"), F.asc("p.r")
+        ).limit(1).collect()
+        if not best:
+            break
+        left, right, cnt = (
+            best[0]["p"]["l"],
+            best[0]["p"]["r"],
+            best[0]["cnt"],
+        )
+        merged = left + right
+        out_rows.append((it, left, right, merged, cnt))
+        la, lb, lab = F.lit(left), F.lit(right), F.lit(merged)
+        apply_merge = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - F.lit(1)),
+                    F.array(lab),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(
+            apply_merge.alias("sym"), "freq"
+        ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out_rows,
+        "iteration int, left string, right string, "
+        "merged string, pair_count bigint",
+    ).orderBy("iteration")

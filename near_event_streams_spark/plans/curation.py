@@ -92,6 +92,50 @@ def decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_overlap_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graded contamination report (``curation.contamination_overlap``):
+    per train doc the count and fraction of its distinct 8-grams found
+    in the eval sources — the thresholdable form of the boolean gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    return curation.contamination_overlap(
+        docs.filter(~is_eval), docs.filter(is_eval), n=8
+    ).orderBy("doc_id")
+
+
+OVERLAP_REPORT_SQL = f"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, {_gram8()} AS gram
+  FROM words, unnest(range(1, len(w) - 6)) t(i)
+  WHERE len(w) >= 8
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE source IN ('src0', 'src1')
+), per_doc AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM ev))
+              AS BIGINT) AS n_shared
+  FROM grams g WHERE g.source NOT IN ('src0', 'src1')
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_shared, 0) AS n_shared,
+       CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN ROUND(CAST(n_shared AS DOUBLE)
+                       / CAST(n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS overlap_pct
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+WHERE d.source NOT IN ('src0', 'src1')
+ORDER BY d.doc_id
+"""
+
+
 def sample_weighted_per_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -467,6 +511,7 @@ FROM top
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_train_docs": decontaminate_train_docs,
     "decontaminate_bloom_docs": decontaminate_bloom_docs,
+    "decontaminate_overlap_report": decontaminate_overlap_report,
     "sample_weighted_per_source": sample_weighted_per_source,
     "sample_hash_deterministic": sample_hash_deterministic,
     "mixture_weighted_sources": mixture_weighted_sources,
@@ -482,6 +527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "decontaminate_train_docs": DECONTAMINATE_SQL,
     "decontaminate_bloom_docs": DECONTAMINATE_SQL,
+    "decontaminate_overlap_report": OVERLAP_REPORT_SQL,
     "sample_weighted_per_source": SAMPLE_WEIGHTED_GROUP_SQL,
     "sample_hash_deterministic": SAMPLE_HASH_SQL,
     "mixture_weighted_sources": MIXTURE_SQL,

@@ -1499,6 +1499,18 @@ ORDER BY sc.doc_id
 """
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (``text.bpe_learn_merges``,
+    8 merges): corpus touched once for the word-frequency table, the
+    merge loop runs on that bounded table. Iterative and therefore
+    rows-only at the driver (the merge-apply fold is not expressible in
+    one SQL statement); the merge sequence itself is pinned by unit
+    tests on planted corpora and fully deterministic (ties break
+    lexicographically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_learn_merges(docs, n_merges=8)
+
+
 def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution-shift audit: smoothed KL divergence of
     each source's token distribution against the corpus distribution
@@ -1823,6 +1835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_logprob": text_lm_logprob,
     "text_quality_distill": text_quality_distill,
     "text_kl_source_drift": text_kl_source_drift,
+    "text_bpe_merges": text_bpe_merges,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
     "text_token_encode": text_token_encode,

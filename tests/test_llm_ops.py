@@ -396,3 +396,47 @@ def test_kl_source_drift_ranks_planted_shift(spark):
     assert out["drift"] > out["near"] and out["drift"] > out["bulk"]
     assert out["near"] == out["bulk"]
     assert out["drift"] > 0.5
+
+
+def test_bpe_learns_planted_merge_sequence(spark):
+    """Hand-computed BPE on a planted corpus: pair counts weighted by
+    word frequency, greedy left-to-right application, lexicographic
+    tie-breaks."""
+    from near_event_streams_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab aa"), (1, "aa")], "doc_id long, text string"
+    )
+    rows = bpe_learn_merges(docs, n_merges=5).collect()
+    # words: "aa" x3, "ab" x1 -> (a,a):3 wins, then (a,b):1, then done
+    assert [(r["left"], r["right"], r["pair_count"]) for r in rows] == [
+        ("a", "a", 3),
+        ("a", "b", 1),
+    ]
+    assert rows[0]["merged"] == "aa" and rows[1]["merged"] == "ab"
+
+
+def test_bpe_greedy_left_to_right_and_tiebreak(spark):
+    """'aaa' under merge (a,a): greedy scan merges the FIRST pair only
+    -> [aa, a]; next round (aa,a) ties with nothing and wins; ties
+    between equal-count pairs go to the lexicographically smallest."""
+    from near_event_streams_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    rows = bpe_learn_merges(docs, n_merges=3).collect()
+    # round 1: pairs of 'aaa' = (a,a) twice -> cnt 2
+    assert (rows[0]["left"], rows[0]["right"], rows[0]["pair_count"]) == (
+        "a", "a", 2,
+    )
+    # after greedy apply: [aa, a] -> round 2 best is (aa, a) cnt 1
+    assert (rows[1]["left"], rows[1]["right"], rows[1]["pair_count"]) == (
+        "aa", "a", 1,
+    )
+    assert len(rows) == 2  # single symbol left; loop drains
+
+    tie = spark.createDataFrame(
+        [(0, "xy ab")], "doc_id long, text string"
+    )
+    t = bpe_learn_merges(tie, n_merges=1).collect()
+    # (a,b) and (x,y) both count 1: lexicographic tie-break -> (a,b)
+    assert (t[0]["left"], t[0]["right"]) == ("a", "b")

@@ -108,6 +108,9 @@ ROUND4_BUDGETS = {
     # SCD2 window shuffle + the user-keyed equi join with interval
     # residual; presentation sort
     "join_pointintime_scd2": 2,
+    # gram explode + broadcast hit-join + one doc-keyed count agg;
+    # flag-back join + presentation sort
+    "decontaminate_overlap_report": 3,
 }
 
 
