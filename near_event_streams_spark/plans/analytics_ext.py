@@ -2491,6 +2491,73 @@ LIMIT 100
 )
 
 
+def hist_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals in 20 buckets over the
+    observed [min, max] — the profiling staple. Bounds come from ONE
+    scalar aggregate broadcast back; bucket assignment is pure
+    arithmetic (floor BOTH engines — Spark casts truncate but DuckDB
+    casts round, the verify-skill gotcha); the final agg keys on ≤21
+    bucket ids. Empty buckets are kept via a sequence spine so the
+    histogram shape is complete.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    bounds = F.broadcast(
+        o.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("v") - F.col("lo")) / width).cast("long"),
+        F.lit(19).cast("long"),
+    )
+    counts = (
+        o.crossJoin(bounds)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return (
+        spine.join(counts, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(
+                F.col("lo")
+                + F.col("bucket") * (F.col("hi") - F.col("lo")) / 20.0,
+                6,
+            ).alias("bucket_lo"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HIST_ORDER_SQL = """
+WITH o AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+), bounds AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM o
+), counts AS (
+  SELECT LEAST(CAST(floor((v - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+               CAST(19 AS BIGINT)) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM o, bounds GROUP BY 1
+), spine AS (
+  SELECT CAST(k AS BIGINT) AS bucket, lo, hi
+  FROM bounds, unnest(range(0, 20)) t(k)
+)
+SELECT bucket,
+       ROUND(lo + bucket * (hi - lo) / 20.0, 6) AS bucket_lo,
+       COALESCE(n, 0) AS n
+FROM spine LEFT JOIN counts USING (bucket)
+ORDER BY bucket
+"""
+
+
 def diag_key_skew_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic (``operators/skew.py:key_skew_profile``) on
     the event stream's user_id — the report read before choosing
@@ -3096,6 +3163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
     "diag_key_skew_users": diag_key_skew_users,
     "join_pointintime_scd2": join_pointintime_scd2,
+    "hist_order_totals": hist_order_totals,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3161,4 +3229,5 @@ ORACLE_SQL: dict[str, str] = {
     "graph_pagerank_copurchase": PAGERANK_SQL,
     "diag_key_skew_users": DIAG_KEY_SKEW_SQL,
     "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
+    "hist_order_totals": HIST_ORDER_SQL,
 }

@@ -111,6 +111,8 @@ ROUND4_BUDGETS = {
     # gram explode + broadcast hit-join + one doc-keyed count agg;
     # flag-back join + presentation sort
     "decontaminate_overlap_report": 3,
+    # one bucket-key agg; bounds + spine are broadcast scalars
+    "hist_order_totals": 1,
 }
 
 
