@@ -2491,6 +2491,126 @@ LIMIT 100
 )
 
 
+def dq_audit_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the warehouse tables: referential-orphan
+    counts (anti-joins), duplicate-key counts, null-rate and
+    domain-violation counts — the contract checks a pipeline runs
+    before publishing a snapshot. One row per check:
+    ``(check_name, n_violations, n_total, ok)``.
+
+    Scale shape: every check is either a single aggregate over a
+    column-pruned scan or a LEFT ANTI join on the FK key (shuffle
+    hash/broadcast as sizes dictate, AQE-decided); checks are
+    independent one-row aggregates unioned at the end — nothing is
+    ever collected wide.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+
+    def one(name: str, viol, total) -> DataFrame:
+        return viol.crossJoin(F.broadcast(total)).select(
+            F.lit(name).alias("check_name"),
+            F.col("nv").alias("n_violations"),
+            F.col("nt").alias("n_total"),
+            (F.col("nv") == 0).alias("ok"),
+        )
+
+    orders_orphan = one(
+        "orders_custkey_orphans",
+        o.join(
+            c.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("nv")),
+        o.agg(F.count(F.lit(1)).alias("nt")),
+    )
+    li_orphan = one(
+        "lineitem_orderkey_orphans",
+        li.join(
+            o.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("nv")),
+        li.agg(F.count(F.lit(1)).alias("nt")),
+    )
+    dup_orders = one(
+        "orders_orderkey_duplicates",
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).alias("nv")),
+        o.agg(F.count(F.lit(1)).alias("nt")),
+    )
+    ev_null_user = one(
+        "events_null_user",
+        ev.agg(
+            F.count(F.when(F.col("user_id").isNull(), 1)).alias("nv")
+        ),
+        ev.agg(F.count(F.lit(1)).alias("nt")),
+    )
+    ev_value_domain = one(
+        "events_negative_value",
+        ev.agg(F.count(F.when(F.col("value") < 0, 1)).alias("nv")),
+        ev.agg(F.count(F.lit(1)).alias("nt")),
+    )
+    li_qty_domain = one(
+        "lineitem_nonpositive_qty",
+        li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("nv")),
+        li.agg(F.count(F.lit(1)).alias("nt")),
+    )
+    return (
+        orders_orphan.unionByName(li_orphan)
+        .unionByName(dup_orders)
+        .unionByName(ev_null_user)
+        .unionByName(ev_value_domain)
+        .unionByName(li_qty_domain)
+        .orderBy("check_name")
+    )
+
+
+DQ_AUDIT_SQL = """
+WITH checks AS (
+  SELECT 'orders_custkey_orphans' AS check_name,
+    CAST((SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+      AS BIGINT) AS n_violations,
+    CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total
+  UNION ALL
+  SELECT 'lineitem_orderkey_orphans',
+    CAST((SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'orders_orderkey_duplicates',
+    CAST(COALESCE((SELECT SUM(k) FROM (
+        SELECT COUNT(*) AS k FROM orders GROUP BY o_orderkey
+        HAVING COUNT(*) > 1)), 0) AS BIGINT),
+    CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'events_null_user',
+    CAST((SELECT COUNT(*) FILTER (WHERE user_id IS NULL) FROM events)
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM events) AS BIGINT)
+  UNION ALL
+  SELECT 'events_negative_value',
+    CAST((SELECT COUNT(*) FILTER (WHERE value < 0) FROM events)
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM events) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_nonpositive_qty',
+    CAST((SELECT COUNT(*) FILTER (WHERE l_quantity <= 0) FROM lineitem)
+      AS BIGINT),
+    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+)
+SELECT check_name, n_violations, n_total, n_violations = 0 AS ok
+FROM checks
+ORDER BY check_name
+"""
+
+
 def hist_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of order totals in 20 buckets over the
     observed [min, max] — the profiling staple. Bounds come from ONE
@@ -3164,6 +3284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diag_key_skew_users": diag_key_skew_users,
     "join_pointintime_scd2": join_pointintime_scd2,
     "hist_order_totals": hist_order_totals,
+    "dq_audit_checks": dq_audit_checks,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3230,4 +3351,5 @@ ORACLE_SQL: dict[str, str] = {
     "diag_key_skew_users": DIAG_KEY_SKEW_SQL,
     "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
     "hist_order_totals": HIST_ORDER_SQL,
+    "dq_audit_checks": DQ_AUDIT_SQL,
 }

@@ -113,6 +113,10 @@ ROUND4_BUDGETS = {
     "decontaminate_overlap_report": 3,
     # one bucket-key agg; bounds + spine are broadcast scalars
     "hist_order_totals": 1,
+    # six independent one-row check aggregates (anti-joins + scalar
+    # aggs) unioned; scalar SinglePartition exchanges aren't counted —
+    # the only keyed shuffle is the duplicate-key groupBy
+    "dq_audit_checks": 2,
 }
 
 
