@@ -2491,6 +2491,63 @@ LIMIT 100
 )
 
 
+def diff_snapshots_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (``operators/reconcile.py:snapshot_diff``)
+    between two synthetic versions of the orders table — "old" lacks
+    every 7th order (late arrivals ⇒ added), "new" restates every 5th
+    order's priority (updates ⇒ changed) and drops every 11th order
+    (retractions ⇒ removed) — summarized to per-status counts, all
+    four statuses exercised. One full-outer key shuffle; comparison is
+    null-safe codegen."""
+    from near_event_streams_spark.operators.reconcile import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.lit("9-RESTATED")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    d = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderpriority", "o_totalprice"]
+    )
+    return (
+        d.groupBy("diff_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("diff_status")
+    )
+
+
+DIFF_SNAPSHOTS_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 7 != 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN '9-RESTATED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 11 != 0
+), j AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS k,
+    CASE
+      WHEN old.o_orderkey IS NULL THEN 'added'
+      WHEN new.o_orderkey IS NULL THEN 'removed'
+      WHEN old.o_orderpriority IS NOT DISTINCT FROM new.o_orderpriority
+       AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+        THEN 'unchanged'
+      ELSE 'changed'
+    END AS diff_status
+  FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n
+FROM j GROUP BY diff_status ORDER BY diff_status
+"""
+
+
 def dq_audit_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit over the warehouse tables: referential-orphan
     counts (anti-joins), duplicate-key counts, null-rate and
@@ -3285,6 +3342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_pointintime_scd2": join_pointintime_scd2,
     "hist_order_totals": hist_order_totals,
     "dq_audit_checks": dq_audit_checks,
+    "diff_snapshots_orders": diff_snapshots_orders,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3352,4 +3410,5 @@ ORACLE_SQL: dict[str, str] = {
     "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
     "hist_order_totals": HIST_ORDER_SQL,
     "dq_audit_checks": DQ_AUDIT_SQL,
+    "diff_snapshots_orders": DIFF_SNAPSHOTS_SQL,
 }

@@ -117,6 +117,9 @@ ROUND4_BUDGETS = {
     # aggs) unioned; scalar SinglePartition exchanges aren't counted —
     # the only keyed shuffle is the duplicate-key groupBy
     "dq_audit_checks": 2,
+    # one full-outer key shuffle (both snapshot sides) + status agg +
+    # presentation sort
+    "diff_snapshots_orders": 4,
 }
 
 

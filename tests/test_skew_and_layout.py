@@ -169,3 +169,30 @@ def test_key_skew_profile_ranks_planted_hot_key(spark):
     shares = [r["cum_share_pct"] for r in out]
     assert shares == sorted(shares)
     assert out[1]["key"] == 1 and out[1]["cnt"] == 4  # tie-break by key
+
+
+def test_snapshot_diff_null_safe_semantics(spark):
+    """Null handling in the comparison: null->value is CHANGED,
+    null->null is UNCHANGED (a naive equality would call both changed
+    and a naive != would call neither); added/removed classified off
+    presence, not payload."""
+    from near_event_streams_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "y")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now-set"), (2, None), (3, "x"), (5, "z")],
+        "k long, v string",
+    )
+    got = {
+        r["k"]: r["diff_status"]
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        1: "changed",
+        2: "unchanged",
+        3: "unchanged",
+        4: "removed",
+        5: "added",
+    }
