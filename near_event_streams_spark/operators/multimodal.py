@@ -286,3 +286,161 @@ def extract_features(media: DataFrame, batch_log=None) -> DataFrame:
             )
 
     return media.mapInPandas(_run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("decoded", BooleanType()),
+        StructField("resized_mean", DoubleType()),
+        StructField("resized_checksum", LongType()),
+    ]
+)
+
+
+def decode_ppm_samples(payload: bytes) -> tuple[int, int, list[int]]:
+    """Full-sample PPM decode: ``(width, height, samples)`` with the
+    RGB samples in row-major (y, x, channel) order — the pixel access
+    :func:`resize_nearest` needs (``decode_ppm`` only summarizes)."""
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    binary = payload[:2] == b"P6"
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n_samples = width * height * 3
+    if binary:
+        raster = payload[i + 1 : i + 1 + n_samples]
+        if len(raster) < n_samples:
+            raise ValueError("truncated PPM raster")
+        samples = list(raster)
+    else:
+        vals = payload[i:].split()
+        if len(vals) < n_samples:
+            raise ValueError("truncated PPM raster")
+        samples = [int(v) for v in vals[:n_samples]]
+    return width, height, samples
+
+
+def resize_nearest(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL nearest-neighbor raster resize over the binary column —
+    the thumbnail/normalization step of a multimodal pipeline, as an
+    Arrow-batched ``mapInPandas`` (swap the PPM pixel access for a
+    PIL call and the plan/schema stay identical). For each output
+    pixel ``(y, x)`` the source pixel is
+    ``(y·src_h//out_h, x·src_w//out_w)``; emits the resized raster's
+    mean and a base-131 rolling checksum of the sampled bytes so an
+    oracle can replay the exact pixel selection. Payloads without a
+    dependency-free decoder pass through with ``decoded=False``.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def _one(p) -> tuple:
+        try:
+            w, h, vals = decode_ppm_samples(bytes(p))
+        except ValueError:
+            return None, None, False, None, None
+        sampled: list[int] = []
+        for y in range(out_h):
+            sy = y * h // out_h
+            for x in range(out_w):
+                sx = x * w // out_w
+                base = (sy * w + sx) * 3
+                sampled.extend(vals[base : base + 3])
+        ck = 0
+        for b in sampled:
+            ck = (ck * 131 + b) % 1_000_000_007
+        mean = round(sum(sampled) / len(sampled), 6)
+        return w, h, True, mean, ck
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            res = [_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_w": pd.Series([r[0] for r in res], dtype="Int32"),
+                    "src_h": pd.Series([r[1] for r in res], dtype="Int32"),
+                    "out_w": pd.Series([out_w] * len(res), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(res), dtype="int32"),
+                    "decoded": [r[2] for r in res],
+                    "resized_mean": pd.Series(
+                        [r[3] for r in res], dtype="Float64"
+                    ),
+                    "resized_checksum": pd.Series(
+                        [r[4] for r in res], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_mean", DoubleType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, frame_bytes: int, every_k: int
+) -> DataFrame:
+    """Frame sampling over an opaque video-like payload: the payload is
+    a concatenation of fixed-size frames (raw grayscale here; with a
+    container codec the slicing becomes an ffmpeg call and the
+    ``mapInPandas`` shape/schema stay identical); every ``every_k``-th
+    frame is emitted as its own row with the frame's byte mean. The
+    per-payload fan-out is ``n_frames/every_k`` rows — frame sampling
+    IS the scale knob that keeps video corpora tractable.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, totals, means = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                n = len(b) // frame_bytes
+                for fi in range(0, n, every_k):
+                    fr = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    totals.append(n)
+                    means.append(round(sum(fr) / frame_bytes, 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(_run, schema=FRAME_SCHEMA)

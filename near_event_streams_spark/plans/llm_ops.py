@@ -1499,6 +1499,112 @@ ORDER BY sc.doc_id
 """
 
 
+def multimodal_resize_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize, driver-gated by construction
+    arithmetic: the same nation-keyed P3 payloads as
+    ``multimodal_decode_rasters`` are resized to 4×4 through the actual
+    pixel-sampling ``mapInPandas`` path; the oracle recomputes every
+    sampled byte ((y·h//4, x·w//4) pixel selection), their mean and the
+    base-131 rolling checksum — matching values prove real pixel access,
+    not metadata echo."""
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    w = (k % 5 + 2).cast("int")
+    h = (k % 3 + 2).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), (w * h * 3 - 1).cast("long")),
+        lambda i: (k * 7 + i * 13) % 256,
+    )
+    ppm = F.concat(
+        F.lit("P3\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+        F.array_join(samples, " "),
+    )
+    media = multimodal.as_media_table(
+        nation.select(k.alias("n_nationkey"), ppm.alias("ppm")),
+        id_col="n_nationkey",
+        payload_col="ppm",
+    )
+    return multimodal.resize_nearest(media, out_w=4, out_h=4).orderBy(
+        "media_id"
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+         CAST(n_nationkey % 5 + 2 AS INT) AS w,
+         CAST(n_nationkey % 3 + 2 AS INT) AS h
+  FROM nation
+), sampled AS (
+  SELECT media_id, w, h,
+    list_transform(range(0, 48), j ->
+      (media_id * 7
+       + ((((j // 12) * h // 4) * w + (((j // 3) % 4) * w // 4)) * 3
+          + j % 3) * 13) % 256) AS vals
+  FROM base
+)
+SELECT media_id,
+       w AS src_w, h AS src_h,
+       CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+       TRUE AS decoded,
+       ROUND(CAST(list_sum(vals) AS DOUBLE) / 48.0, 6) AS resized_mean,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+            (acc, x) -> (acc * 131 + x) % 1000000007) AS BIGINT)
+         AS resized_checksum
+FROM sampled
+ORDER BY media_id
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real byte-slicing ``mapInPandas``
+    path: nation-keyed synthetic 'videos' of (k%6+2) 16-byte grayscale
+    frames; every 2nd frame emitted with its byte mean. Oracle replays
+    the construction arithmetic per sampled frame."""
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    n_frames = (k % 6 + 2).cast("int")
+    payload = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0), (n_frames * 16 - 1).cast("long")
+            ),
+            lambda i: F.char((k * 7 + i * 13) % 95 + 33),
+        ),
+        "",
+    )
+    media = multimodal.as_media_table(
+        nation.select(k.alias("n_nationkey"), payload.alias("vid")),
+        id_col="n_nationkey",
+        payload_col="vid",
+    )
+    return multimodal.sample_video_frames(
+        media, frame_bytes=16, every_k=2
+    ).orderBy("media_id", "frame_idx")
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+         CAST(n_nationkey % 6 + 2 AS INT) AS n_frames
+  FROM nation
+), frames AS (
+  SELECT media_id, n_frames, CAST(f AS INT) AS frame_idx
+  FROM base, unnest(list_filter(range(0, n_frames), f -> f % 2 = 0)) t(f)
+)
+SELECT media_id, frame_idx, n_frames,
+  ROUND(CAST(list_sum(list_transform(range(0, 16), j ->
+        (media_id * 7 + (frame_idx * 16 + j) * 13) % 95 + 33))
+      AS DOUBLE) / 16.0, 6) AS frame_mean
+FROM frames
+ORDER BY media_id, frame_idx
+"""
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (``text.bpe_learn_merges``,
     8 merges): corpus touched once for the word-frequency table, the
@@ -1836,6 +1942,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_distill": text_quality_distill,
     "text_kl_source_drift": text_kl_source_drift,
     "text_bpe_merges": text_bpe_merges,
+    "multimodal_resize_rasters": multimodal_resize_rasters,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
     "text_token_encode": text_token_encode,
@@ -1876,6 +1984,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_lm_logprob": TEXT_LM_SQL,
     "text_quality_distill": TEXT_DISTILL_SQL,
     "text_kl_source_drift": TEXT_KL_DRIFT_SQL,
+    "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_pmi_collocations": TEXT_PMI_SQL,
     "text_token_encode": TEXT_ENCODE_SQL,

@@ -440,3 +440,63 @@ def test_bpe_greedy_left_to_right_and_tiebreak(spark):
     t = bpe_learn_merges(tie, n_merges=1).collect()
     # (a,b) and (x,y) both count 1: lexicographic tie-break -> (a,b)
     assert (t[0]["left"], t[0]["right"]) == ("a", "b")
+
+
+def test_resize_nearest_known_pixels(spark):
+    """2x2 -> 1x1 nearest-neighbor must select exactly the top-left
+    pixel (y*h//1? no: y=0,x=0 -> source (0,0)); 2x2 -> 4x4 upsamples
+    each source pixel into a 2x2 block. Undecodable payloads keep
+    their row with decoded=False."""
+    from near_event_streams_spark.operators import multimodal
+
+    # P3 2x2: pixels (0,0)=[1,2,3] (1,0)=[4,5,6] (0,1)=[7,8,9] (1,1)=[10,11,12]
+    ppm = "P3\n2 2\n255\n1 2 3 4 5 6 7 8 9 10 11 12"
+    rows = [(1, ppm), (2, "not an image")]
+    media = multimodal.as_media_table(
+        spark.createDataFrame(rows, "id long, payload string"),
+        id_col="id",
+        payload_col="payload",
+    )
+    down = {
+        r["media_id"]: r
+        for r in multimodal.resize_nearest(media, 1, 1).collect()
+    }
+    assert down[1]["decoded"] and down[1]["src_w"] == 2
+    # 1x1 output samples source pixel (0,0) = [1,2,3] -> mean 2.0
+    assert down[1]["resized_mean"] == 2.0
+    ck = 0
+    for b in (1, 2, 3):
+        ck = (ck * 131 + b) % 1_000_000_007
+    assert down[1]["resized_checksum"] == ck
+    assert down[2]["decoded"] is False
+    assert down[2]["resized_mean"] is None
+
+    up = {
+        r["media_id"]: r
+        for r in multimodal.resize_nearest(media, 4, 4).collect()
+    }
+    # upsample 2x2->4x4: each source pixel covers a 2x2 block; mean is
+    # unchanged from the source mean (each pixel weighted equally)
+    assert up[1]["resized_mean"] == 6.5
+
+
+def test_sample_video_frames_stride_and_tail(spark):
+    """Every-2nd-frame sampling; a trailing partial frame (payload not
+    a multiple of frame_bytes) is ignored, not mis-sliced."""
+    from near_event_streams_spark.operators import multimodal
+
+    # 3 full 4-byte frames + 2 stray bytes, printable ASCII
+    payload = "AAAA" + "BBBB" + "CCCC" + "zz"
+    media = multimodal.as_media_table(
+        spark.createDataFrame([(7, payload)], "id long, payload string"),
+        id_col="id",
+        payload_col="payload",
+    )
+    rows = multimodal.sample_video_frames(
+        media, frame_bytes=4, every_k=2
+    ).collect()
+    got = {(r["frame_idx"]): r for r in rows}
+    assert set(got) == {0, 2}
+    assert all(r["n_frames"] == 3 for r in rows)
+    assert got[0]["frame_mean"] == float(ord("A"))
+    assert got[2]["frame_mean"] == float(ord("C"))
