@@ -2491,6 +2491,131 @@ LIMIT 100
 )
 
 
+def feature_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier census: median + MAD (median absolute
+    deviation) per event_type and the count of values beyond
+    3·1.4826·MAD — the robust alternative to the z-score gate
+    (``feature_zscore_winsorize``) that a single wild value cannot
+    poison.
+
+    Shape: two grouped EXACT percentile aggregates (median of values,
+    then median of absolute deviations after a broadcast join of the
+    per-group medians) + one conditional count — three passes keyed on
+    the bounded event_type space. Exact percentile sorts per group;
+    at 100 TB swap ``percentile_approx`` in (same plan, mergeable
+    sketch) — the exact form is the oracle-friendly baseline.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    # the outlier count needs the finished MAD — second keyed pass over
+    # dev with the per-group MADs broadcast back
+    out = (
+        dev.join(
+            F.broadcast(
+                dev.groupBy("event_type").agg(
+                    F.percentile("absdev", F.lit(0.5)).alias("mad")
+                )
+            ),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(
+                F.when(
+                    F.col("absdev") > 3.0 * 1.4826 * F.col("mad"), 1
+                )
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       ROUND(ANY_VALUE(d.med), 6) AS med,
+       ROUND(ANY_VALUE(m.mad), 6) AS mad,
+       CAST(COUNT(*) FILTER (WHERE d.absdev > 3.0 * 1.4826 * m.mad)
+            AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+def seq_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent behavior sequences: the top-20 event-type TRIGRAMS
+    across per-user ordered streams — sequence mining's first rung
+    (what do users do in threes?).
+
+    Scale shape: trigram formation is ``lead``/``lead(2)`` over the
+    user-keyed time window — ONE shuffle on user_id and a narrow
+    projection, never a per-user ``collect_list`` (unbounded array
+    state) and never a self-join on adjacency; the count agg keys on
+    the bounded trigram space and the top-20 is a TakeOrdered.
+    """
+    from near_event_streams_spark.plans._common import ts_us
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us().alias("ts_us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    tri = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("t2"), F.col("t3")
+            ).alias("trigram")
+        )
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(20)
+    )
+
+
+SEQ_TRIGRAMS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+  FROM events
+), tri AS (
+  SELECT event_type || '>' ||
+         LEAD(event_type, 1) OVER w || '>' ||
+         LEAD(event_type, 2) OVER w AS trigram,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE t3 IS NOT NULL
+GROUP BY trigram
+ORDER BY n DESC, trigram
+LIMIT 20
+"""
+
+
 def diff_snapshots_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (``operators/reconcile.py:snapshot_diff``)
     between two synthetic versions of the orders table — "old" lacks
@@ -3343,6 +3468,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_order_totals": hist_order_totals,
     "dq_audit_checks": dq_audit_checks,
     "diff_snapshots_orders": diff_snapshots_orders,
+    "seq_event_trigrams": seq_event_trigrams,
+    "feature_mad_outliers": feature_mad_outliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3411,4 +3538,6 @@ ORACLE_SQL: dict[str, str] = {
     "hist_order_totals": HIST_ORDER_SQL,
     "dq_audit_checks": DQ_AUDIT_SQL,
     "diff_snapshots_orders": DIFF_SNAPSHOTS_SQL,
+    "seq_event_trigrams": SEQ_TRIGRAMS_SQL,
+    "feature_mad_outliers": MAD_OUTLIERS_SQL,
 }

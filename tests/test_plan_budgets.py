@@ -120,6 +120,11 @@ ROUND4_BUDGETS = {
     # one full-outer key shuffle (both snapshot sides) + status agg +
     # presentation sort
     "diff_snapshots_orders": 4,
+    # one user-keyed window shuffle + bounded trigram-key agg
+    "seq_event_trigrams": 2,
+    # two exact grouped percentiles (value, absdev) + final census agg,
+    # all keyed on the bounded event_type space
+    "feature_mad_outliers": 5,
 }
 
 
