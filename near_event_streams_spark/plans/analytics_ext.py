@@ -2491,6 +2491,101 @@ LIMIT 100
 )
 
 
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch campaign attribution: each purchase's value credits
+    the campaign (``props.k % 10`` of the CLICK event) of the user's
+    most recent click within 24 h; purchases with no qualifying click
+    land in campaign -1. Per-campaign totals with exact-decimal sums.
+
+    The composition a marketing pipeline runs end-to-end: backward
+    as-of (tagged union + running ``last(…, ignorenulls)`` — ONE
+    user-keyed shuffle, no cross product, same-instant click visible),
+    JSON attribute extraction on the click side, tolerance mask on the
+    MATERIALIZED columns (the window-reuse-after-filter trap), and a
+    bounded campaign-key aggregate.
+    """
+    from near_event_streams_spark.plans._common import dec, dsum, ts_us
+
+    tol_us = 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        ts_us().alias("ts_us"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("src"),
+        (
+            F.get_json_object("props", "$.k").cast("long") % 10
+        ).alias("campaign"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("src") == 0, F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    click_camp = F.last(
+        F.when(F.col("src") == 0, F.col("campaign")), ignorenulls=True
+    ).over(w)
+    in_tol = (F.col("ts_us") - F.col("_cts")) <= tol_us
+    attributed = (
+        tagged.withColumn("_cts", click_ts)
+        .withColumn("_ccamp", click_camp)
+        .filter(F.col("src") == 1)
+        .select(
+            F.coalesce(
+                F.when(in_tol, F.col("_ccamp")), F.lit(-1)
+            ).alias("campaign"),
+            "value",
+        )
+    )
+    return (
+        attributed.groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(dec("value"), "total_value"),
+        )
+        .orderBy("campaign")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, value,
+         epoch_ns(ts) // 1000 AS ts_us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS src,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+           AS campaign
+  FROM events WHERE event_type IN ('click', 'purchase')
+), matched AS (
+  SELECT user_id, value, ts_us, src,
+    last_value(CASE WHEN src = 0 THEN ts_us END IGNORE NULLS) OVER w
+      AS cts,
+    last_value(CASE WHEN src = 0 THEN campaign END IGNORE NULLS) OVER w
+      AS ccamp
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, src, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), attributed AS (
+  SELECT COALESCE(CASE WHEN ts_us - cts <= 86400000000 THEN ccamp END,
+                  -1) AS campaign,
+         value
+  FROM matched WHERE src = 1
+)
+SELECT campaign, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM attributed
+GROUP BY campaign
+ORDER BY campaign
+"""
+
+
 def feature_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier census: median + MAD (median absolute
     deviation) per event_type and the count of values beyond
@@ -3470,6 +3565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "diff_snapshots_orders": diff_snapshots_orders,
     "seq_event_trigrams": seq_event_trigrams,
     "feature_mad_outliers": feature_mad_outliers,
+    "attribution_last_touch": attribution_last_touch,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3540,4 +3636,5 @@ ORACLE_SQL: dict[str, str] = {
     "diff_snapshots_orders": DIFF_SNAPSHOTS_SQL,
     "seq_event_trigrams": SEQ_TRIGRAMS_SQL,
     "feature_mad_outliers": MAD_OUTLIERS_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
 }

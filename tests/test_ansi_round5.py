@@ -25,6 +25,7 @@ ROUND5 = [
     "diff_snapshots_orders",
     "seq_event_trigrams",
     "feature_mad_outliers",
+    "attribution_last_touch",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

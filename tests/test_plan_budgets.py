@@ -125,6 +125,8 @@ ROUND4_BUDGETS = {
     # two exact grouped percentiles (value, absdev) + final census agg,
     # all keyed on the bounded event_type space
     "feature_mad_outliers": 5,
+    # one user-keyed as-of window shuffle + bounded campaign agg
+    "attribution_last_touch": 3,
 }
 
 
