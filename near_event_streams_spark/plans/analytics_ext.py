@@ -2198,6 +2198,110 @@ ORDER BY step
 """
 
 
+def funnel_windowed_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel with a CONVERSION WINDOW: click and purchase
+    count only when they land within 24 h of the user's first view —
+    the form product analytics actually reports (unbounded funnels
+    overcount stale journeys). Same join-free-of-cartesians shape as
+    ``funnel_view_click_purchase``: conditional min-aggs + user-keyed
+    equi joins, the window bound just joins the deadline through.
+    """
+    from near_event_streams_spark.plans._common import ts_us
+
+    win_us = 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", ts_us().alias("ts_us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t1") + win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(1).alias("step"), F.lit("view").alias("step_name"), "n"
+        )
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(2).alias("step"),
+                F.lit("click").alias("step_name"),
+                "n",
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(3).alias("step"),
+                F.lit("purchase").alias("step_name"),
+                "n",
+            )
+        )
+    )
+    w = Window.orderBy("step")  # 3 rows — bounded by construction
+    return counts.withColumn(
+        "conv_from_prev",
+        F.round(
+            F.col("n").cast("double") / F.lag("n").over(w).cast("double"),
+            6,
+        ),
+    ).orderBy("step")
+
+
+FUNNEL_WINDOWED_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+), s1 AS (
+  SELECT user_id, MIN(ts_us) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT ev.user_id, MIN(ts_us) AS t2, ANY_VALUE(t1) AS t1
+  FROM ev JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND ts_us > t1
+    AND ts_us <= t1 + 86400000000
+  GROUP BY ev.user_id
+), s3 AS (
+  SELECT ev.user_id, MIN(ts_us) AS t3
+  FROM ev JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts_us > t2
+    AND ts_us <= t1 + 86400000000
+  GROUP BY ev.user_id
+), counts AS (
+  SELECT 1 AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+)
+SELECT step, step_name, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(lag(n) OVER (ORDER BY step) AS DOUBLE), 6)
+         AS conv_from_prev
+FROM counts
+ORDER BY step
+"""
+
+
 def retention_cohorts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cohort retention: users grouped by first-activity day; for
     offsets 0..7 count how many are active again that many days later.
@@ -3566,6 +3670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_event_trigrams": seq_event_trigrams,
     "feature_mad_outliers": feature_mad_outliers,
     "attribution_last_touch": attribution_last_touch,
+    "funnel_windowed_1d": funnel_windowed_1d,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3637,4 +3742,5 @@ ORACLE_SQL: dict[str, str] = {
     "seq_event_trigrams": SEQ_TRIGRAMS_SQL,
     "feature_mad_outliers": MAD_OUTLIERS_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
+    "funnel_windowed_1d": FUNNEL_WINDOWED_SQL,
 }

@@ -26,6 +26,7 @@ ROUND5 = [
     "seq_event_trigrams",
     "feature_mad_outliers",
     "attribution_last_touch",
+    "funnel_windowed_1d",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

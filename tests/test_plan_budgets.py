@@ -127,6 +127,8 @@ ROUND4_BUDGETS = {
     "feature_mad_outliers": 5,
     # one user-keyed as-of window shuffle + bounded campaign agg
     "attribution_last_touch": 3,
+    # same conditional-min-agg + equi-join tree as the unbounded funnel
+    "funnel_windowed_1d": 5,
 }
 
 
