@@ -2992,6 +2992,76 @@ ORDER BY check_name
 """
 
 
+def dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling: does determinant → dependent
+    hold, and over how many violating keys — the schema-inference /
+    constraint-discovery check a warehouse runs on candidate keys.
+    One key-grouped distinct-count per FD (shuffles on the determinant,
+    map-side partial), then a one-row census; FDs union at the end."""
+
+    def fd(df: DataFrame, name: str, det: str, dep: str) -> DataFrame:
+        per = df.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        return per.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias(
+                "n_violating_keys"
+            ),
+        ).select(
+            F.lit(name).alias("fd"),
+            "n_keys",
+            "n_violating_keys",
+            (F.col("n_violating_keys") == 0).alias("holds"),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        fd(o, "orders: orderkey->custkey", "o_orderkey", "o_custkey")
+        .unionByName(
+            fd(
+                li,
+                "lineitem: orderkey->returnflag",
+                "l_orderkey",
+                "l_returnflag",
+            )
+        )
+        .unionByName(
+            fd(ev, "events: user->event_type", "user_id", "event_type")
+        )
+        .orderBy("fd")
+    )
+
+
+DQ_FUNCTIONAL_SQL = """
+WITH f1 AS (
+  SELECT 'orders: orderkey->custkey' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT)
+           AS n_violating_keys
+  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nd
+        FROM orders GROUP BY o_orderkey)
+), f2 AS (
+  SELECT 'lineitem: orderkey->returnflag',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT)
+  FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nd
+        FROM lineitem GROUP BY l_orderkey)
+), f3 AS (
+  SELECT 'events: user->event_type',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT)
+  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nd
+        FROM events GROUP BY user_id)
+), u AS (
+  SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL
+  SELECT * FROM f3
+)
+SELECT fd, n_keys, n_violating_keys, n_violating_keys = 0 AS holds
+FROM u ORDER BY fd
+"""
+
+
 def hist_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of order totals in 20 buckets over the
     observed [min, max] — the profiling staple. Bounds come from ONE
@@ -3671,6 +3741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_mad_outliers": feature_mad_outliers,
     "attribution_last_touch": attribution_last_touch,
     "funnel_windowed_1d": funnel_windowed_1d,
+    "dq_functional_deps": dq_functional_deps,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3743,4 +3814,5 @@ ORACLE_SQL: dict[str, str] = {
     "feature_mad_outliers": MAD_OUTLIERS_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
     "funnel_windowed_1d": FUNNEL_WINDOWED_SQL,
+    "dq_functional_deps": DQ_FUNCTIONAL_SQL,
 }

@@ -259,7 +259,66 @@ FROM framed
 ORDER BY user_id, t_us, event_id
 """
 
+
+
+def ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline: per (event_type, hour-of-day) event count and
+    exact-decimal mean value — the calendar profile anomaly detection
+    subtracts before looking for residuals (a spike at 3am means more
+    than the same count at noon).
+
+    One hash agg on the bounded (type × 24) keyspace; the hour is
+    pure codegen date arithmetic on the epoch-micros column. The mean
+    divides exact decimal sums so both engines agree bit-for-bit.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = (
+        F.call_function(
+            "div", ts_us(), F.lit(3_600_000_000).cast("long")
+        )
+        % 24
+    ).cast("int")
+    return (
+        ev.groupBy(
+            "event_type", hour.alias("hour_utc")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(dec("value")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("raw_avg"),
+        )
+        .select(
+            "event_type",
+            "hour_utc",
+            "n_events",
+            F.round("raw_avg", 6).alias("avg_value"),
+        )
+        .orderBy("event_type", "hour_utc")
+    )
+
+
+TS_SEASONAL_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST((epoch_ns(ts) // 1000 // 3600000000) % 24 AS INT)
+           AS hour_utc,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT event_type, hour_utc,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_value
+FROM base
+GROUP BY event_type, hour_utc
+ORDER BY event_type, hour_utc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ts_seasonal_hourly": ts_seasonal_hourly,
     "ts_rollup_cascade": ts_rollup_cascade,
     "ts_gapfill_locf": ts_gapfill_locf,
     "ts_interpolate_linear": ts_interpolate_linear,
@@ -267,6 +326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "ts_seasonal_hourly": TS_SEASONAL_SQL,
     "ts_rollup_cascade": TS_ROLLUP_CASCADE_SQL,
     "ts_gapfill_locf": TS_GAPFILL_LOCF_SQL,
     "ts_interpolate_linear": TS_INTERPOLATE_SQL,

@@ -27,6 +27,8 @@ ROUND5 = [
     "feature_mad_outliers",
     "attribution_last_touch",
     "funnel_windowed_1d",
+    "dq_functional_deps",
+    "ts_seasonal_hourly",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

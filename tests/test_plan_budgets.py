@@ -129,6 +129,10 @@ ROUND4_BUDGETS = {
     "attribution_last_touch": 3,
     # same conditional-min-agg + equi-join tree as the unbounded funnel
     "funnel_windowed_1d": 5,
+    # three determinant-keyed distinct-count aggs, one per FD
+    "dq_functional_deps": 6,
+    # one bounded (type, hour) hash agg + presentation sort
+    "ts_seasonal_hourly": 2,
 }
 
 
