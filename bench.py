@@ -64,8 +64,11 @@ HEADLINE = [
     # the linear-cost dedup path that replaces pair joins at 100 TB
     ("dedup_remove_spans", llm_ops.QUERIES["dedup_remove_spans"]),
     # round-5: rolling-distinct actives (combo-explode + 2-agg shape)
-    # and the Bloom-prefiltered decontamination — bench next to its
-    # exact twin above to keep the candidate-pruning payoff measured
+    # and the Bloom-prefiltered decontamination — benched next to its
+    # exact twin above DELIBERATELY showing its overhead at this scale:
+    # each run rebuilds the bitmap (~1 s) that a broadcast gram join
+    # doesn't need; the design wins only when the eval side outgrows
+    # a comfortable broadcast hash table (SCALE.md round-5 notes)
     ("active_users_dau_wau_mau", analytics_ext.QUERIES["active_users_dau_wau_mau"]),
     ("decontaminate_bloom_docs", curation.QUERIES["decontaminate_bloom_docs"]),
 ]

@@ -717,14 +717,19 @@ def kl_source_drift(
     finitely. Returns ``(source, n_tokens, kl_divergence)``.
 
     Plan shape at 100 TB: one (group, term) count aggregate over the
-    token stream; the corpus totals REUSE those counts (a re-aggregate
-    of the group counts, not a second scan); the vocabulary is bounded
-    at ``vocab_size`` rows by construction so the per-group × vocab
-    frame is |groups|·V rows — tiny — built by a broadcast cross join,
-    never touching the token stream again. Cross-engine determinism:
-    counts are exact integers, each KL term rounds to 12 dp and sums as
-    exact DECIMAL(26,12) (float-sum order dependence cannot leak in),
-    final value rounds to 6 dp.
+    token stream, PERSISTED — three derived aggregates (corpus counts,
+    vocabulary, group totals) consume it and Catalyst does NOT dedupe
+    the common subtree across them (measured: zero ReusedExchange),
+    so without the persist the token stream would be scanned and
+    aggregated three times. The vocabulary is bounded at
+    ``vocab_size`` rows by construction so the per-group × vocab frame
+    is |groups|·V rows — tiny — built by a broadcast cross join, never
+    touching the token stream again. The persist handle is
+    caller-owned (``spark.catalog.clearCache()`` when done — repo
+    convention). Cross-engine determinism: counts are exact integers,
+    each KL term rounds to 12 dp and sums as exact DECIMAL(26,12)
+    (float-sum order dependence cannot leak in), final value rounds
+    to 6 dp.
     """
     terms = docs.select(
         F.col(group_col).alias("source"),
@@ -734,8 +739,10 @@ def kl_source_drift(
             )
         ).alias("term"),
     )
-    gcounts = terms.groupBy("source", "term").agg(
-        F.count(F.lit(1)).alias("c")
+    gcounts = (
+        terms.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     ccounts = gcounts.groupBy("term").agg(F.sum("c").alias("ctf"))
     vocab = ccounts.orderBy(F.desc("ctf"), F.asc("term")).limit(vocab_size)

@@ -99,8 +99,8 @@ ROUND4_BUDGETS = {
     # the final plan is a checkpoint scan + TakeOrdered
     "graph_pagerank_copurchase": 1,
     # one (source,term) token agg fans into ccounts/vocab/gtotals —
-    # printed thrice in the text plan but deduped at runtime by
-    # ReuseExchange; grid-side joins are broadcast (V=512 rows)
+    # persisted, because Catalyst does NOT dedupe the shared subtree
+    # (measured zero ReusedExchange); grid joins are broadcast (V=512)
     "text_kl_source_drift": 10,
     # one key-count agg (counts + totals reuse it) + top-k; the
     # rank/cumsum window runs over the 10 selected rows
