@@ -91,12 +91,18 @@ def key_skew_profile(
     Returns ``(rank, key, cnt, n_rows, n_keys, share_pct, cum_share_pct)``.
 
     Plan shape at 100 TB: ONE count aggregate on the key (map-side
-    partial collapses per-task duplicates), a TakeOrdered for the
-    top-k, and one broadcast scalar total — the ranking/cumsum window
-    runs over the k selected rows only, never the key space.
+    partial collapses per-task duplicates), PERSISTED because both the
+    scalar totals and the top-k consume it and Catalyst does not dedupe
+    the shared subtree (measured zero ReusedExchange — without the
+    persist the input is scanned and aggregated twice); then a
+    TakeOrdered for the top-k and one broadcast scalar total — the
+    ranking/cumsum window runs over the k selected rows only, never
+    the key space. Persist handle is caller-owned (clearCache).
     """
-    counts = df.groupBy(F.col(key).alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    counts = (
+        df.groupBy(F.col(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
     totals = F.broadcast(
         counts.agg(
