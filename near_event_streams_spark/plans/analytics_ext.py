@@ -2363,7 +2363,9 @@ def active_users_dau_wau_mau(
         "user_id", F.to_date("ts").alias("day")
     )
     ud = ev.distinct()
-    bounds = ud.agg(
+    # bounds from RAW events — identical min/max, and deriving them
+    # from ud would re-run the whole user-day distinct for one scalar
+    bounds = ev.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
     )
 
