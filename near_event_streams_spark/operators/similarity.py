@@ -621,3 +621,65 @@ def quantize_int8_recon(
         F.round(dot / (n_orig * n_rec), 6).alias("recon_cosine"),
         F.round(max_err, 6).alias("max_abs_err"),
     )
+
+
+def group_centroid_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Pairwise cosine between per-group embedding CENTROIDS — the
+    domain-similarity map data-mixing work consumes (which sources are
+    near-duplicates of each other in embedding space, which are the
+    diversity outliers).
+
+    Scale shape: the corpus collapses to |groups| centroid rows in ONE
+    aggregate (2·dim decimal sums per group — no dim-key explode
+    shuffle; the per-element round→decimal makes the sums order- and
+    engine-exact, divided as doubles); the pairwise stage is a
+    broadcast self-join over the bounded group count with sequential
+    cosine folds an oracle replays bit-for-bit. Nothing downstream of
+    the first aggregate ever touches corpus rows.
+    """
+    v = F.col(vec_col)
+    means = df.groupBy(group_col).agg(
+        *[
+            (
+                F.sum(
+                    F.round(
+                        F.element_at(v, i + 1).cast("double"), 12
+                    ).cast("decimal(26,12)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    )
+    cent = means.select(
+        F.col(group_col),
+        F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("c"),
+    )
+    a = cent.select(
+        F.col(group_col).alias("a_source"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col(group_col).alias("b_source"), F.col("c").alias("cb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("a_source") < F.col("b_source")
+    )
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold_sum(
+        F.zip_with("ca", "cb", lambda x, y: x * y)
+    )
+    na = F.sqrt(fold_sum(F.transform("ca", lambda x: x * x)))
+    nb = F.sqrt(fold_sum(F.transform("cb", lambda x: x * x)))
+    return pairs.select(
+        "a_source",
+        "b_source",
+        F.round(dot / (na * nb), 6).alias("centroid_cosine"),
+    ).orderBy("a_source", "b_source")

@@ -1499,6 +1499,51 @@ ORDER BY sc.doc_id
 """
 
 
+def emb_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-similarity map (``similarity.group_centroid_similarity``):
+    pairwise cosine between per-source embedding centroids — which
+    sources overlap in embedding space and which carry the diversity.
+    One corpus-collapse aggregate, then a broadcast self-join over the
+    bounded source count; exact-decimal mean sums and sequential cosine
+    folds make the oracle bit-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    j = emb.join(docs, "vec_id")
+    return similarity.group_centroid_similarity(
+        j, group_col="source", vec_col="embedding", dim=64
+    )
+
+
+EMB_SOURCE_SIM_SQL = """
+WITH j AS (
+  SELECT d.source, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), m AS (
+  SELECT source, i,
+    CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 12)
+             AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*) AS mi
+  FROM j, unnest(range(1, 65)) t(i)
+  GROUP BY source, i
+), c AS (
+  SELECT source, list(mi ORDER BY i) AS cvec FROM m GROUP BY source
+)
+SELECT a.source AS a_source, b.source AS b_source,
+  ROUND(
+    list_reduce(list_prepend(0.0,
+        list_transform(range(1, 65), i -> a.cvec[i] * b.cvec[i])),
+        (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_prepend(0.0,
+          list_transform(a.cvec, x -> x * x)), (acc, x) -> acc + x))
+       * sqrt(list_reduce(list_prepend(0.0,
+          list_transform(b.cvec, x -> x * x)), (acc, x) -> acc + x))),
+    6) AS centroid_cosine
+FROM c a JOIN c b ON a.source < b.source
+ORDER BY a_source, b_source
+"""
+
+
 def multimodal_resize_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor resize, driver-gated by construction
     arithmetic: the same nation-keyed P3 payloads as
@@ -1943,6 +1988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_kl_source_drift": text_kl_source_drift,
     "text_bpe_merges": text_bpe_merges,
     "multimodal_resize_rasters": multimodal_resize_rasters,
+    "emb_source_similarity": emb_source_similarity,
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
@@ -1985,6 +2031,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality_distill": TEXT_DISTILL_SQL,
     "text_kl_source_drift": TEXT_KL_DRIFT_SQL,
     "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
+    "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_pmi_collocations": TEXT_PMI_SQL,

@@ -29,6 +29,7 @@ ROUND5 = [
     "funnel_windowed_1d",
     "dq_functional_deps",
     "ts_seasonal_hourly",
+    "emb_source_similarity",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

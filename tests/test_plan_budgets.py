@@ -131,6 +131,9 @@ ROUND4_BUDGETS = {
     "funnel_windowed_1d": 5,
     # three determinant-keyed distinct-count aggs, one per FD
     "dq_functional_deps": 6,
+    # corpus collapses to |sources| centroid rows in one agg; the pair
+    # stage is a broadcast self-join over bounded groups
+    "emb_source_similarity": 3,
     # one bounded (type, hour) hash agg + presentation sort
     "ts_seasonal_hourly": 2,
 }
