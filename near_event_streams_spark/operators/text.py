@@ -876,3 +876,94 @@ def bpe_learn_merges(
         "iteration int, left string, right string, "
         "merged string, pair_count bigint",
     ).orderBy("iteration")
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    hashed-n-gram bag-of-words likelihood ratio between a TARGET
+    distribution (the domain you want more of) and the RAW pool — the
+    per-doc ``importance`` is the sum of per-token log-ratios, the
+    quantity DSIR resamples by.
+
+    Same fixed-size hashing trick as :func:`nb_quality_distill`: both
+    unigram models live in ``buckets`` rows regardless of corpus size,
+    so the weight table broadcasts; scoring is one doc-keyed reduce.
+    Add-one smoothing on both sides keeps never-seen buckets finite.
+    Returns ``(doc_id, n_tokens, importance)`` over the raw pool.
+    """
+
+    def tok(df: DataFrame) -> DataFrame:
+        t = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+                )
+            ).alias("w"),
+        )
+        hexpart = F.substring(
+            F.md5(F.concat_ws("|", F.col("w"), F.lit(salt))), 1, 8
+        )
+        return t.select(
+            "doc_id",
+            (F.conv(hexpart, 16, 10).cast("long") % buckets).alias(
+                "bucket"
+            ),
+        )
+
+    raw_tok = tok(docs)
+    tgt_counts = (
+        tok(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_counts = raw_tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    totals = F.broadcast(
+        tgt_counts.agg(F.sum("ct").alias("nt")).crossJoin(
+            raw_counts.agg(F.sum("cr").alias("nr"))
+        )
+    )
+    weights = (
+        raw_counts.join(F.broadcast(tgt_counts), "bucket", "full_outer")
+        .crossJoin(totals)
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0).cast(
+                        "double"
+                    )
+                    / (F.col("nt") + float(buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1.0).cast(
+                        "double"
+                    )
+                    / (F.col("nr") + float(buckets))
+                )
+            ).alias("w"),
+        )
+    )
+    # per-token weights round to 12 dp and sum as exact decimals so the
+    # per-doc importance is order- and engine-exact
+    summand = F.round(F.col("w"), 12).cast("decimal(26,12)")
+    return (
+        raw_tok.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(summand).cast("double"), 6).alias(
+                "importance"
+            ),
+        )
+    )

@@ -1499,6 +1499,57 @@ ORDER BY sc.doc_id
 """
 
 
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (``text.dsir_importance``): the src0/src1
+    sources play the target domain, every other doc gets the hashed
+    bag-of-words log likelihood ratio DSIR resamples by. 12dp-rounded
+    per-token weights sum as exact decimals, so the oracle replays the
+    whole computation bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_tgt = F.col("source").isin("src0", "src1")
+    return text.dsir_importance(
+        docs.filter(~is_tgt), docs.filter(is_tgt), buckets=4096
+    ).orderBy("doc_id")
+
+
+DSIR_SQL = """
+WITH raw_tok AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(w || '|' || 'dsir'), 1, 8))
+             AS UBIGINT) % 4096 AS BIGINT) AS bucket
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w
+    FROM documents WHERE source NOT IN ('src0', 'src1'))
+), tgt_tok AS (
+  SELECT CAST(CAST(('0x' || substr(md5(w || '|' || 'dsir'), 1, 8))
+             AS UBIGINT) % 4096 AS BIGINT) AS bucket
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w
+    FROM documents WHERE source IN ('src0', 'src1'))
+), tc AS (
+  SELECT bucket, COUNT(*) AS ct FROM tgt_tok GROUP BY bucket
+), rc AS (
+  SELECT bucket, COUNT(*) AS cr FROM raw_tok GROUP BY bucket
+), tot AS (
+  SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tc) AS nt,
+         (SELECT CAST(SUM(cr) AS BIGINT) FROM rc) AS nr
+), wt AS (
+  SELECT bucket,
+    ln((COALESCE(ct, 0) + 1.0) / (nt + 4096.0))
+    - ln((COALESCE(cr, 0) + 1.0) / (nr + 4096.0)) AS w
+  FROM (rc FULL JOIN tc USING (bucket)) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(w, 12) AS DECIMAL(26,12)))
+             AS DOUBLE), 6) AS importance
+FROM raw_tok JOIN wt USING (bucket)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def emb_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-similarity map (``similarity.group_centroid_similarity``):
     pairwise cosine between per-source embedding centroids — which
@@ -1989,6 +2040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": text_bpe_merges,
     "multimodal_resize_rasters": multimodal_resize_rasters,
     "emb_source_similarity": emb_source_similarity,
+    "curation_dsir_weights": curation_dsir_weights,
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
@@ -2032,6 +2084,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_kl_source_drift": TEXT_KL_DRIFT_SQL,
     "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
+    "curation_dsir_weights": DSIR_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_pmi_collocations": TEXT_PMI_SQL,

@@ -30,6 +30,7 @@ ROUND5 = [
     "dq_functional_deps",
     "ts_seasonal_hourly",
     "emb_source_similarity",
+    "curation_dsir_weights",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

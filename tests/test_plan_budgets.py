@@ -134,6 +134,8 @@ ROUND4_BUDGETS = {
     # corpus collapses to |sources| centroid rows in one agg; the pair
     # stage is a broadcast self-join over bounded groups
     "emb_source_similarity": 3,
+    # two bounded bucket-key aggs (target + raw models) + one doc reduce
+    "curation_dsir_weights": 6,
     # one bounded (type, hour) hash agg + presentation sort
     "ts_seasonal_hourly": 2,
 }
