@@ -1499,6 +1499,81 @@ ORDER BY sc.doc_id
 """
 
 
+def report_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: the per-source profile a corpus release
+    ships — doc and token counts, mean length, quality-gate pass count,
+    and exact-duplicate count — composed from the registry's own
+    signals (quality keep-gate, md5 fingerprint dedup) in one pass plus
+    one bounded fingerprint join.
+
+    Shape: per-doc metrics are a narrow map; the dup flag is one
+    fingerprint-keyed count joined back; the profile is a hash agg on
+    the bounded source key. Exact integers and decimal-backed means
+    keep the oracle bit-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("nc"),
+        text.token_count_regex(F.col("text"))
+        .cast("long")
+        .alias("ntok"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    keep = text.quality_features(docs).select("doc_id", "keep")
+    fp_counts = per.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("fpc")
+    )
+    j = per.join(keep, "doc_id").join(fp_counts, "fp")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(
+                F.sum("nc").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_chars"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_quality_keep"),
+            F.count(F.when(F.col("fpc") > 1, 1)).alias("n_exact_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_PROFILE_SQL = """
+WITH per AS (
+  SELECT doc_id, source, text,
+         CAST(LENGTH(text) AS BIGINT) AS nc,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+           AS BIGINT) AS ntok,
+         md5(text) AS fp,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM documents
+), keepf AS (
+  SELECT doc_id,
+    len(w) >= 5 AND len(w) <= 10000
+    AND CAST(len(list_distinct(w)) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) > 0.2 AS keep
+  FROM per
+), fpc AS (
+  SELECT fp, COUNT(*) AS fpc FROM per GROUP BY fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_chars,
+       CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_quality_keep,
+       CAST(COUNT(*) FILTER (WHERE fpc > 1) AS BIGINT) AS n_exact_dup
+FROM per JOIN keepf USING (doc_id) JOIN fpc USING (fp)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (``text.dsir_importance``): the src0/src1
     sources play the target domain, every other doc gets the hashed
@@ -2041,6 +2116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize_rasters": multimodal_resize_rasters,
     "emb_source_similarity": emb_source_similarity,
     "curation_dsir_weights": curation_dsir_weights,
+    "report_source_profile": report_source_profile,
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
@@ -2085,6 +2161,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "curation_dsir_weights": DSIR_SQL,
+    "report_source_profile": SOURCE_PROFILE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_pmi_collocations": TEXT_PMI_SQL,

@@ -31,6 +31,7 @@ ROUND5 = [
     "ts_seasonal_hourly",
     "emb_source_similarity",
     "curation_dsir_weights",
+    "report_source_profile",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

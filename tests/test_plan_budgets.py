@@ -136,6 +136,8 @@ ROUND4_BUDGETS = {
     "emb_source_similarity": 3,
     # two bounded bucket-key aggs (target + raw models) + one doc reduce
     "curation_dsir_weights": 6,
+    # fingerprint count + doc joins + bounded source agg
+    "report_source_profile": 3,
     # one bounded (type, hour) hash agg + presentation sort
     "ts_seasonal_hourly": 2,
 }
