@@ -2692,6 +2692,93 @@ ORDER BY campaign
 """
 
 
+def feature_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per user (Page 1954):
+    ``S_i = max(0, S_{i-1} + (x_i - allowance))``, alarm while
+    ``S > threshold`` — the drift detector monitoring pipelines run on
+    metric streams. Emits per-user alarm count and the peak statistic.
+
+    The recurrence is inherently sequential PER KEY, so the scalable
+    shape is the same as the EWMA/next-fit precedents: ONE shuffle on
+    user_id, the per-user series collected and sorted ROW-LOCALLY
+    (state bounded by that user's event count), and the clamp-fold runs
+    as a JVM array aggregate. Identical double arithmetic in identical
+    order means the DuckDB oracle's recursive CTE replays it
+    bit-for-bit.
+    """
+    from near_event_streams_spark.plans._common import ts_us
+
+    allowance, threshold = 5.0, 50.0
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            F.struct(
+                ts_us().alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("value").alias("v"),
+            ).alias("row"),
+        )
+    )
+    series = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("row")).alias("rows")
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(0).cast("long").alias("n_alarms"),
+        F.lit(0.0).alias("smax"),
+    )
+
+    def step(acc, x):
+        s2 = F.greatest(
+            F.lit(0.0), acc["s"] + (x["v"] - F.lit(allowance))
+        )
+        return F.struct(
+            s2.alias("s"),
+            (
+                acc["n_alarms"]
+                + F.when(s2 > threshold, 1).otherwise(0)
+            ).alias("n_alarms"),
+            F.greatest(acc["smax"], s2).alias("smax"),
+        )
+
+    folded = F.aggregate(F.col("rows"), zero, step)
+    return series.select(
+        "user_id",
+        folded["n_alarms"].alias("n_alarms"),
+        F.round(folded["smax"], 6).alias("max_cusum"),
+    ).orderBy("user_id")
+
+
+CUSUM_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts) // 1000, event_id)
+           AS idx
+  FROM events WHERE user_id < 30
+), maxidx AS (
+  SELECT user_id, MAX(idx) AS mx FROM ev GROUP BY user_id
+), rec AS (
+  SELECT user_id, 0 AS idx, CAST(0.0 AS DOUBLE) AS s,
+         CAST(0 AS BIGINT) AS n_alarms, CAST(0.0 AS DOUBLE) AS smax
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT r.user_id, r.idx + 1,
+         GREATEST(0.0, r.s + (e.value - 5.0)),
+         r.n_alarms + CASE WHEN GREATEST(0.0, r.s + (e.value - 5.0))
+                                > 50.0 THEN 1 ELSE 0 END,
+         GREATEST(r.smax, GREATEST(0.0, r.s + (e.value - 5.0)))
+  FROM rec r JOIN ev e
+    ON e.user_id = r.user_id AND e.idx = r.idx + 1
+)
+SELECT r.user_id, r.n_alarms, ROUND(r.smax, 6) AS max_cusum
+FROM rec r JOIN maxidx m ON r.user_id = m.user_id AND r.idx = m.mx
+ORDER BY r.user_id
+"""
+
+
 def feature_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier census: median + MAD (median absolute
     deviation) per event_type and the count of values beyond
@@ -3744,6 +3831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_last_touch": attribution_last_touch,
     "funnel_windowed_1d": funnel_windowed_1d,
     "dq_functional_deps": dq_functional_deps,
+    "feature_cusum_alarms": feature_cusum_alarms,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3817,4 +3905,5 @@ ORACLE_SQL: dict[str, str] = {
     "attribution_last_touch": ATTRIBUTION_SQL,
     "funnel_windowed_1d": FUNNEL_WINDOWED_SQL,
     "dq_functional_deps": DQ_FUNCTIONAL_SQL,
+    "feature_cusum_alarms": CUSUM_SQL,
 }

@@ -32,6 +32,7 @@ ROUND5 = [
     "emb_source_similarity",
     "curation_dsir_weights",
     "report_source_profile",
+    "feature_cusum_alarms",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

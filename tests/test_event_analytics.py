@@ -210,3 +210,38 @@ def test_pointintime_scd2_zero_length_interval_semantics(spark, edge_dir):
     assert rows[11]["state_at_purchase"] == "error"
     assert rows[11]["effective_from_us"] == rows[11]["ts_us"]
     assert rows[13]["state_at_purchase"] == "purchase"
+
+
+def test_cusum_alarms_planted_step_change(spark, tmp_path_factory):
+    """CUSUM on a planted mean shift: quiet period (values below the
+    allowance keep S clamped at 0, no alarms), then a level shift whose
+    per-step excess accumulates past the threshold — alarm count and
+    peak statistic are hand-computable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("cusum_events")
+    # user 1: 10 quiet samples (3.0), then 10 shifted samples (20.0)
+    # allowance 5, threshold 50: S rises 15/step after the shift,
+    # exceeding 50 from step 4 -> alarms on shifted steps 4..10 = 7
+    vals = [3.0] * 10 + [20.0] * 10
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "ts": pa.array(
+                [_ts(0, i) for i in range(len(vals))], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1] * len(vals), pa.int64()),
+            "event_type": pa.array(["metric"] * len(vals), pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * len(vals), pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    rows = entry.queries()["feature_cusum_alarms"](
+        spark, str(d)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_alarms"] == 7
+    assert r["max_cusum"] == 150.0  # 10 shifted steps x (20 - 5)

@@ -138,6 +138,8 @@ ROUND4_BUDGETS = {
     "curation_dsir_weights": 6,
     # fingerprint count + doc joins + bounded source agg
     "report_source_profile": 3,
+    # one user-keyed shuffle; the clamp recurrence folds row-locally
+    "feature_cusum_alarms": 2,
     # one bounded (type, hour) hash agg + presentation sort
     "ts_seasonal_hourly": 2,
 }
