@@ -2884,6 +2884,76 @@ def seq_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior:
+    P(next event type | current) estimated from per-user ordered
+    streams — the behavior model powering next-action prediction and
+    synthetic-journey generation.
+
+    One lead over the user-keyed window (single shuffle), pair counts
+    on the bounded type×type key, and the row-normalization runs over
+    the ≤|types| rows per current state. Probabilities are exact-count
+    ratios rounded at 6 dp.
+    """
+    from near_event_streams_spark.plans._common import ts_us
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us().alias("ts_us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # persisted: totals re-aggregates the pair counts and Catalyst does
+    # not dedupe the shared window+agg subtree (the measured-non-reuse
+    # pattern); the cache is ≤ |types|² rows
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("cur_type"),
+            "next_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    totals = pairs.groupBy("cur_type").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(F.broadcast(totals), "cur_type")
+        .select(
+            "cur_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_n").cast("double"),
+                6,
+            ).alias("p"),
+        )
+        .orderBy("cur_type", "next_type")
+    )
+
+
+SEQ_MARKOV_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS cur_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS next_type
+  FROM ev
+), counts AS (
+  SELECT cur_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type
+), totals AS (
+  SELECT cur_type, CAST(SUM(n) AS BIGINT) AS row_n
+  FROM counts GROUP BY cur_type
+)
+SELECT c.cur_type, c.next_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
+FROM counts c JOIN totals t USING (cur_type)
+ORDER BY c.cur_type, c.next_type
+"""
+
+
 SEQ_TRIGRAMS_SQL = """
 WITH ev AS (
   SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
@@ -3832,6 +3902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_windowed_1d": funnel_windowed_1d,
     "dq_functional_deps": dq_functional_deps,
     "feature_cusum_alarms": feature_cusum_alarms,
+    "seq_markov_transitions": seq_markov_transitions,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3906,4 +3977,5 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_windowed_1d": FUNNEL_WINDOWED_SQL,
     "dq_functional_deps": DQ_FUNCTIONAL_SQL,
     "feature_cusum_alarms": CUSUM_SQL,
+    "seq_markov_transitions": SEQ_MARKOV_SQL,
 }

@@ -33,6 +33,7 @@ ROUND5 = [
     "curation_dsir_weights",
     "report_source_profile",
     "feature_cusum_alarms",
+    "seq_markov_transitions",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

@@ -140,6 +140,9 @@ ROUND4_BUDGETS = {
     "report_source_profile": 3,
     # one user-keyed shuffle; the clamp recurrence folds row-locally
     "feature_cusum_alarms": 2,
+    # one user-keyed lead window + bounded pair agg (persisted; totals
+    # re-aggregate the cached ≤|types|² rows)
+    "seq_markov_transitions": 6,
     # one bounded (type, hour) hash agg + presentation sort
     "ts_seasonal_hourly": 2,
 }
