@@ -2124,8 +2124,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", ts_us().alias("ts_us")
     )
-    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts_us").alias("t1")
+    # s1/s2 are each consumed twice (next step + the count row) and
+    # Catalyst does not dedupe the shared subtree — persisted so the
+    # event stream is filtered once per step (cache = per-user rows)
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
@@ -2133,6 +2139,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts_us") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2212,10 +2219,12 @@ def funnel_windowed_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", ts_us().alias("ts_us")
     )
+    # same persist rationale as funnel_view_click_purchase
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
@@ -2226,6 +2235,7 @@ def funnel_windowed_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t2"), F.first("t1").alias("t1"))
+        .persist()
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")

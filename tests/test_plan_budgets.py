@@ -65,7 +65,9 @@ def test_headline_query_stays_within_shuffle_budget(spark, name):
 # budgets include one rangepartitioning exchange for the final
 # presentation ORDER BY — the data-path shuffle count is one lower.
 ROUND4_BUDGETS = {
-    "funnel_view_click_purchase": 5,
+    # text plan re-prints the persisted s1/s2 subtrees at every
+    # reference (runtime computes them once from cache — the point)
+    "funnel_view_click_purchase": 6,
     "retention_cohorts_daily": 4,
     "scd2_user_state": 2,
     "feature_zscore_winsorize": 2,
@@ -128,7 +130,7 @@ ROUND4_BUDGETS = {
     # one user-keyed as-of window shuffle + bounded campaign agg
     "attribution_last_touch": 3,
     # same conditional-min-agg + equi-join tree as the unbounded funnel
-    "funnel_windowed_1d": 5,
+    "funnel_windowed_1d": 6,
     # three determinant-keyed distinct-count aggs, one per FD
     "dq_functional_deps": 6,
     # corpus collapses to |sources| centroid rows in one agg; the pair
