@@ -967,3 +967,53 @@ def dsir_importance(
             ),
         )
     )
+
+
+def source_token_entropy(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy of each group's token distribution (plus token
+    and vocabulary counts) — the lexical-diversity profile that pairs
+    with :func:`kl_source_drift`: low-entropy sources are templated or
+    repetitive, entropy collapsing across snapshots signals generation
+    loops or scraper breakage.
+
+    One (group, term) count aggregate (persisted — the totals
+    re-aggregate it and Catalyst does not dedupe the shared subtree),
+    then per-term contributions ``-p·ln p`` rounded to 12 dp summed as
+    exact decimals per group. Returns
+    ``(source, n_tokens, vocab_size, entropy)``.
+    """
+    terms = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("term"),
+    )
+    gcounts = (
+        terms.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    gtotals = gcounts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    contrib = F.round(-p * F.log(p), 12).cast("decimal(26,12)")
+    return (
+        gcounts.join(F.broadcast(gtotals), "source")
+        .groupBy("source", "n_tokens", "vocab_size")
+        .agg(F.sum(contrib).alias("_h"))
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            F.round(F.col("_h").cast("double"), 6).alias("entropy"),
+        )
+        .orderBy("source")
+    )

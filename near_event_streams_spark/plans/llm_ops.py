@@ -1499,6 +1499,39 @@ ORDER BY sc.doc_id
 """
 
 
+def text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity (``text.source_token_entropy``):
+    Shannon entropy over each source's full token distribution with
+    token/vocab counts — the profile that pairs with the KL drift
+    audit. 12dp-rounded contributions sum as exact decimals; oracle
+    bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_token_entropy(docs)
+
+
+TEXT_ENTROPY_SQL = """
+WITH terms AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+  FROM documents
+), gcounts AS (
+  SELECT source, term, COUNT(*) AS c FROM terms GROUP BY 1, 2
+), gtotals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM gcounts GROUP BY source
+)
+SELECT g.source, t.n_tokens, t.vocab_size,
+  ROUND(CAST(SUM(CAST(ROUND(
+      -(CAST(c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+      * ln(CAST(c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)), 12)
+    AS DECIMAL(26,12))) AS DOUBLE), 6) AS entropy
+FROM gcounts g JOIN gtotals t USING (source)
+GROUP BY g.source, t.n_tokens, t.vocab_size
+ORDER BY g.source
+"""
+
+
 def report_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card rollup: the per-source profile a corpus release
     ships — doc and token counts, mean length, quality-gate pass count,
@@ -2117,6 +2150,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_source_similarity": emb_source_similarity,
     "curation_dsir_weights": curation_dsir_weights,
     "report_source_profile": report_source_profile,
+    "text_source_entropy": text_source_entropy,
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
@@ -2162,6 +2196,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "curation_dsir_weights": DSIR_SQL,
     "report_source_profile": SOURCE_PROFILE_SQL,
+    "text_source_entropy": TEXT_ENTROPY_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_pmi_collocations": TEXT_PMI_SQL,

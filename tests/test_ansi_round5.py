@@ -34,6 +34,7 @@ ROUND5 = [
     "report_source_profile",
     "feature_cusum_alarms",
     "seq_markov_transitions",
+    "text_source_entropy",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

@@ -145,6 +145,8 @@ ROUND4_BUDGETS = {
     # one user-keyed lead window + bounded pair agg (persisted; totals
     # re-aggregate the cached ≤|types|² rows)
     "seq_markov_transitions": 6,
+    # one (source, term) agg (persisted) + per-source decimal sum
+    "text_source_entropy": 5,
     # one bounded (type, hour) hash agg + presentation sort
     "ts_seasonal_hourly": 2,
 }
