@@ -1607,6 +1607,53 @@ ORDER BY source
 """
 
 
+def report_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-template matrix: for every source pair, how
+    many distinct 8-word document OPENINGS (md5 of the first 8
+    normalized words — the boilerplate/template fingerprint) appear in
+    BOTH — the inter-source contamination map that tells you which
+    "independent" sources share scraping templates or mirrors (pairs
+    with the centroid-similarity view of the same question).
+
+    Shape: dedupe to (fingerprint, source) once, then a fingerprint-
+    keyed equi self-join whose volume is bounded by actual shared
+    groups — never all docs × docs — and a bounded source-pair agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    head8 = F.array_join(
+        F.slice(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8
+        ),
+        " ",
+    )
+    fs = docs.select(F.md5(head8).alias("fp"), "source").distinct()
+    a = fs.select("fp", F.col("source").alias("a_source"))
+    b = fs.select("fp", F.col("source").alias("b_source"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_source") < F.col("b_source"))
+        .groupBy("a_source", "b_source")
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+        .orderBy("a_source", "b_source")
+    )
+
+
+CROSS_SOURCE_DUPS_SQL = """
+WITH fs AS (
+  SELECT DISTINCT
+    md5(array_to_string(
+      string_split_regex(trim(lower(text)), '\\s+')[1:8], ' ')) AS fp,
+    source
+  FROM documents
+)
+SELECT a.source AS a_source, b.source AS b_source,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_docs
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY a_source, b_source
+"""
+
+
 def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (``text.dsir_importance``): the src0/src1
     sources play the target domain, every other doc gets the hashed
@@ -2151,6 +2198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_dsir_weights": curation_dsir_weights,
     "report_source_profile": report_source_profile,
     "text_source_entropy": text_source_entropy,
+    "report_cross_source_dups": report_cross_source_dups,
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
@@ -2197,6 +2245,7 @@ ORACLE_SQL: dict[str, str] = {
     "curation_dsir_weights": DSIR_SQL,
     "report_source_profile": SOURCE_PROFILE_SQL,
     "text_source_entropy": TEXT_ENTROPY_SQL,
+    "report_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_pmi_collocations": TEXT_PMI_SQL,

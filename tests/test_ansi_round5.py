@@ -35,6 +35,7 @@ ROUND5 = [
     "feature_cusum_alarms",
     "seq_markov_transitions",
     "text_source_entropy",
+    "report_cross_source_dups",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

@@ -147,6 +147,8 @@ ROUND4_BUDGETS = {
     "seq_markov_transitions": 6,
     # one (source, term) agg (persisted) + per-source decimal sum
     "text_source_entropy": 5,
+    # (fp, source) distinct + fp-keyed self-join + bounded pair agg
+    "report_cross_source_dups": 4,
     # one bounded (type, hour) hash agg + presentation sort
     "ts_seasonal_hourly": 2,
 }
