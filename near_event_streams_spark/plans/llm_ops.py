@@ -1499,6 +1499,74 @@ ORDER BY sc.doc_id
 """
 
 
+def hist_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus in 16 equi-width buckets —
+    the packing/truncation diagnostic read before choosing a context
+    budget (how much of the corpus exceeds the window?). Same shape as
+    ``hist_order_totals``: one broadcast bounds aggregate, floor-based
+    bucket arithmetic, a bounded bucket agg, and a spine that keeps
+    empty buckets visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        text.token_count_regex(F.col("text")).cast("double").alias("v")
+    )
+    bounds = F.broadcast(
+        d.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(16.0)
+    bucket = F.least(
+        F.floor((F.col("v") - F.col("lo")) / width).cast("long"),
+        F.lit(15).cast("long"),
+    )
+    counts = (
+        d.crossJoin(bounds)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return (
+        spine.join(counts, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(
+                F.col("lo")
+                + F.col("bucket") * (F.col("hi") - F.col("lo")) / 16.0,
+                6,
+            ).alias("bucket_lo"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HIST_DOC_TOKENS_SQL = """
+WITH d AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+         AS DOUBLE) AS v
+  FROM documents
+), bounds AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM d
+), counts AS (
+  SELECT LEAST(CAST(floor((v - lo) / ((hi - lo) / 16.0)) AS BIGINT),
+               CAST(15 AS BIGINT)) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM d, bounds GROUP BY 1
+), spine AS (
+  SELECT CAST(k AS BIGINT) AS bucket, lo, hi
+  FROM bounds, unnest(range(0, 16)) t(k)
+)
+SELECT bucket,
+       ROUND(lo + bucket * (hi - lo) / 16.0, 6) AS bucket_lo,
+       COALESCE(n, 0) AS n
+FROM spine LEFT JOIN counts USING (bucket)
+ORDER BY bucket
+"""
+
+
 def text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical diversity (``text.source_token_entropy``):
     Shannon entropy over each source's full token distribution with
@@ -2199,6 +2267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_source_profile": report_source_profile,
     "text_source_entropy": text_source_entropy,
     "report_cross_source_dups": report_cross_source_dups,
+    "hist_doc_tokens": hist_doc_tokens,
     "multimodal_frame_sample": multimodal_frame_sample,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_pmi_collocations": text_pmi_collocations,
@@ -2246,6 +2315,7 @@ ORACLE_SQL: dict[str, str] = {
     "report_source_profile": SOURCE_PROFILE_SQL,
     "text_source_entropy": TEXT_ENTROPY_SQL,
     "report_cross_source_dups": CROSS_SOURCE_DUPS_SQL,
+    "hist_doc_tokens": HIST_DOC_TOKENS_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_pmi_collocations": TEXT_PMI_SQL,

@@ -36,6 +36,7 @@ ROUND5 = [
     "seq_markov_transitions",
     "text_source_entropy",
     "report_cross_source_dups",
+    "hist_doc_tokens",
     "multimodal_resize_rasters",
     "multimodal_frame_sample",
 ]

@@ -149,6 +149,8 @@ ROUND4_BUDGETS = {
     "text_source_entropy": 5,
     # (fp, source) distinct + fp-keyed self-join + bounded pair agg
     "report_cross_source_dups": 4,
+    # one bucket-key agg; bounds + spine broadcast (hist pattern)
+    "hist_doc_tokens": 1,
     # one bounded (type, hour) hash agg + presentation sort
     "ts_seasonal_hourly": 2,
 }
