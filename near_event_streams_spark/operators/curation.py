@@ -165,40 +165,25 @@ def contamination_overlap(
     )
 
 
-def bloom_bitmap(
-    keys: DataFrame,
-    m_bits: int,
-    k: int,
-    col: str = "gram",
-) -> DataFrame:
-    """ONE-row DataFrame ``(bitmap array<long>)`` — a Bloom filter of
-    ``keys[col]`` with ``k`` xxhash64 seeds over ``m_bits`` positions,
-    bit-packed 64 per word.
-
-    The packing happens DISTRIBUTEDLY: each key expands to its k bit
-    positions, positions fold into (word, bits) via a bounded-key
-    ``bit_or`` aggregate, and only ≤ ``m_bits/64`` packed words come
-    back to the driver — a fixed few-hundred-KB collect no matter the
-    key volume (same bounded-collect contract as the sketch operators).
-    The bitmap broadcasts as one row; membership probes are then pure
-    ``element_at`` + shift expressions inside codegen — no join at all
-    for candidate generation.
-    """
-    spark = keys.sparkSession
-    words = bloom_bitmap_words(keys, m_bits, k, col)
-    return spark.createDataFrame([(words,)], "bitmap array<long>")
-
-
 def bloom_bitmap_words(
     keys: DataFrame,
     m_bits: int,
     k: int,
     col: str = "gram",
 ) -> list[int]:
-    """The packed Bloom words of :func:`bloom_bitmap` as a plain Python
-    list, for embedding as a PLAN LITERAL: probing a literal array
-    reads the one shared ArrayData inside codegen, whereas a
-    crossJoin'd bitmap column is re-materialized onto EVERY probed row
+    """Packed Bloom-filter words of ``keys[col]`` (``k`` xxhash64
+    seeds over ``m_bits`` positions, bit-packed 64 per word) as a
+    plain Python list, for embedding as a PLAN LITERAL via
+    :func:`bloom_probe`'s binary-literal transport.
+
+    The packing happens DISTRIBUTEDLY: each key expands to its k bit
+    positions, positions fold into (word, bits) via a bounded-key
+    ``bit_or`` aggregate, and only ≤ ``m_bits/64`` packed words come
+    back to the driver — a fixed few-hundred-KB collect no matter the
+    key volume (same bounded-collect contract as the sketch
+    operators). Embedding the words as one constant-folded binary
+    literal keeps every probe a codegen byte-slice; a crossJoin'd
+    bitmap COLUMN would be re-materialized onto EVERY probed row
     (a 256 KiB copy per gram — measured 10× slower at sf0.1)."""
     n_words = (m_bits + 63) // 64
     packed = (
@@ -296,12 +281,18 @@ def decontaminate_bloom(
     Bloom bitmap (``m_bits`` bits, ``k`` xxhash64 probes — at the
     defaults ~1 MB and <2% false positives for ≤10⁵ eval grams, tune
     ``m_bits`` ≈ 10 bits/gram); the train gram stream is filtered by
-    pure ``element_at`` bit tests inside whole-stage codegen, and only
-    the tiny candidate remainder meets the real eval-gram equi-join for
-    EXACT verification. Bloom filters have no false negatives, so the
-    verified result equals the exact join's — the oracle is the same
-    SQL as the exact operator. False positives cost only wasted
-    verify-join rows, never wrong output.
+    :func:`bloom_probe`'s pure byte-slice bit tests against the
+    constant-folded BINARY literal inside whole-stage codegen, and
+    only the tiny candidate remainder meets the real eval-gram
+    equi-join for EXACT verification. Bloom filters have no false
+    negatives, so the verified result equals the exact join's — the
+    oracle is the same SQL as the exact operator. False positives cost
+    only wasted verify-join rows, never wrong output.
+
+    Persist handles (``ev`` always; ``bad`` in the size-adaptive
+    ``broadcast_flags=None`` path) are caller-owned — repo convention,
+    ``spark.catalog.clearCache()`` when done (matches
+    ``key_skew_profile`` / ``kl_source_drift``).
     """
     ev = (
         eval_docs.select(

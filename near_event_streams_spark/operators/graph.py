@@ -29,8 +29,12 @@ _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 
 
 def _idiv(a, b):
-    """Exact integral division (SQL ``div``) — floors like every other
-    engine's integer division, with none of double's >2^53 risk."""
+    """Exact integral division (SQL ``div``) with none of double's
+    >2^53 risk. NON-NEGATIVE OPERANDS ONLY: Spark's ``div`` truncates
+    toward zero while DuckDB's ``//`` floors, so the two diverge on
+    negative inputs (-7 div 2 = -3 vs -7 // 2 = -4). PageRank's units
+    and counts are all non-negative, where the two agree; do not reuse
+    this helper for signed values expecting oracle parity."""
     return F.call_function("div", a, b)
 
 

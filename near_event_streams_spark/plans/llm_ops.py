@@ -1927,13 +1927,83 @@ ORDER BY media_id, frame_idx
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (``text.bpe_learn_merges``,
     8 merges): corpus touched once for the word-frequency table, the
-    merge loop runs on that bounded table. Iterative and therefore
-    rows-only at the driver (the merge-apply fold is not expressible in
-    one SQL statement); the merge sequence itself is pinned by unit
-    tests on planted corpora and fully deterministic (ties break
-    lexicographically)."""
+    merge loop runs on that bounded table. The merge sequence is fully
+    deterministic (ties break lexicographically), pinned three ways:
+    planted-corpus unit tests, a pure-Python Sennrich reference replay
+    on random corpora, and the chained-CTE DuckDB oracle below that
+    re-runs all 8 supersteps bit-for-bit (same technique as
+    ``PAGERANK_SQL``)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_learn_merges(docs, n_merges=8)
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Chained-CTE DuckDB replay of the BPE merge loop.
+
+    Stage 0 builds the char-split word-frequency table (the one corpus
+    scan); each merge ``i`` is three CTEs mirroring the Spark loop in
+    ``text.bpe_learn_merges`` exactly:
+
+    - ``p{i}``: adjacent-pair counts weighted by word freq
+      (``list_zip`` of the two length-(n-1) slices = Spark's
+      ``zip_with(slice, slice)``),
+    - ``b{i}``: best pair by ``(cnt DESC, l, r)`` — the lexicographic
+      tie-break,
+    - ``w{i}``: greedy left-to-right merge-apply via ``list_reduce``
+      over singleton lists (= Spark's ``F.aggregate`` fold; DuckDB's
+      ``list_reduce`` seeds with the first element, so each symbol is
+      lifted to ``[s]`` and the fold concatenates/merges lists).
+
+    An exhausted corpus short-circuits identically: an empty ``b{i}``
+    empties every later stage and the UNION simply has fewer rows.
+    """
+    parts = [
+        """w0 AS (
+  SELECT regexp_extract_all(w, '.') AS sym,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                         '[a-z]+|[0-9]+')) AS w
+        FROM documents)
+  GROUP BY w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT (z.pr)[1] AS l, (z.pr)[2] AS r,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w{i - 1},
+       unnest(list_zip(sym[:len(sym) - 1], sym[2:])) z(pr)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT l, r, l || r AS merged, cnt FROM p{i}
+  ORDER BY cnt DESC, l, r LIMIT 1
+), w{i} AS (
+  SELECT list_reduce(
+           list_transform(sym, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0
+                            AND acc[-1] = b.l AND x[1] = b.r
+                       THEN acc[:len(acc) - 1] || [b.merged]
+                       ELSE acc || x END) AS sym,
+         freq
+  FROM w{i - 1} CROSS JOIN b{i} b
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INT) AS iteration, l AS "left",'
+        f' r AS "right", merged, cnt AS pair_count FROM b{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM (\n"
+        + unions
+        + "\n) ORDER BY iteration"
+    )
+
+
+TEXT_BPE_MERGES_SQL = _bpe_oracle_sql(8)
 
 
 def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2309,6 +2379,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_lm_logprob": TEXT_LM_SQL,
     "text_quality_distill": TEXT_DISTILL_SQL,
     "text_kl_source_drift": TEXT_KL_DRIFT_SQL,
+    "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "curation_dsir_weights": DSIR_SQL,

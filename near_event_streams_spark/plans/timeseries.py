@@ -270,13 +270,19 @@ def ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash agg on the bounded (type × 24) keyspace; the hour is
     pure codegen date arithmetic on the epoch-micros column. The mean
     divides exact decimal sums so both engines agree bit-for-bit.
+
+    Hour-of-day is computed with FLOOR-division semantics (subtract
+    the ``pmod`` remainder first, as ``tsop.bucket_start`` does, then
+    ``pmod`` the bucket index by 24) so the expression is total over
+    pre-1970 epochs too — Spark's truncating ``div`` + sign-following
+    ``%`` would yield negative "hours" there. The oracle mirrors with
+    ``((h % 24) + 24) % 24`` on DuckDB's floor ``//``.
     """
     ev = _t(spark, sf_dir, "events")
-    hour = (
-        F.call_function(
-            "div", ts_us(), F.lit(3_600_000_000).cast("long")
-        )
-        % 24
+    us_h = F.lit(3_600_000_000).cast("long")
+    t = ts_us()
+    hour = F.pmod(
+        F.call_function("div", t - F.pmod(t, us_h), us_h), F.lit(24)
     ).cast("int")
     return (
         ev.groupBy(
@@ -302,8 +308,8 @@ def ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_SEASONAL_SQL = """
 WITH base AS (
   SELECT event_type,
-         CAST((epoch_ns(ts) // 1000 // 3600000000) % 24 AS INT)
-           AS hour_utc,
+         CAST((((epoch_ns(ts) // 1000 // 3600000000) % 24) + 24) % 24
+              AS INT) AS hour_utc,
          CAST(value AS DECIMAL(12,2)) AS v
   FROM events
 )

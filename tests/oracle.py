@@ -105,6 +105,13 @@ def assert_type_parity(spark_df, con, sql: str, name: str = "query") -> None:
             continue  # column-set mismatch reported by compare() proper
         st_base = st.split("(")[0]
         if st_base == "double":
+            # DECIMAL is allowed against double on direct driver
+            # evidence (not assumption): `math_functions` emits Spark
+            # double `sign_vs_1500` while its oracle's `sign(...)`
+            # binds as DuckDB DECIMAL, and that query hash-matched in
+            # CORRECTNESS_r01 and r04 — the driver canonicalizes
+            # DECIMAL before hashing (unlike HUGEINT, which burned
+            # layout_zorder_locality in r4).
             assert dt in ("DOUBLE", "DECIMAL"), (
                 f"{name}: oracle column {col!r} is {dt} but Spark emits "
                 f"double — cast the SQL to DOUBLE"

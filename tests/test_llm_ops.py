@@ -442,6 +442,74 @@ def test_bpe_greedy_left_to_right_and_tiebreak(spark):
     assert (t[0]["left"], t[0]["right"]) == ("a", "b")
 
 
+def _ref_bpe(texts, n_merges):
+    """Driver-side Sennrich et al. 2016 reference: ~20 lines, no Spark.
+    Same tokenizer regex, freq-weighted pair counts, lexicographic
+    tie-break, greedy left-to-right merge application."""
+    import collections
+    import re
+
+    words = collections.Counter(
+        w for t in texts for w in re.findall(r"[a-z]+|[0-9]+", t.lower())
+    )
+    vocab = collections.Counter()
+    for w, f in words.items():
+        vocab[tuple(w)] += f
+    out = []
+    for it in range(1, n_merges + 1):
+        pairs = collections.Counter()
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((it, l, r, l + r, cnt))
+        nxt = collections.Counter()
+        for sym, f in vocab.items():
+            res = []
+            for s in sym:
+                if res and res[-1] == l and s == r:
+                    res[-1] = l + r
+                else:
+                    res.append(s)
+            nxt[tuple(res)] += f
+        vocab = nxt
+    return out
+
+
+def test_bpe_matches_pure_python_sennrich_reference(spark):
+    """Train the same 8 merges with the distributed operator and the
+    driver-side reference on a seeded random corpus; assert sequence
+    equality — pins the semantics independently of the DuckDB oracle
+    (mirrors test_interval_overlap_randomized_equivalence)."""
+    import random
+
+    from near_event_streams_spark.operators.text import bpe_learn_merges
+
+    rng = random.Random(6)
+    alphabet = "abcdegor"
+    docs = [
+        (
+            i,
+            " ".join(
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 7))
+                )
+                for _ in range(rng.randint(3, 12))
+            ),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_learn_merges(df, n_merges=8).collect()]
+    want = _ref_bpe([t for _, t in docs], 8)
+    assert got == want
+
+
 def test_resize_nearest_known_pixels(spark):
     """2x2 -> 1x1 nearest-neighbor must select exactly the top-left
     pixel (y*h//1? no: y=0,x=0 -> source (0,0)); 2x2 -> 4x4 upsamples

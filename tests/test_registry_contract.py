@@ -41,9 +41,10 @@ def test_every_oracle_has_a_query_and_registry_is_wellformed():
     orphans = sorted(set(osql) - set(qs))
     assert not orphans, f"oracle_sql without queries(): {orphans}"
     assert len(qs) >= 160
-    # at most a handful of deliberate rows-only entries (iterative ops)
+    # every registered query is oracle-gated (the last rows-only entry,
+    # text_bpe_merges, got its chained-CTE oracle in round 6)
     rows_only = sorted(set(qs) - set(osql))
-    assert rows_only == ["text_bpe_merges"], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_ever_red_queries_order_first():
