@@ -31,23 +31,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return analytics.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _driver_history() -> tuple[dict[str, int], set[str]]:
-    """Scan past driver scoreboards: (times checked, ever red/errored).
+def _driver_history() -> tuple[dict[str, int], dict[str, int], set[str]]:
+    """Scan past driver scoreboards: (times checked, last round
+    checked, ever red/errored).
 
     The external correctness driver may check only a prefix of the
     registry (round 1 stopped at 50 of 90), so ordering decides which
-    queries get gated. Two goals, in priority order: (1) any query that
-    was EVER red or errored in a driver round must be re-verified first
-    — otherwise a fix's status rests only on the local harness; (2)
-    rotate coverage toward never-checked queries.
+    queries get gated. Three goals, in priority order: (1) any query
+    that was EVER red or errored in a driver round must be re-verified
+    first — otherwise a fix's status rests only on the local harness;
+    (2) rotate toward the STALEST cohort (least-recently-checked — the
+    code under a query refactors between rounds, so recency of the
+    last check matters more than how often it ever ran); (3) break
+    recency ties by fewest total checks, then name for determinism.
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     counts: dict[str, int] = {}
+    last_round: dict[str, int] = {}
     ever_bad: set[str] = set()
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -55,6 +63,7 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
             continue
         for name, row in rows.items():
             counts[name] = counts.get(name, 0) + 1
+            last_round[name] = max(last_round.get(name, 0), rnd)
             if not isinstance(row, dict):
                 continue
             if row.get("err") is not None or any(
@@ -62,7 +71,7 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
                 for k in ("rows_match", "schema_match", "hash_match")
             ):
                 ever_bad.add(name)
-    return counts, ever_bad
+    return counts, last_round, ever_bad
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -71,9 +80,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(llm_ops.QUERIES)
     out.update(curation.QUERIES)
     out.update(timeseries.QUERIES)
-    counts, ever_bad = _driver_history()
+    counts, last_round, ever_bad = _driver_history()
     ordered = sorted(
-        out, key=lambda name: (name not in ever_bad, counts.get(name, 0))
+        out,
+        key=lambda name: (
+            name not in ever_bad,
+            last_round.get(name, 0),
+            counts.get(name, 0),
+            name,
+        ),
     )
     return {name: out[name] for name in ordered}
 

@@ -3337,6 +3337,44 @@ ORDER BY rank
 """
 
 
+def join_salted_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe join through ``operators/skew.salted_join`` — the
+    prescriptive twin of the ``diag_key_skew_users`` diagnostic: the
+    skewed event stream (big side) joins the customer dim replicated
+    across 8 salt ids, so one hot ``user_id`` spreads over 8 shuffle
+    partitions instead of funnelling into one task (for when the dim is
+    too large to broadcast AND a single key exceeds what AQE's skew
+    split can fix). Salting is semantics-preserving: the random salt
+    column never escapes the join, so the per-(segment, type) rollup
+    oracle-matches the PLAIN join bit-for-bit — exact decimal value
+    sums, one cast to double at the end."""
+    from near_event_streams_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", salt=8)
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT c_mktsegment, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) window aggregation in batch: 1-hour windows
     every 15 minutes over the event stream, per event type — the batch
@@ -3902,6 +3940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_users_hll": active_users_hll,
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
     "diag_key_skew_users": diag_key_skew_users,
+    "join_salted_user_spend": join_salted_user_spend,
     "join_pointintime_scd2": join_pointintime_scd2,
     "hist_order_totals": hist_order_totals,
     "dq_audit_checks": dq_audit_checks,
@@ -3977,6 +4016,7 @@ ORACLE_SQL: dict[str, str] = {
     "active_users_hll": ACTIVE_USERS_HLL_SQL,
     "graph_pagerank_copurchase": PAGERANK_SQL,
     "diag_key_skew_users": DIAG_KEY_SKEW_SQL,
+    "join_salted_user_spend": JOIN_SALTED_SQL,
     "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
     "hist_order_totals": HIST_ORDER_SQL,
     "dq_audit_checks": DQ_AUDIT_SQL,

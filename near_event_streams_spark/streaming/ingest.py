@@ -322,7 +322,14 @@ def _sigs_and_bands(
         cache.append(sigs)
     bands = dedup.band_keys_from_sig(sigs, num_hashes, band_size)
     if cache is not None:
-        bands = bands.persist()
+        # Cache the band stream ALREADY hash-partitioned on the probe
+        # key: InMemoryRelation preserves outputPartitioning, so the
+        # cross-registry probe's left side and BOTH sides of the
+        # within-batch self-join read the cached partitioning instead
+        # of re-shuffling the band stream once per consumer (three
+        # (band, bucket) shuffles collapse into this one, paid once at
+        # cache fill).
+        bands = bands.repartition("band", "bucket").persist()
         cache.append(bands)
     return sigs, bands
 

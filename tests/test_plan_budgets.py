@@ -37,8 +37,12 @@ SHUFFLE_BUDGETS = {
     "decontaminate_train_docs": 5,
     "ts_rollup_cascade": 6,
     # registry probe + band probe + within-batch pass + invariant
-    # recomputation feeds; intentionally the deepest pipeline here
-    "ingest_neardup_select": 34,
+    # recomputation feeds; intentionally the deepest pipeline here.
+    # r6: 34 -> 25 — count_exchanges now counts EXECUTING shuffles
+    # (cached subtrees once, not once per consumer print), and the
+    # band stream caches pre-partitioned on (band, bucket) so its
+    # three consumer joins reuse the cached partitioning
+    "ingest_neardup_select": 25,
     "dedup_remove_spans": 3,
 }
 

@@ -52,8 +52,19 @@ def test_ever_red_queries_order_first():
     query that EVER failed a driver round must re-verify before
     anything else."""
     qs = list(entry.queries())
-    _, ever_bad = entry._driver_history()
+    _, _, ever_bad = entry._driver_history()
     if not ever_bad:
         return
     k = len(ever_bad)
     assert set(qs[:k]) == ever_bad, (qs[:5], sorted(ever_bad)[:5])
+
+
+def test_rotation_prefers_stalest_cohort():
+    """After the ever-red block, ordering is by last-checked round
+    ascending: a 50-row driver prefix must drain the stalest cohort
+    before re-checking anything fresher."""
+    qs = list(entry.queries())
+    _, last_round, ever_bad = entry._driver_history()
+    rest = [q for q in qs if q not in ever_bad]
+    rounds = [last_round.get(q, 0) for q in rest]
+    assert rounds == sorted(rounds), "non-red queries not stalest-first"

@@ -63,6 +63,28 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
 
 
+def test_salted_join_query_plan_fans_out_salt(spark):
+    """The driver-gated ``join_salted_user_spend`` must actually salt:
+    the join keys include ``_salt`` (so one hot user_id spreads over 8
+    partitions) and the small side carries the 8-way explode
+    replication — a refactor that silently drops the salt would still
+    pass the oracle (salting is semantics-preserving), so the plan is
+    the only place to pin it."""
+    from near_event_streams_spark.plans.analytics_ext import (
+        join_salted_user_spend,
+    )
+    from tests.test_plan_quality import plan_text
+
+    spark.catalog.clearCache()
+    df = join_salted_user_spend(spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    assert "_salt" in plan, plan[:1500]
+    # sequence(0, 7) constant-folds to a literal 8-element array, so
+    # pin the two pieces that survive optimization: the small side's
+    # explode replication and the big side's seeded random salt
+    assert "explode(" in plan and "rand(7)" in plan, plan[:1500]
+
+
 def test_write_partitioned_layout_and_roundtrip(spark, tmp_path):
     orders = load_table(spark, SF_DIR, "orders").withColumn(
         "order_year", F.year("o_orderdate")
