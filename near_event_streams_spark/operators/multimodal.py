@@ -220,6 +220,41 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
     raise ValueError("no dependency-free decoder for this format")
 
 
+def pil_decode_samples(payload: bytes) -> tuple[int, int, list[int]]:
+    """Optional real-codec decode via PIL/Pillow (JPEG/PNG/WebP — the
+    formats an actual 100 TB multimodal corpus holds): ``(width,
+    height, samples)`` with RGB samples in the same row-major
+    (y, x, channel) order as :func:`decode_ppm_samples`, so it plugs
+    into the SAME ``decoder=`` seam of :func:`resize_nearest` /
+    :func:`extract_features` with the plan, partitioning, schema and
+    batch shape unchanged. Raises ``ValueError`` when Pillow is not
+    importable (this container) or the payload doesn't decode —
+    callers fall through to the dependency-free path.
+    """
+    try:
+        import io  # noqa: PLC0415 — executor-side import
+
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as exc:
+        raise ValueError("Pillow not installed") from exc
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            rgb = img.convert("RGB")
+            w, h = rgb.size
+            return w, h, [s for px in rgb.getdata() for s in px]
+    except Exception as exc:  # Pillow raises codec-specific errors
+        raise ValueError(f"PIL decode failed: {exc}") from exc
+
+
+def pil_decode(payload: bytes) -> tuple[int, int, float]:
+    """:func:`pil_decode_samples` summarized to the
+    ``(width, height, mean_pixel)`` contract of :func:`decode_image` —
+    the drop-in ``decoder=`` for :func:`extract_features`."""
+    w, h, samples = pil_decode_samples(payload)
+    mean = round(sum(samples) / len(samples), 6) if samples else 0.0
+    return w, h, mean
+
+
 def byte_stat_features(payload: bytes) -> tuple[int, int, int]:
     """Deterministic byte statistics for undecodable payloads:
     ``(pseudo_width, pseudo_height, checksum)`` with a polynomial rolling
@@ -237,19 +272,30 @@ def byte_stat_features(payload: bytes) -> tuple[int, int, int]:
 fake_decode_features = byte_stat_features
 
 
-def extract_features(media: DataFrame, batch_log=None) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_log=None, decoder=None
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    Per payload: try the real raster decode (BMP/PPM → true dimensions +
-    mean pixel, ``decoded=True``); otherwise fall back to deterministic
-    byte statistics (``decoded=False``, ``mean_pixel=NULL``). The
-    ``mapInPandas`` shape is exactly what a codec-library decoder uses —
-    swap :func:`decode_image` for a PIL/ffmpeg call and the plan,
-    partitioning and schema stay identical.
+    Per payload: try ``decoder`` when given (a top-level callable
+    ``bytes -> (width, height, mean_pixel)``, e.g. :func:`pil_decode`
+    for JPEG/PNG corpora — it ships to executors via the closure, so
+    it must be importable there), then the dependency-free raster
+    decode (BMP/PPM → true dimensions + mean pixel, ``decoded=True``);
+    otherwise fall back to deterministic byte statistics
+    (``decoded=False``, ``mean_pixel=NULL``). Every path keeps the
+    plan, partitioning, schema and batch shape identical — the decoder
+    is the only moving part.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     def _one(p: bytes) -> tuple[int, int, int | None, bool, float | None]:
+        if decoder is not None:
+            try:
+                w, h, mean = decoder(p)
+                return w, h, None, True, mean
+            except ValueError:
+                pass
         try:
             w, h, mean = decode_image(p)
         except ValueError:
@@ -344,23 +390,33 @@ def decode_ppm_samples(payload: bytes) -> tuple[int, int, list[int]]:
 
 
 def resize_nearest(
-    media: DataFrame, out_w: int, out_h: int
+    media: DataFrame, out_w: int, out_h: int, decoder=None
 ) -> DataFrame:
     """REAL nearest-neighbor raster resize over the binary column —
     the thumbnail/normalization step of a multimodal pipeline, as an
-    Arrow-batched ``mapInPandas`` (swap the PPM pixel access for a
-    PIL call and the plan/schema stay identical). For each output
-    pixel ``(y, x)`` the source pixel is
-    ``(y·src_h//out_h, x·src_w//out_w)``; emits the resized raster's
-    mean and a base-131 rolling checksum of the sampled bytes so an
-    oracle can replay the exact pixel selection. Payloads without a
-    dependency-free decoder pass through with ``decoded=False``.
+    Arrow-batched ``mapInPandas``. ``decoder`` (a top-level callable
+    ``bytes -> (width, height, rgb_samples)``, e.g.
+    :func:`pil_decode_samples` for JPEG/PNG corpora) is tried before
+    the dependency-free PPM pixel access; either way the plan/schema
+    stay identical. For each output pixel ``(y, x)`` the source pixel
+    is ``(y·src_h//out_h, x·src_w//out_w)``; emits the resized
+    raster's mean and a base-131 rolling checksum of the sampled bytes
+    so an oracle can replay the exact pixel selection. Payloads no
+    available decoder accepts pass through with ``decoded=False``.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
+    def _decode(p: bytes) -> tuple[int, int, list[int]]:
+        if decoder is not None:
+            try:
+                return decoder(p)
+            except ValueError:
+                pass
+        return decode_ppm_samples(p)
+
     def _one(p) -> tuple:
         try:
-            w, h, vals = decode_ppm_samples(bytes(p))
+            w, h, vals = _decode(bytes(p))
         except ValueError:
             return None, None, False, None, None
         sampled: list[int] = []

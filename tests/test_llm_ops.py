@@ -267,6 +267,76 @@ def test_decode_image_fallback_contract():
     assert checksum == ((97 * 131 + 98) * 131 + 99) % 1_000_000_007
 
 
+def test_decoder_seam_prefers_hook_and_preserves_fallback(spark):
+    """The optional ``decoder=`` hook (the PIL/libjpeg seam): payloads
+    the hook accepts decode through it; payloads it rejects still go
+    through the dependency-free BMP/PPM path; schema unchanged. The
+    stand-in codec accepts a FAKE magic and rejects everything else;
+    defined inside the test so cloudpickle ships it by VALUE (the test
+    module is not importable on executors)."""
+    from near_event_streams_spark.operators import multimodal
+
+    def _fake_codec_samples(p: bytes) -> tuple[int, int, list[int]]:
+        if p[:4] != b"FAKE":
+            raise ValueError("not a FAKE payload")
+        body = list(p[4:])
+        return len(body), 1, [b for b in body for _ in range(3)]
+
+    def _fake_codec_mean(p: bytes) -> tuple[int, int, float]:
+        w, h, samples = _fake_codec_samples(p)
+        return w, h, round(sum(samples) / len(samples), 6)
+
+    ppm = b"P3 2 1 255 10 20 30 40 50 60"
+    rows = [(1, "image", bytearray(b"FAKEab"), 6), (2, "image", bytearray(ppm), len(ppm))]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, n_bytes long"
+    )
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            media, decoder=_fake_codec_mean
+        ).collect()
+    }
+    assert feats[1]["decoded"] and (feats[1]["width"], feats[1]["height"]) == (2, 1)
+    assert feats[1]["mean_pixel"] == round((97 + 98) / 2, 6)
+    assert feats[2]["decoded"] and (feats[2]["width"], feats[2]["height"]) == (2, 1)
+
+    resized = {
+        r["media_id"]: r
+        for r in multimodal.resize_nearest(
+            media, 1, 1, decoder=_fake_codec_samples
+        ).collect()
+    }
+    # 1x1 nearest-neighbor keeps source pixel (0,0): FAKE payload 'a'
+    assert resized[1]["decoded"] and resized[1]["resized_mean"] == 97.0
+    assert resized[2]["decoded"] and resized[2]["resized_mean"] == 20.0
+
+
+def test_pil_decoder_seam_with_real_jpeg(spark, tmp_path):
+    """When Pillow IS importable (not this container — skip-marked),
+    a real JPEG flows through the same seam unchanged."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from near_event_streams_spark.operators import multimodal
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), (100, 150, 200)).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+    w, h, mean = multimodal.pil_decode(jpeg)
+    assert (w, h) == (4, 2) and 50 < mean < 250
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jpeg), len(jpeg))],
+        "media_id long, media_type string, payload binary, n_bytes long",
+    )
+    row = multimodal.extract_features(
+        media, decoder=multimodal.pil_decode
+    ).collect()[0]
+    assert row["decoded"] and (row["width"], row["height"]) == (4, 2)
+
+
 def test_extract_features_decodes_real_rasters(spark, tmp_path):
     """binaryFile source -> extract_features must REALLY decode BMP/PPM
     (true dimensions + pixel mean, decoded=True) and fall back to byte
