@@ -1,0 +1,223 @@
+"""Synthetic scale stress-bench: measures whether the heaviest headline
+queries scale ~linearly when their inputs grow well past sf0.1, under
+the same AQE session config production uses (``session.get_spark``).
+
+Why this exists: every 100 TB claim in SCALE.md is a plan-shape
+argument (exchange budgets, broadcast decisions, partition-before-
+explode) proven at 17 MB — too small to trigger AQE skew splits,
+spills, or broadcast-threshold flips. This harness converts those
+arguments into measurements at ~20x that volume on the same box.
+
+Data generation (``--gen``, DuckDB, one-off, written to
+``.scale_data/`` which is gitignored):
+
+* ``documents`` x32 — every token is namespaced per copy
+  (``q<copy><token>``), so each copy is its own closed dedup universe:
+  near-dup/decontamination work grows BY CONSTRUCTION linearly in the
+  copy count (no cross-copy candidate explosion that would measure the
+  data, not the engine). Doc ids remap to ``doc_id + copy * K``.
+* ``orders``/``lineitem`` x10 — order keys remap per copy; customer/
+  part/supplier foreign keys are kept, so dimension joins fan 10x the
+  facts over the same dims (the realistic growth shape: facts grow,
+  dims don't).
+* ``events`` x10 — event ids remap, user ids kept (hot users get 10x
+  hotter — the skew direction that stresses AQE).
+* dimension tables copied through unchanged.
+
+Usage::
+
+    python bench_scale.py --gen      # build .scale_data (~350 MB)
+    python bench_scale.py            # run the stress suite, write BENCH_scale.md
+
+Reported per query: sf0.1 median, scaled median, wall ratio, the
+expected input multiplier, and the scaling verdict (ratio <= ~1.3x the
+input multiplier = linear-or-better; queries with large fixed plan
+overheads come in well under).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import time
+
+SCALE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data")
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+DOC_COPIES = 32
+FACT_COPIES = 10
+
+# (query name, expected input multiplier, which tables drive it)
+STRESS = [
+    ("ingest_neardup_select", DOC_COPIES, "documents x32"),
+    ("dedup_ngram_jaccard_docs", DOC_COPIES, "documents x32"),
+    ("decontaminate_bloom_docs", DOC_COPIES, "documents x32"),
+    ("q5_local_supplier", FACT_COPIES, "orders+lineitem x10"),
+    ("q18_large_volume", FACT_COPIES, "orders+lineitem x10"),
+    ("graph_pagerank_copurchase", FACT_COPIES, "lineitem x10"),
+]
+
+
+def gen() -> None:
+    import duckdb
+
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    con = duckdb.connect()
+    src = lambda t: f"read_parquet('{BASE_DIR}/{t}.parquet')"  # noqa: E731
+    out = lambda t: os.path.join(SCALE_DIR, f"{t}.parquet")  # noqa: E731
+
+    kdoc = con.sql(f"SELECT MAX(doc_id) + 1 FROM {src('documents')}").fetchone()[0]
+    print(f"documents x{DOC_COPIES} (token-namespaced per copy)...")
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + c * {kdoc} AS doc_id,
+                 regexp_replace(text, '([a-zA-Z0-9]+)', 'q' || c || '\\1', 'g')
+                   AS text,
+                 lang, source, n_chars
+          FROM {src('documents')}, range({DOC_COPIES}) t(c)
+        ) TO '{out('documents')}' (FORMAT PARQUET)
+        """
+    )
+
+    kord = con.sql(f"SELECT MAX(o_orderkey) + 1 FROM {src('orders')}").fetchone()[0]
+    print(f"orders/lineitem x{FACT_COPIES} (orderkey-remapped per copy)...")
+    con.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey + c * {kord} AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM {src('orders')}, range({FACT_COPIES}) t(c)
+        ) TO '{out('orders')}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey + c * {kord} AS l_orderkey, l_partkey, l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                 l_returnflag, l_linestatus, l_shipdate
+          FROM {src('lineitem')}, range({FACT_COPIES}) t(c)
+        ) TO '{out('lineitem')}' (FORMAT PARQUET)
+        """
+    )
+
+    kev = con.sql(f"SELECT MAX(event_id) + 1 FROM {src('events')}").fetchone()[0]
+    print(f"events x{FACT_COPIES} (user ids kept: hot keys get hotter)...")
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + c * {kev} AS event_id, ts, user_id, event_type,
+                 value, props
+          FROM {src('events')}, range({FACT_COPIES}) t(c)
+        ) TO '{out('events')}' (FORMAT PARQUET)
+        """
+    )
+
+    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+        shutil.copyfile(f"{BASE_DIR}/{t}.parquet", out(t))
+    total = sum(
+        os.path.getsize(os.path.join(SCALE_DIR, f)) for f in os.listdir(SCALE_DIR)
+    )
+    print(f"done: {total / 1e6:.0f} MB in {SCALE_DIR}")
+
+
+def _median_time(fn, spark, sf_dir: str, runs: int = 3) -> float:
+    times = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def run() -> None:
+    import bench
+    from near_event_streams_spark.session import get_spark
+
+    if not os.path.isdir(SCALE_DIR):
+        raise SystemExit("no .scale_data — run `python bench_scale.py --gen` first")
+    spark = get_spark(app_name="bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    fns = dict(bench.HEADLINE)
+    for name, fn in entry.queries().items():
+        fns.setdefault(name, fn)
+    rows = []
+    for name, mult, driver in STRESS:
+        fn = fns[name]
+        fn(spark, BASE_DIR).count()  # warm (JVM, file index, codegen)
+        base = _median_time(fn, spark, BASE_DIR)
+        fn(spark, SCALE_DIR).count()
+        scaled = _median_time(fn, spark, SCALE_DIR)
+        ratio = scaled / base
+        verdict = "linear-or-better" if ratio <= 1.3 * mult else "SUPERLINEAR"
+        rows.append((name, driver, mult, base, scaled, ratio, verdict))
+        print(
+            f"{name}: base={base:.2f}s scaled={scaled:.2f}s "
+            f"ratio={ratio:.1f}x (input x{mult}) -> {verdict}"
+        )
+    report = {
+        "metric": "scale_stress",
+        "base_dir": BASE_DIR,
+        "doc_copies": DOC_COPIES,
+        "fact_copies": FACT_COPIES,
+        "queries": {
+            name: {
+                "base_sec": round(b, 3),
+                "scaled_sec": round(s, 3),
+                "ratio": round(r, 2),
+                "input_multiplier": m,
+                "verdict": v,
+            }
+            for name, _, m, b, s, r, v in rows
+        },
+    }
+    print(json.dumps(report))
+    _write_md(rows)
+
+
+def _write_md(rows) -> None:
+    lines = [
+        "# BENCH_scale — synthetic scale stress (round 6)",
+        "",
+        f"Inputs: sf0.1 grown to documents x{DOC_COPIES} (token-namespaced "
+        f"per copy — each copy a closed dedup universe), orders/lineitem/"
+        f"events x{FACT_COPIES} (fact keys remapped, dimension/user keys "
+        "kept). Session = production `get_spark` (AQE on, skew-join on, "
+        "32 shuffle partitions, local[32]). Median of 3 after a warm run; "
+        "cache cleared per run.",
+        "",
+        "| query | inputs | input x | sf0.1 s | scaled s | wall ratio | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, driver, m, b, s, r, v in rows:
+        lines.append(
+            f"| {name} | {driver} | {m} | {b:.2f} | {s:.2f} | {r:.1f}x | {v} |"
+        )
+    lines += [
+        "",
+        "Reading: wall ratio <= ~1.3x the input multiplier counts as "
+        "linear-or-better (fixed plan-build/JVM overheads amortize, so "
+        "most queries come in WELL under the multiplier). A SUPERLINEAR "
+        "verdict means a plan shape broke at scale and needs a fix "
+        "before the next round.",
+        "",
+    ]
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--gen" in sys.argv:
+        gen()
+    else:
+        run()

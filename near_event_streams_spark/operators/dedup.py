@@ -297,6 +297,111 @@ def jaccard_pairs(
     return _verify_pairs(cands, sets, threshold, broadcast_sets)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    min_shingles: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_sets: bool | None = None,
+    max_broadcast_docs: int = 500_000,
+) -> DataFrame:
+    """ORDERED pairs with shingle-set containment
+    ``C(A→B) = |A∩B| / |A| ≥ threshold`` — the superset-duplicate
+    detector Jaccard misses: a quote or excerpt wholly contained in a
+    much longer doc scores ``J ≈ |A|/|B|`` (arbitrarily low) but
+    ``C = 1``. Docs with fewer than ``min_shingles`` shingles are
+    excluded on BOTH sides (tiny sets make containment trivially
+    noisy).
+
+    Same PPJoin skeleton as :func:`jaccard_pairs`, adapted to the
+    asymmetric bound (integer arithmetic on a τ = num/den rational, so
+    rounding can never over-prune):
+
+    * required overlap ``need_a = ⌈τ|A|⌉`` depends on the CONTAINED
+      side only;
+    * **probe prefix**: a's first ``|A| − need_a + 1`` rarest shingles
+      — an overlap of ``need_a`` cannot avoid all of them;
+    * **index side is the FULL set** (containment has no b-side prefix
+      bound — b may be arbitrarily large), with the length filter
+      ``|B| ≥ need_a``;
+    * **positional filter**: a collision at global-order ranks
+      ``(r_a, r_b)`` bounds the overlap by
+      ``1 + min(|A|−r_a, |B|−r_b)``; the earliest collision of a valid
+      pair always survives it.
+
+    Survivors verify with exact JVM array intersection (size-adaptive
+    join, same contract as ``_verify_pairs``). Persist handles
+    (``sets``, ``ranked``) are caller-owned (clearCache)."""
+    from pyspark.sql import Window
+
+    num = int(round(threshold * 10000))
+    den = 10000
+    sets = (
+        shingle_id_sets(docs, id_col, text_col)
+        .filter(F.col("sz") >= min_shingles)
+        .persist()
+    )
+    ids = sets.select("doc_id", "sz", F.explode("sh").alias("sid"))
+    dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sid")
+    need = F.expr(f"({num}*sz + {den} - 1) div {den}")
+    ranked = (
+        ids.join(dfreq, "sid")
+        .withColumn("r", F.row_number().over(w))
+        .persist()
+    )
+    probe = ranked.filter(F.col("r") <= F.col("sz") - need + 1).select(
+        F.col("doc_id").alias("a_doc_id"),
+        F.col("sz").alias("sza"),
+        "sid",
+        F.col("r").alias("ra"),
+    )
+    index = ranked.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("sz").alias("szb"),
+        "sid",
+        F.col("r").alias("rb"),
+    )
+    need_a = F.expr(f"({num}*sza + {den} - 1) div {den}")
+    overlap_ub = F.lit(1) + F.least(
+        F.col("sza") - F.col("ra"), F.col("szb") - F.col("rb")
+    )
+    cands = (
+        probe.join(index, "sid")
+        .filter(F.col("a_doc_id") != F.col("b_doc_id"))
+        .filter(F.col("szb") >= need_a)
+        .filter(overlap_ub >= need_a)
+        .select("a_doc_id", "b_doc_id")
+        .distinct()
+    )
+    a_sets = sets.select(
+        F.col("doc_id").alias("a_doc_id"),
+        F.col("sh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b_sets = sets.select(
+        F.col("doc_id").alias("b_doc_id"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = F.round(inter.cast("double") / F.col("sz_a"), 6)
+    if broadcast_sets is None:
+        broadcast_sets = sets.count() <= max_broadcast_docs
+    if broadcast_sets:
+        joined = (
+            cands.repartition(64, "a_doc_id")
+            .join(F.broadcast(a_sets), "a_doc_id")
+            .join(F.broadcast(b_sets), "b_doc_id")
+        )
+    else:
+        joined = cands.join(a_sets.hint("merge"), "a_doc_id").join(
+            b_sets.hint("merge"), "b_doc_id"
+        )
+    return joined.select(
+        "a_doc_id", "b_doc_id", cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path)
 # ---------------------------------------------------------------------------

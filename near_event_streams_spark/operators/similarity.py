@@ -683,3 +683,104 @@ def group_centroid_similarity(
         "b_source",
         F.round(dot / (na * nb), 6).alias("centroid_cosine"),
     ).orderBy("a_source", "b_source")
+
+
+def kmeans_lloyd_fixedpoint(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset_units: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd's k-means in FIXED-POINT integer arithmetic — the
+    iterative-clustering family (with PageRank and the BPE trainer)
+    done so every superstep is bit-for-bit replayable by the DuckDB
+    oracle: components quantize to non-negative integer units
+    (``floor(x * scale) + offset_units`` — the offset keeps floor
+    division = floor on both engines; squared-L2 distances are exact
+    bigint folds in index order; centroid updates are exact integer
+    means), so there is no float-summation order to disagree about.
+
+    Deterministic by construction: init = the ``k`` smallest ids'
+    vectors; assignment ties break on the lower cluster id; a cluster
+    that loses all members drops out (documented, mirrored by the
+    oracle's group-by). Returns the final assignment
+    ``(vec_id, cluster, dist_units)``.
+
+    Scale shape (the 100 TB path): assignment is a broadcast of k
+    centroid rows against the corpus — one narrow crossJoin, k·dim
+    bigints per task, never a corpus shuffle; the tie-break window
+    partitions by ``vec_id`` over exactly k rows each; the update is
+    ONE (cluster, pos) aggregate (map-side partial over k·dim keys)
+    collapsing to k rows re-broadcast next round. ``localCheckpoint``
+    truncates the k-row centroid lineage per superstep, exactly as
+    ``graph.pagerank`` does for its rank vector. Overflow headroom:
+    |units| <= 2·scale ⇒ dist <= dim·(2·scale)² ≈ 2.6e14 per 64-dim
+    row — 4 orders under bigint.
+    """
+    u = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        )
+        + F.lit(offset_units),
+    )
+    v = embs.select(F.col(id_col).alias("vec_id"), u.alias("u"))
+    w_init = Window.orderBy("vec_id")
+    cent = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("cluster"),
+            F.col("u").alias("cu"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = F.aggregate(
+        F.zip_with("u", "cu", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    assigned = None
+    for it in range(iters):
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cluster", "u", dist.alias("dist")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it == iters - 1:
+            break
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("u").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                # non-negative units: truncating div == floor division
+                F.call_function(
+                    "div", F.sum("val"), F.count(F.lit(1))
+                ).alias("mu")
+            )
+        )
+        cent = (
+            means.groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mu"))
+                ).alias("s")
+            )
+            .select(
+                "cluster",
+                F.transform("s", lambda st: st["mu"]).alias("cu"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assigned.select(
+        "vec_id", "cluster", F.col("dist").alias("dist_units")
+    ).orderBy("vec_id")

@@ -3878,6 +3878,254 @@ ORDER BY quadrant
 """
 
 
+def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + least-squares regression of extended price on
+    quantity per return flag — the corr/covar/regr_* aggregate family,
+    formulated through EXACT decimal moments so both engines agree
+    bit-for-bit: the five sums (Σx, Σy, Σx², Σy², Σxy) accumulate as
+    exact decimals (2dp inputs ⇒ 4dp products, zero float-order
+    dependence), collapse to doubles ONCE, and the closed forms
+    (slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²), corr = cov/√(varx·vary)) run the
+    same few flops in the same shape on both sides. One hash agg over
+    a pruned 3-column scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    p = dec("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(p).alias("sy"),
+        F.sum(q * q).alias("sxx"),
+        F.sum(p * p).alias("syy"),
+        F.sum(q * p).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    return g.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(cov_n / F.sqrt(varx_n * vary_n), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("regr_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("regr_intercept"),
+    ).orderBy("l_returnflag")
+
+
+STATS_CORR_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n AS n_rows,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+         AS corr_qty_price,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS regr_slope,
+       ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 6) AS regr_intercept
+FROM g ORDER BY l_returnflag
+"""
+
+
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent user per event
+    type, ties to the smallest user id) — built from a count aggregate
+    + per-group rank window instead of the engines' native ``mode()``
+    whose tie-breaking is unspecified and therefore un-oracle-able.
+    The rank window partitions by event_type over the already-reduced
+    (type, user) counts, never the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user_id"),
+            F.col("cnt").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cnt DESC, user_id) AS rn
+  FROM counts
+)
+SELECT event_type, user_id AS mode_user_id, cnt AS n_events
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def seq_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (the classic ``date − row_number()`` grouping trick), keeping
+    islands of 3+ days — the streak/retention primitive. Work shape:
+    one distinct on (user, day), one user-partitioned rank window over
+    the per-user day counts, one island aggregate — all keyed on
+    user_id, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("island_start"),
+            F.max("d").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .select("user_id", "island_start", "island_end", "n_days")
+        .orderBy("user_id", "island_start")
+    )
+
+
+SEQ_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS anchor
+  FROM days
+)
+SELECT user_id, MIN(d) AS island_start, MAX(d) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM grp GROUP BY user_id, anchor
+HAVING COUNT(*) >= 3
+ORDER BY user_id, island_start
+"""
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles)
+    rolled up to segment-combination counts. Quartile boundaries come
+    from ONE exact-percentile aggregate (3 scalars per metric,
+    broadcast back) and assignment is a pure CASE comparison — NOT a
+    global ``ntile`` window, which would funnel every customer through
+    one sort task; this shape stays fully parallel at any customer
+    count. Monetary sums are exact decimals; recency is integer epoch
+    days; boundaries interpolate identically in both engines
+    (``F.percentile`` ↔ ``quantile_cont``, the
+    ``percentile_value_stats`` parity precedent)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(dec("o_totalprice")).alias("m"),
+    )
+    bounds = per_cust.agg(
+        F.percentile("r", F.lit([0.25, 0.5, 0.75])).alias("rb"),
+        F.percentile("f", F.lit([0.25, 0.5, 0.75])).alias("fb"),
+        F.percentile(
+            F.col("m").cast("double"), F.lit([0.25, 0.5, 0.75])
+        ).alias("mb"),
+    )
+
+    def seg(metric, b):
+        m = F.col(metric).cast("double")
+        return (
+            F.lit(1)
+            + F.when(m > F.element_at(b, 1), 1).otherwise(0)
+            + F.when(m > F.element_at(b, 2), 1).otherwise(0)
+            + F.when(m > F.element_at(b, 3), 1).otherwise(0)
+        ).cast("int")
+
+    seg_rows = per_cust.crossJoin(F.broadcast(bounds)).select(
+        seg("r", F.col("rb")).alias("seg_recency"),
+        seg("f", F.col("fb")).alias("seg_frequency"),
+        seg("m", F.col("mb")).alias("seg_monetary"),
+        F.col("m").alias("m_dec"),
+    )
+    return (
+        seg_rows.groupBy("seg_recency", "seg_frequency", "seg_monetary")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("m_dec").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("seg_recency", "seg_frequency", "seg_monetary")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+              AS BIGINT) AS r,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS m
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+         quantile_cont(r, 0.75) AS r3,
+         quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+         quantile_cont(f, 0.75) AS f3,
+         quantile_cont(CAST(m AS DOUBLE), 0.25) AS m1,
+         quantile_cont(CAST(m AS DOUBLE), 0.5) AS m2,
+         quantile_cont(CAST(m AS DOUBLE), 0.75) AS m3
+  FROM per_cust
+), segs AS (
+  SELECT CAST(1 + (CAST(r AS DOUBLE) > r1)::INT
+                + (CAST(r AS DOUBLE) > r2)::INT
+                + (CAST(r AS DOUBLE) > r3)::INT AS INT) AS seg_recency,
+         CAST(1 + (CAST(f AS DOUBLE) > f1)::INT
+                + (CAST(f AS DOUBLE) > f2)::INT
+                + (CAST(f AS DOUBLE) > f3)::INT AS INT) AS seg_frequency,
+         CAST(1 + (CAST(m AS DOUBLE) > m1)::INT
+                + (CAST(m AS DOUBLE) > m2)::INT
+                + (CAST(m AS DOUBLE) > m3)::INT AS INT) AS seg_monetary,
+         m
+  FROM per_cust CROSS JOIN bounds
+)
+SELECT seg_recency, seg_frequency, seg_monetary,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_monetary
+FROM segs GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -3941,6 +4189,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_copurchase": graph_pagerank_copurchase,
     "diag_key_skew_users": diag_key_skew_users,
     "join_salted_user_spend": join_salted_user_spend,
+    "stats_corr_regression": stats_corr_regression,
+    "agg_mode_deterministic": agg_mode_deterministic,
+    "seq_gaps_islands": seq_gaps_islands,
+    "rfm_customer_segments": rfm_customer_segments,
     "join_pointintime_scd2": join_pointintime_scd2,
     "hist_order_totals": hist_order_totals,
     "dq_audit_checks": dq_audit_checks,
@@ -4017,6 +4269,10 @@ ORACLE_SQL: dict[str, str] = {
     "graph_pagerank_copurchase": PAGERANK_SQL,
     "diag_key_skew_users": DIAG_KEY_SKEW_SQL,
     "join_salted_user_spend": JOIN_SALTED_SQL,
+    "stats_corr_regression": STATS_CORR_SQL,
+    "agg_mode_deterministic": AGG_MODE_SQL,
+    "seq_gaps_islands": SEQ_ISLANDS_SQL,
+    "rfm_customer_segments": RFM_SQL,
     "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
     "hist_order_totals": HIST_ORDER_SQL,
     "dq_audit_checks": DQ_AUDIT_SQL,

@@ -108,6 +108,43 @@ ORDER BY a_doc_id, b_doc_id
 )
 
 
+def dedup_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Superset-duplicate detection (``dedup.containment_pairs``):
+    ordered pairs where ≥90% of doc A's bigram shingles appear in doc B
+    — the excerpt/quote-expansion dup class Jaccard misses (C(A→B)=1
+    while J=|A|/|B| is arbitrarily low). PPJoin prefix/length/positional
+    filters adapted to the asymmetric bound; exact array-intersect
+    verify; oracle recomputes all pairs exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, threshold=0.9, min_shingles=5
+    ).orderBy("a_doc_id", "b_doc_id")
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+  FROM words, unnest(range(1, len(w))) t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_doc_id, b_doc_id,
+       ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+FROM pairs
+JOIN sizes sa ON a_doc_id = sa.doc_id
+JOIN sizes sb ON b_doc_id = sb.doc_id
+WHERE sa.sz >= 5 AND sb.sz >= 5
+  AND ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.9
+ORDER BY a_doc_id, b_doc_id
+"""
+
+
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pair list (detail view; xxhash64 has no DuckDB
     equivalent so the pair list itself is not oracle-expressible)."""
@@ -1773,6 +1810,83 @@ ORDER BY doc_id
 """
 
 
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-embedding clustering for corpus curation
+    (``similarity.kmeans_lloyd_fixedpoint``, k=8, 3 Lloyd supersteps in
+    exact integer units): the standard pre-step for cluster-balanced
+    sampling / SemDeDup-style semantic partitioning. Iterative like
+    PageRank and the BPE trainer, and oracle-gated the same way — the
+    DuckDB SQL replays every assignment and centroid update
+    bit-for-bit via chained CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_lloyd_fixedpoint(emb, k=8, iters=3)
+
+
+def _kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    offset_units: int = 1_000_000,
+) -> str:
+    """Chained-CTE DuckDB replay of fixed-point Lloyd: per superstep a
+    distance CTE (exact bigint fold in index order), an argmin CTE
+    (row_number ties to the lower cluster id) and — between supersteps
+    — an exact integer centroid mean over (cluster, position). Same
+    superstep-replay technique as ``PAGERANK_SQL`` and the BPE
+    oracle."""
+    parts = [
+        f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)
+           + {offset_units}) AS u
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+           AS cluster,
+         u AS cu
+  FROM v ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT v.vec_id, c.cluster, v.u,
+         list_reduce(list_transform(range(1, {dim + 1}),
+             j -> (v.u[j] - c.cu[j]) * (v.u[j] - c.cu[j])),
+           (a, b) -> a + b) AS dist
+  FROM v CROSS JOIN c{i - 1} c
+), a{i} AS (
+  SELECT vec_id, cluster, u, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""m{i} AS (
+  SELECT cluster, j,
+         CAST(SUM(u[j]) // COUNT(*) AS BIGINT) AS mu
+  FROM a{i} CROSS JOIN range(1, {dim + 1}) r(j)
+  GROUP BY cluster, j
+), c{i} AS (
+  SELECT cluster, list(mu ORDER BY j) AS cu FROM m{i} GROUP BY cluster
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_units"
+        f"\nFROM a{iters} ORDER BY vec_id"
+    )
+
+
+EMB_KMEANS_SQL = _kmeans_oracle_sql()
+
+
 def emb_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-similarity map (``similarity.group_centroid_similarity``):
     pairwise cosine between per-source embedding centroids — which
@@ -2305,6 +2419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+    "dedup_containment_docs": dedup_containment_docs,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
     "ingest_neardup_incremental": ingest_neardup_incremental,
@@ -2333,6 +2448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": text_bpe_merges,
     "multimodal_resize_rasters": multimodal_resize_rasters,
     "emb_source_similarity": emb_source_similarity,
+    "emb_kmeans_lloyd": emb_kmeans_lloyd,
     "curation_dsir_weights": curation_dsir_weights,
     "report_source_profile": report_source_profile,
     "text_source_entropy": text_source_entropy,
@@ -2354,6 +2470,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "dedup_fingerprint_docs": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_JACCARD_SQL,
+    "dedup_containment_docs": DEDUP_CONTAINMENT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
     "ingest_neardup_incremental": INGEST_NEARDUP_SQL,
@@ -2382,6 +2499,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
+    "emb_kmeans_lloyd": EMB_KMEANS_SQL,
     "curation_dsir_weights": DSIR_SQL,
     "report_source_profile": SOURCE_PROFILE_SQL,
     "text_source_entropy": TEXT_ENTROPY_SQL,

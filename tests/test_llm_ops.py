@@ -267,6 +267,66 @@ def test_decode_image_fallback_contract():
     assert checksum == ((97 * 131 + 98) * 131 + 99) % 1_000_000_007
 
 
+def test_containment_catches_superset_dup_jaccard_misses(spark):
+    """A 10-word excerpt inside a 200-word doc: containment flags the
+    (excerpt → superset) direction at 1.0 while exact Jaccard sits far
+    below any usable threshold — the dup class this operator exists
+    for. The unrelated doc pairs with nothing."""
+    from near_event_streams_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    excerpt = " ".join(f"tok{i}" for i in range(10))
+    superset = (
+        " ".join(f"pad{i}" for i in range(95))
+        + " " + excerpt + " "
+        + " ".join(f"pad{i}" for i in range(95, 190))
+    )
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, superset), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a_doc_id"], r["b_doc_id"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}, got
+    jac = jaccard_pairs(docs, threshold=0.2).collect()
+    assert jac == [], jac  # Jaccard ~ 9/200 — invisible to it
+
+
+def test_kmeans_fixedpoint_separates_planted_clusters(spark):
+    """Two planted blobs + k=2 deterministic init: after 3 supersteps
+    every vector sits with its blob regardless of init happening to
+    pick both seeds from blob A (the update step must pull a centroid
+    across). Exact integer arithmetic means zero tolerance needed."""
+    from near_event_streams_spark.operators.similarity import (
+        kmeans_lloyd_fixedpoint,
+    )
+
+    dim = 4
+    rows = []
+    for i in range(10):  # blob A around 0.1
+        rows.append((i, [0.1 + (i % 3) * 0.001] * dim))
+    for i in range(10, 20):  # blob B around 0.9
+        rows.append((i, [0.9 - (i % 3) * 0.001] * dim))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = kmeans_lloyd_fixedpoint(df, k=2, iters=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    blobs = sorted(frozenset(v) for v in by_cluster.values())
+    assert blobs == [
+        frozenset(range(10)),
+        frozenset(range(10, 20)),
+    ], by_cluster
+    assert all(r["dist_units"] >= 0 for r in out)
+
+
 def test_decoder_seam_prefers_hook_and_preserves_fallback(spark):
     """The optional ``decoder=`` hook (the PIL/libjpeg seam): payloads
     the hook accepts decode through it; payloads it rejects still go
