@@ -13,6 +13,7 @@ joins shuffle once on their key, aggregates rely on map-side partials.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd  # noqa: F401 — resolves pandas-UDF type hints
@@ -4031,6 +4032,81 @@ ORDER BY user_id, island_start
 """
 
 
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics through the versioned bucket store
+    (``streaming/upsert.merge_upsert``), driver-gated end-to-end: a
+    base snapshot (even order keys, seq 1) takes a change batch
+    (multiples of 4 re-priced as UPDATES, odd keys as INSERTS, seq 2)
+    in a SECOND commit — exercising manifest advance, dirty-bucket
+    pruning and latest-per-key resolution against real parquet state —
+    then the store's snapshot read aggregates per order status. The
+    (key, seq) pairs are unique by construction so conflict resolution
+    never reaches the hash tie-break, and the oracle reconstructs the
+    merged state relationally (updates override, inserts append).
+
+    The store directory is wiped and rebuilt per call (deterministic —
+    a leftover store would merge into itself on re-run)."""
+    import shutil
+    import tempfile
+
+    from near_event_streams_spark.streaming import upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "seq", F.lit(1).cast("long")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "seq", F.lit(2).cast("long")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"nes_merge_gate_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    upsert.merge_upsert(base, path, key_cols=["o_orderkey"], seq_col="seq")
+    upsert.merge_upsert(
+        updates.unionByName(inserts),
+        path,
+        key_cols=["o_orderkey"],
+        seq_col="seq",
+    )
+    state = upsert.read_state(spark, path)
+    return (
+        state.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.sum("seq").alias("sum_seq"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH final AS (
+  SELECT o_orderstatus, o_totalprice, 1 AS seq
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 != 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice + 100.0, 2 AS seq
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice, 2 AS seq
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(SUM(seq) AS BIGINT) AS sum_seq
+FROM final GROUP BY 1 ORDER BY 1
+"""
+
+
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles)
     rolled up to segment-combination counts. Quartile boundaries come
@@ -4193,6 +4269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_mode_deterministic": agg_mode_deterministic,
     "seq_gaps_islands": seq_gaps_islands,
     "rfm_customer_segments": rfm_customer_segments,
+    "merge_upsert_orders": merge_upsert_orders,
     "join_pointintime_scd2": join_pointintime_scd2,
     "hist_order_totals": hist_order_totals,
     "dq_audit_checks": dq_audit_checks,
@@ -4273,6 +4350,7 @@ ORACLE_SQL: dict[str, str] = {
     "agg_mode_deterministic": AGG_MODE_SQL,
     "seq_gaps_islands": SEQ_ISLANDS_SQL,
     "rfm_customer_segments": RFM_SQL,
+    "merge_upsert_orders": MERGE_UPSERT_SQL,
     "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
     "hist_order_totals": HIST_ORDER_SQL,
     "dq_audit_checks": DQ_AUDIT_SQL,

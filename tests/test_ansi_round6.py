@@ -17,6 +17,7 @@ ROUND6 = [
     "agg_mode_deterministic",
     "seq_gaps_islands",
     "rfm_customer_segments",
+    "merge_upsert_orders",
 ]
 
 
