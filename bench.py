@@ -71,6 +71,12 @@ HEADLINE = [
     # a comfortable broadcast hash table (SCALE.md round-5 notes)
     ("active_users_dau_wau_mau", analytics_ext.QUERIES["active_users_dau_wau_mau"]),
     ("decontaminate_bloom_docs", curation.QUERIES["decontaminate_bloom_docs"]),
+    # round-6: the fixed-point iterative k-means (broadcast-k assignment
+    # + one (cluster,pos) agg per superstep) and the asymmetric
+    # containment PPJoin (full-index b side — the heavier prefix-filter
+    # variant, worth its own wall-time datapoint)
+    ("emb_kmeans_lloyd", llm_ops.QUERIES["emb_kmeans_lloyd"]),
+    ("dedup_containment_docs", llm_ops.QUERIES["dedup_containment_docs"]),
 ]
 
 

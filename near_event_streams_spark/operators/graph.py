@@ -20,7 +20,7 @@ the power-of-ten scale (exact-input IEEE division — deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,3 +133,74 @@ def pagerank(
             "pagerank"
         ),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    directed edge list (feed a symmetrized list for the undirected
+    form). Returns ``(node, label)`` after ``iterations`` supersteps.
+
+    Every node starts labeled with its own id; per superstep each node
+    adopts the MOST FREQUENT label among its in-neighbors, ties to the
+    lexicographically smallest label, and nodes with no in-edges keep
+    their label — all integer counts and string comparisons, so the
+    DuckDB oracle replays every superstep bit-for-bit (the
+    deterministic-synchronous variant of Raghavan et al. 2007; the
+    async random-order original is not reproducible across engines).
+
+    Scale shape mirrors :func:`pagerank`: the edge list persists
+    hash-partitioned on ``src`` so each superstep's join re-shuffles
+    only the O(nodes) label vector; the adopt step is one (dst, label)
+    count aggregate plus a per-dst rank window over the already-reduced
+    label counts (≤ distinct-labels rows per node, never raw edges);
+    ``localCheckpoint`` truncates the label vector's lineage per
+    superstep.
+    """
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sym = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .repartition(nparts, "src")
+        .persist()
+    )
+    nodes = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()  # reused every superstep; caller owns clearCache
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(iterations):
+        counts = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node",
+            F.coalesce(F.col("new_label"), F.col("label")).alias(
+                "label"
+            ),
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

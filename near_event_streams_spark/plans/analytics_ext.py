@@ -2608,6 +2608,76 @@ LIMIT 100
 )
 
 
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the same customer↔supplier co-purchase
+    graph as ``graph_pagerank_copurchase``, via deterministic
+    synchronous label propagation (``operators/graph.py:
+    label_propagation``, 4 supersteps: adopt the most frequent
+    in-neighbor label, ties to the smallest). Integer counts + string
+    tie-breaks ⇒ the oracle replays all supersteps bit-for-bit.
+    Returns the full node→community assignment — every node's label is
+    pinned (the dense co-purchase graph collapses to two giant
+    communities, so a rollup would pin only two rows)."""
+    from near_event_streams_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    lab = label_propagation(edges, iterations=4)
+    return lab.select("node", "label").orderBy("node")
+
+
+def _labelprop_iter_cte(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT l.node, COALESCE(b.new_label, l.label) AS label
+  FROM {prev} l LEFT JOIN (
+    SELECT node, label AS new_label FROM (
+      SELECT node, label, row_number() OVER (
+               PARTITION BY node ORDER BY cnt DESC, label) AS rn
+      FROM (
+        SELECT e.dst AS node, l2.label, COUNT(*) AS cnt
+        FROM edges e JOIN {prev} l2 ON e.src = l2.node
+        GROUP BY e.dst, l2.label
+      )
+    ) WHERE rn = 1
+  ) b USING (node)
+)"""
+
+
+LABELPROP_SQL = (
+    """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL SELECT s, c FROM pairs
+), l0 AS (
+  SELECT node, node AS label FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+), """
+    + ",\n".join(
+        _labelprop_iter_cte(f"l{i}", f"l{i + 1}") for i in range(4)
+    )
+    + """
+SELECT node, label FROM l4 ORDER BY node
+"""
+)
+
+
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch campaign attribution: each purchase's value credits
     the campaign (``props.k % 10`` of the CLICK event) of the user's
@@ -4270,6 +4340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_gaps_islands": seq_gaps_islands,
     "rfm_customer_segments": rfm_customer_segments,
     "merge_upsert_orders": merge_upsert_orders,
+    "graph_label_propagation": graph_label_propagation,
     "join_pointintime_scd2": join_pointintime_scd2,
     "hist_order_totals": hist_order_totals,
     "dq_audit_checks": dq_audit_checks,
@@ -4351,6 +4422,7 @@ ORACLE_SQL: dict[str, str] = {
     "seq_gaps_islands": SEQ_ISLANDS_SQL,
     "rfm_customer_segments": RFM_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
+    "graph_label_propagation": LABELPROP_SQL,
     "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
     "hist_order_totals": HIST_ORDER_SQL,
     "dq_audit_checks": DQ_AUDIT_SQL,

@@ -18,6 +18,7 @@ ROUND6 = [
     "seq_gaps_islands",
     "rfm_customer_segments",
     "merge_upsert_orders",
+    "graph_label_propagation",
 ]
 
 

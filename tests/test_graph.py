@@ -64,3 +64,45 @@ def test_pagerank_symmetric_mass_conserved(spark):
     # float view is exactly units / SCALE
     for r in out.collect():
         assert r["pagerank"] == r["pagerank_units"] / SCALE
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    """Two disjoint triangles: every node must converge to its
+    triangle's lexicographically-smallest member; the bridge-free
+    components never exchange labels. Also pins the tie-break: in
+    round 1 every node sees each neighbor label once, so the smallest
+    label wins deterministically."""
+    from near_event_streams_spark.operators.graph import (
+        label_propagation,
+    )
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    rows = tri1 + tri2 + [(b, a) for a, b in tri1 + tri2]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert out == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x", "z": "x",
+    }, out
+
+
+def test_label_propagation_isolated_node_keeps_label(spark):
+    """A node with no in-edges never adopts anything (the COALESCE
+    branch) — and its out-neighbor sees its label."""
+    from near_event_streams_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [("lonely", "hub"), ("hub", "other"), ("other", "hub")],
+        "src string, dst string",
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert out["lonely"] == "lonely"
