@@ -350,6 +350,29 @@ def hash_sample(
     return df.filter(hash_bucket(key, salt) < rate_pct)
 
 
+def train_val_test_split(
+    df: DataFrame,
+    key: Column,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 key bucket — the
+    split every training pipeline needs pinned BEFORE any shuffling or
+    re-partitioning happens, because membership must survive reruns,
+    cluster resizes and engine swaps (same cross-engine md5 rationale
+    as :func:`hash_bucket`). Adds a ``split`` column; the remainder
+    bucket (>= train+val) is ``test``. Pure narrow projection — no
+    shuffle, no RNG, no state."""
+    b = hash_bucket(key, salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,

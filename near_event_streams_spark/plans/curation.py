@@ -219,6 +219,57 @@ ORDER BY doc_id
 """
 
 
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split
+    (``curation.train_val_test_split``, md5 key buckets — membership
+    survives reruns, repartitioning and engine swaps), rolled up per
+    (source, split) with token counts — the split-manifest audit a
+    training pipeline records next to its data card. The oracle
+    recomputes identical buckets from the identical md5."""
+    from near_event_streams_spark.operators.text import token_count_regex
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = curation.train_val_test_split(
+        docs, F.col("doc_id").cast("string")
+    )
+    return (
+        split.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                token_count_regex(F.col("text")).cast("long")
+            ).alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+SPLIT_TVT_SQL = """
+WITH b AS (
+  SELECT doc_id, source, text,
+         CAST(CAST(('0x' || substr(
+               md5(CAST(doc_id AS VARCHAR) || '|' || 'split-v1'), 1, 8))
+             AS UBIGINT) % 100 AS BIGINT) AS bucket
+  FROM documents
+), s AS (
+  SELECT doc_id, source, text,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+            AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 MIXTURE_RATES = {"src0": 90, "src1": 60, "src2": 30}
 MIXTURE_DEFAULT = 15
 
@@ -514,6 +565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_overlap_report": decontaminate_overlap_report,
     "sample_weighted_per_source": sample_weighted_per_source,
     "sample_hash_deterministic": sample_hash_deterministic,
+    "split_train_val_test": split_train_val_test,
     "mixture_weighted_sources": mixture_weighted_sources,
     "pack_docs_concat_split": pack_docs_concat_split,
     "pack_docs_next_fit": pack_docs_next_fit,
@@ -530,6 +582,7 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate_overlap_report": OVERLAP_REPORT_SQL,
     "sample_weighted_per_source": SAMPLE_WEIGHTED_GROUP_SQL,
     "sample_hash_deterministic": SAMPLE_HASH_SQL,
+    "split_train_val_test": SPLIT_TVT_SQL,
     "mixture_weighted_sources": MIXTURE_SQL,
     "pack_docs_concat_split": PACK_CONCAT_SQL,
     "pack_docs_next_fit": PACK_NEXT_FIT_SQL,

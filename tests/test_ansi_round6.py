@@ -19,6 +19,7 @@ ROUND6 = [
     "rfm_customer_segments",
     "merge_upsert_orders",
     "graph_label_propagation",
+    "split_train_val_test",
 ]
 
 
