@@ -1828,13 +1828,16 @@ def _kmeans_oracle_sql(
     dim: int = 64,
     scale: int = 1_000_000,
     offset_units: int = 1_000_000,
+    tail: str | None = None,
 ) -> str:
     """Chained-CTE DuckDB replay of fixed-point Lloyd: per superstep a
     distance CTE (exact bigint fold in index order), an argmin CTE
     (row_number ties to the lower cluster id) and — between supersteps
     — an exact integer centroid mean over (cluster, position). Same
     superstep-replay technique as ``PAGERANK_SQL`` and the BPE
-    oracle."""
+    oracle. ``tail`` (referencing the final assignment CTE ``a{iters}``)
+    lets composed queries — cluster-balanced sampling — reuse the whole
+    replay; default tail emits the raw assignment."""
     parts = [
         f"""v AS (
   SELECT vec_id,
@@ -1876,15 +1879,67 @@ def _kmeans_oracle_sql(
   SELECT cluster, list(mu ORDER BY j) AS cu FROM m{i} GROUP BY cluster
 )"""
             )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_units"
-        f"\nFROM a{iters} ORDER BY vec_id"
-    )
+    if tail is None:
+        tail = (
+            f"SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_units"
+            f"\nFROM a{iters} ORDER BY vec_id"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 EMB_KMEANS_SQL = _kmeans_oracle_sql()
+
+
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity-preserving) sampling: k-means the
+    embedding space, then keep up to 25 vectors per cluster by
+    deterministic md5 priority (``curation.cap_per_group`` over the
+    ``kmeans_lloyd_fixedpoint`` assignment) — the semantic twin of the
+    per-source cap: a corpus dominated by one embedding region can't
+    dominate the sample. Fully deterministic end-to-end, so the oracle
+    replays the whole composition: the k-means superstep chain plus the
+    md5-ranked cap."""
+    from near_event_streams_spark.operators import curation as cur
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = similarity.kmeans_lloyd_fixedpoint(emb, k=8, iters=3)
+    pri = cur.hash_bucket(
+        F.col("vec_id").cast("string"), salt="cb-v1", buckets=10**9
+    )
+    capped = cur.cap_per_group(
+        assigned.withColumn("neg_pri", -pri),
+        group_col="cluster",
+        order_col="neg_pri",
+        cap=25,
+        id_col="vec_id",
+    )
+    return (
+        capped.filter(F.col("kept"))
+        .select("cluster", "vec_id", "group_rank")
+        .orderBy("cluster", "vec_id")
+    )
+
+
+CLUSTER_SAMPLE_SQL = _kmeans_oracle_sql(
+    tail="""
+, pri AS (
+  SELECT cluster, vec_id,
+         CAST(CAST(('0x' || substr(
+               md5(CAST(vec_id AS VARCHAR) || '|' || 'cb-v1'), 1, 8))
+             AS UBIGINT) % 1000000000 AS BIGINT) AS b
+  FROM a3
+), ranked AS (
+  SELECT cluster, vec_id,
+         CAST(row_number() OVER (PARTITION BY cluster
+                                 ORDER BY b, vec_id) AS INT)
+           AS group_rank
+  FROM pri
+)
+SELECT cluster, vec_id, group_rank FROM ranked
+WHERE group_rank <= 25
+ORDER BY cluster, vec_id
+"""
+)
 
 
 def emb_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2449,6 +2504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize_rasters": multimodal_resize_rasters,
     "emb_source_similarity": emb_source_similarity,
     "emb_kmeans_lloyd": emb_kmeans_lloyd,
+    "sample_cluster_balanced": sample_cluster_balanced,
     "curation_dsir_weights": curation_dsir_weights,
     "report_source_profile": report_source_profile,
     "text_source_entropy": text_source_entropy,
@@ -2500,6 +2556,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "emb_kmeans_lloyd": EMB_KMEANS_SQL,
+    "sample_cluster_balanced": CLUSTER_SAMPLE_SQL,
     "curation_dsir_weights": DSIR_SQL,
     "report_source_profile": SOURCE_PROFILE_SQL,
     "text_source_entropy": TEXT_ENTROPY_SQL,

@@ -20,6 +20,7 @@ ROUND6 = [
     "merge_upsert_orders",
     "graph_label_propagation",
     "split_train_val_test",
+    "sample_cluster_balanced",
 ]
 
 
