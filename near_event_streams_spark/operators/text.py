@@ -779,6 +779,28 @@ def kl_source_drift(
     )
 
 
+def bpe_merge_fold(sym_col, left: str, right: str, merged: str):
+    """Greedy left-to-right application of ONE merge to a symbol array
+    — the JVM array fold shared by the trainer loop
+    (:func:`bpe_learn_merges`) and the encoder
+    (:func:`bpe_apply_counts`), so the two cannot drift. Mirrored in
+    SQL by ``list_reduce`` over singleton-lifted symbols."""
+    la, lb, lab = F.lit(left), F.lit(right), F.lit(merged)
+    return F.aggregate(
+        F.col(sym_col) if isinstance(sym_col, str) else sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - F.lit(1)),
+                F.array(lab),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     n_merges: int = 8,
@@ -853,22 +875,9 @@ def bpe_learn_merges(
         )
         merged = left + right
         out_rows.append((it, left, right, merged, cnt))
-        la, lb, lab = F.lit(left), F.lit(right), F.lit(merged)
-        apply_merge = F.aggregate(
-            F.col("sym"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == la)
-                & (x == lb),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - F.lit(1)),
-                    F.array(lab),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
         words = words.select(
-            apply_merge.alias("sym"), "freq"
+            bpe_merge_fold("sym", left, right, merged).alias("sym"),
+            "freq",
         ).localCheckpoint(eager=True)
     spark = docs.sparkSession
     return spark.createDataFrame(
@@ -876,6 +885,58 @@ def bpe_learn_merges(
         "iteration int, left string, right string, "
         "merged string, pair_count bigint",
     ).orderBy("iteration")
+
+
+def bpe_apply_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a learned BPE merge table and return
+    per-doc ``(doc_id, n_words, n_chars, n_bpe_tokens)`` — the
+    tokenizer-APPLY path that budgets context windows once training
+    (:func:`bpe_learn_merges`) has produced the table.
+
+    Vocabulary-shaped, the only sane 100 TB encode plan: the merge
+    folds run once per DISTINCT word (bounded vocabulary), never per
+    corpus token — documents then join the encoded vocab on the word
+    key and reduce per doc. Applying k merges is k chained
+    :func:`bpe_merge_fold` expressions in learned order, exactly the
+    trainer's fold, so encode and train agree symbol-for-symbol.
+
+    ``merges``: ``(left, right, merged)`` triples in merge order —
+    pass ``[(r.left, r.right, r.merged) for r in
+    bpe_learn_merges(...).collect()]`` (k rows — the bounded
+    merge-table collect, same contract as the trainer loop).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("w"),
+    )
+    vocab = toks.select("w").distinct().select(
+        "w", F.split("w", "").alias("sym")
+    )
+    for left, right, merged in merges:
+        vocab = vocab.select(
+            "w", bpe_merge_fold("sym", left, right, merged).alias("sym")
+        )
+    vocab = vocab.select(
+        "w", F.length("w").alias("n_char"), F.size("sym").alias("n_sym")
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_char").alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def dsir_importance(

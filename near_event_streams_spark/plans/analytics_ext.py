@@ -4102,6 +4102,98 @@ ORDER BY user_id, island_start
 """
 
 
+def url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (``parse_url`` HOST/PATH/QUERY/REF and a
+    query-parameter extract) over URLs synthesized from document
+    columns — the reference corpus has no URL column, so the query
+    builds a canonical one per doc and pins that parsing round-trips
+    every component. The oracle reconstructs components from the same
+    concat inputs (the URL grammar is under our control), so Spark's
+    java.net.URI semantics are checked against plain string algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&page=1#s"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias(
+            "lang_param"
+        ),
+    ).orderBy("doc_id")
+
+
+URL_FUNCTIONS_SQL = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+       'lang=' || lang || '&page=1' AS query,
+       's' || CAST(doc_id % 5 AS VARCHAR) AS fragment,
+       lang AS lang_param
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def string_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance function family: full nation × region name
+    cross (25×5, broadcast — fuzzy matching against a small gazetteer,
+    the standard blocking-free record-linkage shape for bounded dims)
+    with ``levenshtein`` distance and the derived normalized
+    similarity; keeps each nation's best-matching region (ties to the
+    lexicographically first region name)."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    r = _t(spark, sf_dir, "region").select("r_name")
+    lev = F.levenshtein("n_name", "r_name")
+    sim = F.round(
+        F.lit(1.0)
+        - lev.cast("double")
+        / F.greatest(F.length("n_name"), F.length("r_name")).cast(
+            "double"
+        ),
+        6,
+    )
+    scored = n.crossJoin(F.broadcast(r)).select(
+        "n_name", "r_name", lev.alias("lev"), sim.alias("sim")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.asc("lev"), F.asc("r_name"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "r_name", "lev", "sim")
+        .orderBy("n_name")
+    )
+
+
+STRING_FUZZY_SQL = """
+WITH scored AS (
+  SELECT n_name, r_name,
+         CAST(levenshtein(n_name, r_name) AS INT) AS lev,
+         ROUND(1.0 - CAST(levenshtein(n_name, r_name) AS DOUBLE)
+               / CAST(greatest(len(n_name), len(r_name)) AS DOUBLE), 6)
+           AS sim
+  FROM nation CROSS JOIN region
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY n_name
+                               ORDER BY lev, r_name) AS rn
+  FROM scored
+)
+SELECT n_name, r_name, lev, sim FROM ranked WHERE rn = 1
+ORDER BY n_name
+"""
+
+
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-INTO semantics through the versioned bucket store
     (``streaming/upsert.merge_upsert``), driver-gated end-to-end: a
@@ -4341,6 +4433,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_customer_segments": rfm_customer_segments,
     "merge_upsert_orders": merge_upsert_orders,
     "graph_label_propagation": graph_label_propagation,
+    "url_functions": url_functions,
+    "string_fuzzy_levenshtein": string_fuzzy_levenshtein,
     "join_pointintime_scd2": join_pointintime_scd2,
     "hist_order_totals": hist_order_totals,
     "dq_audit_checks": dq_audit_checks,
@@ -4423,6 +4517,8 @@ ORACLE_SQL: dict[str, str] = {
     "rfm_customer_segments": RFM_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "graph_label_propagation": LABELPROP_SQL,
+    "url_functions": URL_FUNCTIONS_SQL,
+    "string_fuzzy_levenshtein": STRING_FUZZY_SQL,
     "join_pointintime_scd2": POINTINTIME_SCD2_SQL,
     "hist_order_totals": HIST_ORDER_SQL,
     "dq_audit_checks": DQ_AUDIT_SQL,

@@ -2106,7 +2106,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_learn_merges(docs, n_merges=8)
 
 
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
+def _bpe_oracle_sql(n_merges: int = 8, tail: str | None = None) -> str:
     """Chained-CTE DuckDB replay of the BPE merge loop.
 
     Stage 0 builds the char-split word-frequency table (the one corpus
@@ -2158,21 +2158,76 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
   FROM w{i - 1} CROSS JOIN b{i} b
 )"""
         )
-    unions = "\nUNION ALL\n".join(
-        f'SELECT CAST({i} AS INT) AS iteration, l AS "left",'
-        f' r AS "right", merged, cnt AS pair_count FROM b{i}'
-        for i in range(1, n_merges + 1)
-    )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + "\nSELECT * FROM (\n"
-        + unions
-        + "\n) ORDER BY iteration"
-    )
+    if tail is None:
+        unions = "\nUNION ALL\n".join(
+            f'SELECT CAST({i} AS INT) AS iteration, l AS "left",'
+            f' r AS "right", merged, cnt AS pair_count FROM b{i}'
+            for i in range(1, n_merges + 1)
+        )
+        tail = (
+            "SELECT * FROM (\n" + unions + "\n) ORDER BY iteration"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
 
 
 TEXT_BPE_MERGES_SQL = _bpe_oracle_sql(8)
+
+
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer pipeline: train 8 BPE merges on the corpus
+    (``text.bpe_learn_merges``), then ENCODE the corpus with them
+    (``text.bpe_apply_counts`` — merge folds run once per distinct
+    word, docs join the encoded vocab) and report per-doc word / char /
+    BPE-token counts. The oracle replays training via the merge-loop
+    CTE chain AND the encode via a second chain of ``list_reduce``
+    folds over the learned ``b{i}`` pairs — train and apply gated
+    together, end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = text.bpe_learn_merges(docs, n_merges=8)
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges_df.collect()
+    ]
+    return text.bpe_apply_counts(docs, merges)
+
+
+def _bpe_apply_tail(n_merges: int = 8) -> str:
+    stages = [
+        """, av0 AS (
+  SELECT w, regexp_extract_all(w, '.') AS sym
+  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+                                                  '[a-z]+|[0-9]+')) AS w
+        FROM documents)
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        stages.append(
+            f""", av{i} AS (
+  SELECT w, list_reduce(
+           list_transform(sym, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0
+                            AND acc[-1] = b.l AND x[1] = b.r
+                       THEN acc[:len(acc) - 1] || [b.merged]
+                       ELSE acc || x END) AS sym
+  FROM av{i - 1} CROSS JOIN b{i} b
+)"""
+        )
+    return (
+        "".join(stages)
+        + f""", doc_toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                           '[a-z]+|[0-9]+')) AS w
+  FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(v.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(v.sym)) AS BIGINT) AS n_bpe_tokens
+FROM doc_toks d JOIN av{n_merges} v USING (w)
+GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+TEXT_BPE_APPLY_SQL = _bpe_oracle_sql(8, tail=_bpe_apply_tail(8))
 
 
 def text_kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2501,6 +2556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_distill": text_quality_distill,
     "text_kl_source_drift": text_kl_source_drift,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_apply": text_bpe_apply,
     "multimodal_resize_rasters": multimodal_resize_rasters,
     "emb_source_similarity": emb_source_similarity,
     "emb_kmeans_lloyd": emb_kmeans_lloyd,
@@ -2553,6 +2609,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_quality_distill": TEXT_DISTILL_SQL,
     "text_kl_source_drift": TEXT_KL_DRIFT_SQL,
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
+    "text_bpe_apply": TEXT_BPE_APPLY_SQL,
     "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "emb_kmeans_lloyd": EMB_KMEANS_SQL,

@@ -21,6 +21,9 @@ ROUND6 = [
     "graph_label_propagation",
     "split_train_val_test",
     "sample_cluster_balanced",
+    "url_functions",
+    "string_fuzzy_levenshtein",
+    "text_bpe_apply",
 ]
 
 

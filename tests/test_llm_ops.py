@@ -610,6 +610,40 @@ def _ref_bpe(texts, n_merges):
     return out
 
 
+def test_bpe_apply_counts_planted(spark):
+    """Encode with a hand-checked merge table: 'aa' collapses to one
+    symbol via (a,a)->aa; 'ab' to one via (a,b)->ab; 'ba' stays two
+    chars (no merge matches). Train->apply round trip on the same
+    corpus agrees with the trainer's own word table."""
+    from near_event_streams_spark.operators.text import (
+        bpe_apply_counts,
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab aa"), (1, "ba aa")], "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in bpe_learn_merges(docs, n_merges=5).collect()
+    ]
+    assert [(m[0], m[1]) for m in merges] == [
+        ("a", "a"), ("a", "b"), ("b", "a"),
+    ]
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in bpe_apply_counts(docs, merges).collect()
+    }
+    # all three words collapse to single symbols under their merges
+    assert out == {0: (3, 6, 3), 1: (2, 4, 2)}, out
+    # applying only the FIRST two merges leaves 'ba' as two symbols
+    out2 = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply_counts(docs, merges[:2]).collect()
+    }
+    assert out2 == {0: 3, 1: 3}, out2
+
+
 def test_bpe_matches_pure_python_sennrich_reference(spark):
     """Train the same 8 merges with the distributed operator and the
     driver-side reference on a seeded random corpus; assert sequence

@@ -44,6 +44,14 @@ SHUFFLE_BUDGETS = {
     # three consumer joins reuse the cached partitioning
     "ingest_neardup_select": 25,
     "dedup_remove_spans": 3,
+    # r6: final-superstep assignment plan (earlier supersteps are
+    # materialized behind localCheckpoint): the tie-break window's
+    # vec_id shuffle + the final orderBy range exchange. The k-row
+    # centroid side broadcasts.
+    "emb_kmeans_lloyd": 2,
+    # r6: same PPJoin family as jaccard (7): ranked-prefix window,
+    # candidate join on shingle id, distinct, verify re-join
+    "dedup_containment_docs": 7,
 }
 
 _FNS = dict(bench.HEADLINE)
