@@ -63,3 +63,50 @@ def test_ppjoin_matches_brute_force_on_random_corpora(spark):
                 f"seed={seed} tau={threshold}: "
                 f"missing={want - got} extra={got - want}"
             )
+
+
+def _brute_force_containment(docs, threshold, min_shingles):
+    shingled = [(i, _bigrams(t)) for i, t in docs]
+    out = set()
+    for a_id, a in shingled:
+        if len(a) < min_shingles:
+            continue
+        for b_id, b in shingled:
+            if a_id == b_id or len(b) < min_shingles:
+                continue
+            if round(len(a & b) / len(a), 6) >= threshold:
+                out.add((a_id, b_id))
+    return out
+
+
+def test_containment_ppjoin_matches_brute_force_on_random_corpora(spark):
+    """The asymmetric prefix/length/positional filters must be
+    output-identical to the naive all-ordered-pairs definition on ANY
+    corpus — same exactness contract as the Jaccard PPJoin, hunted at
+    the filter boundaries with skewed random corpora plus planted
+    subset docs (the containment-specific hard case: A wholly inside a
+    much larger B)."""
+    for seed in (11, 42):
+        for threshold in (0.7, 0.9):
+            docs = _random_corpus(seed, 35)
+            # plant strict-subset docs: prefix slices of larger docs
+            rng = random.Random(seed + 1)
+            base_n = len(docs)
+            for k in range(5):
+                src = docs[rng.randrange(base_n)][1]
+                words = src.split()
+                if len(words) > 8:
+                    cut = rng.randint(6, len(words) - 1)
+                    docs.append((1000 + base_n + k, " ".join(words[:cut])))
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+            got = {
+                (r["a_doc_id"], r["b_doc_id"])
+                for r in dedup.containment_pairs(
+                    df, threshold=threshold, min_shingles=3
+                ).collect()
+            }
+            want = _brute_force_containment(docs, threshold, 3)
+            assert got == want, (
+                f"seed={seed} t={threshold}: "
+                f"missing={want - got} extra={got - want}"
+            )

@@ -106,3 +106,55 @@ def test_label_propagation_isolated_node_keeps_label(spark):
         for r in label_propagation(edges, iterations=3).collect()
     }
     assert out["lonely"] == "lonely"
+
+
+def test_label_propagation_matches_python_reference_random(spark):
+    """Seeded random digraphs: the DataFrame superstep loop must equal
+    a driver-side synchronous replay (most-frequent in-neighbor label,
+    min-label ties, keep-if-isolated) node-for-node."""
+    import random
+    from collections import Counter
+
+    from near_event_streams_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def ref(edges, iters):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        lab = {n: n for n in nodes}
+        inn = {}
+        for a, b in edges:
+            inn.setdefault(b, []).append(a)
+        for _ in range(iters):
+            nxt = {}
+            for n in nodes:
+                srcs = inn.get(n)
+                if not srcs:
+                    nxt[n] = lab[n]
+                    continue
+                c = Counter(lab[s] for s in srcs)
+                nxt[n] = min(
+                    c, key=lambda label: (-c[label], label)
+                )
+            lab = nxt
+        return lab
+
+    for seed in (3, 17, 51):
+        rng = random.Random(seed)
+        n = rng.randint(6, 14)
+        names = [f"n{i:02d}" for i in range(n)]
+        edges = list(
+            {
+                (rng.choice(names), rng.choice(names))
+                for _ in range(rng.randint(n, 3 * n))
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=3).collect()
+        }
+        assert got == ref(edges, 3), f"seed={seed}"
