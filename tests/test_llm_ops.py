@@ -732,3 +732,69 @@ def test_sample_video_frames_stride_and_tail(spark):
     assert all(r["n_frames"] == 3 for r in rows)
     assert got[0]["frame_mean"] == float(ord("A"))
     assert got[2]["frame_mean"] == float(ord("C"))
+
+
+def test_kmeans_fixedpoint_matches_python_reference_random(spark):
+    """Seeded random float vectors: the DataFrame superstep loop must
+    equal a driver-side fixed-point Lloyd replay (same quantization,
+    same integer means, same (dist, cluster) tie-break) assignment-for-
+    assignment — pins the arithmetic, not just the clustering."""
+    import math
+    import random
+
+    from near_event_streams_spark.operators.similarity import (
+        kmeans_lloyd_fixedpoint,
+    )
+
+    def ref(vecs, k, iters, scale=10**6, offset=10**6):
+        u = {
+            i: [int(math.floor(float(x) * scale)) + offset for x in v]
+            for i, v in vecs
+        }
+        ids = sorted(u)
+        cent = {c: u[ids[c]] for c in range(min(k, len(ids)))}
+        assign = {}
+        for it in range(iters):
+            assign = {}
+            for i in ids:
+                best = min(
+                    cent.items(),
+                    key=lambda kv: (
+                        sum((a - b) * (a - b) for a, b in zip(u[i], kv[1])),
+                        kv[0],
+                    ),
+                )
+                d = sum((a - b) * (a - b) for a, b in zip(u[i], best[1]))
+                assign[i] = (best[0], d)
+            if it == iters - 1:
+                break
+            nxt = {}
+            for c in set(c for c, _ in assign.values()):
+                members = [u[i] for i in ids if assign[i][0] == c]
+                nxt[c] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+            cent = nxt
+        return assign
+
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        dim = rng.randint(2, 6)
+        vecs = [
+            (i, [rng.uniform(-0.9, 0.9) for _ in range(dim)])
+            for i in range(rng.randint(12, 30))
+        ]
+        # float32 round-trip: Spark reads array<float>, so quantize the
+        # reference from the SAME float32 values
+        import struct
+
+        f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+        vecs32 = [(i, [f32(x) for x in v]) for i, v in vecs]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        )
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist_units"])
+            for r in kmeans_lloyd_fixedpoint(df, k=4, iters=3).collect()
+        }
+        assert got == ref(vecs32, 4, 3), f"seed={seed}"
