@@ -643,3 +643,54 @@ def test_interval_overlap_join_is_equi_not_nlj(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "Join" in plan and "_bin" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom-filter injection (on by default, gated
+    behind a 10 GB application-side scan threshold that test data never
+    reaches) must fire on this repo's fact⟕selective-dim join shape
+    once the size gate is met — at 100 TB this is what prunes the fact
+    scan by the dim predicate before the shuffle. Lower the thresholds
+    in-session to simulate the size gate and assert the injected
+    might_contain probe."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold",
+            "100MB",
+        )
+        # broadcast disabled: a broadcast join needs no runtime filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_text(j, mode="simple")
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
