@@ -127,6 +127,24 @@ def _read_manifest(path: str) -> tuple[int, dict[str, int]]:
         return v, {str(k): int(x) for k, x in json.load(f).items()}
 
 
+def read_state_at(
+    spark: SparkSession, path: str, version: int
+) -> DataFrame | None:
+    """TIME-TRAVEL read: the committed state AS OF ``version`` (None
+    when that version has no manifest / no buckets). Every commit
+    writes a full manifest snapshot (`_manifest_path`), so historical
+    reads need no log replay — just the as-of manifest's bucket→version
+    map, same pruned per-version scans as :func:`read_state`. Works
+    until :func:`vacuum` retires the referenced bucket directories
+    (``retain_versions`` is the time-travel horizon)."""
+    try:
+        with open(_manifest_path(path, version)) as f:
+            manifest = json.load(f)
+    except OSError:
+        return None
+    return _read_buckets(spark, path, manifest)
+
+
 def read_state(spark: SparkSession, path: str) -> DataFrame | None:
     """Snapshot read of the latest committed state (None when empty).
 
@@ -135,6 +153,14 @@ def read_state(spark: SparkSession, path: str) -> DataFrame | None:
     snapshot isolation against concurrent commits.
     """
     _, manifest = _read_manifest(path)
+    if not manifest:
+        return None
+    return _read_buckets(spark, path, manifest)
+
+
+def _read_buckets(
+    spark: SparkSession, path: str, manifest: dict[str, int]
+) -> DataFrame | None:
     if not manifest:
         return None
     by_version: dict[int, list[str]] = {}

@@ -203,3 +203,28 @@ def test_vacuum_reclaims_superseded_buckets(spark, tmp_path):
     assert state == {(1, "v4"), (2, "w4")}
     # idempotent: nothing left to reclaim at the same retention
     assert upsert.vacuum(store, retain_versions=1) == 0
+
+
+def test_read_state_at_time_travels_across_commits(spark, tmp_path):
+    """Every commit snapshots a full manifest, so any retained version
+    is readable as-of: v1 sees only the base batch, v2 sees the merge
+    result, a never-committed version returns None — and time travel
+    survives until vacuum retires the referenced buckets."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(
+        _batch(spark, [("a", 1, "a1"), ("b", 1, "b1")]), path, ["k"], "seq"
+    )
+    upsert.merge_upsert(
+        _batch(spark, [("a", 2, "a2"), ("c", 1, "c1")]), path, ["k"], "seq"
+    )
+
+    def rows(df):
+        return {(r["k"], r["seq"], r["val"]) for r in df.collect()}
+
+    v1 = upsert.read_state_at(spark, path, 1)
+    assert rows(v1) == {("a", 1, "a1"), ("b", 1, "b1")}
+    v2 = upsert.read_state_at(spark, path, 2)
+    assert rows(v2) == {("a", 2, "a2"), ("b", 1, "b1"), ("c", 1, "c1")}
+    assert rows(v2) == rows(upsert.read_state(spark, path))
+    assert upsert.read_state_at(spark, path, 99) is None
