@@ -22,6 +22,9 @@ Data generation (``--gen``, DuckDB, one-off, written to
   dims don't).
 * ``events`` x10 — event ids remap, user ids kept (hot users get 10x
   hotter — the skew direction that stresses AQE).
+* ``embeddings`` x32 — vec ids remap, vectors reused (k-means /
+  similarity work scales with row count; the value distribution is
+  irrelevant to the plan shape).
 * dimension tables copied through unchanged.
 
 Usage::
@@ -57,6 +60,8 @@ STRESS = [
     ("q5_local_supplier", FACT_COPIES, "orders+lineitem x10"),
     ("q18_large_volume", FACT_COPIES, "orders+lineitem x10"),
     ("graph_pagerank_copurchase", FACT_COPIES, "lineitem x10"),
+    ("dedup_containment_docs", DOC_COPIES, "documents x32"),
+    ("emb_kmeans_lloyd", DOC_COPIES, "embeddings x32"),
 ]
 
 
@@ -116,7 +121,18 @@ def gen() -> None:
         """
     )
 
-    for t in ("region", "nation", "customer", "supplier", "part", "embeddings"):
+    kemb = con.sql(f"SELECT MAX(vec_id) + 1 FROM {src('embeddings')}").fetchone()[0]
+    print(f"embeddings x{DOC_COPIES} (vec ids remapped)...")
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + c * {kemb} AS vec_id, embedding, label
+          FROM {src('embeddings')}, range({DOC_COPIES}) t(c)
+        ) TO '{out('embeddings')}' (FORMAT PARQUET)
+        """
+    )
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
         shutil.copyfile(f"{BASE_DIR}/{t}.parquet", out(t))
     total = sum(
         os.path.getsize(os.path.join(SCALE_DIR, f)) for f in os.listdir(SCALE_DIR)
