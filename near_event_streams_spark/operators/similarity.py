@@ -698,27 +698,31 @@ def kmeans_lloyd_fixedpoint(
     iterative-clustering family (with PageRank and the BPE trainer)
     done so every superstep is bit-for-bit replayable by the DuckDB
     oracle: components quantize to non-negative integer units
-    (``floor(x * scale) + offset_units`` — the offset keeps floor
-    division = floor on both engines; squared-L2 distances are exact
-    bigint folds in index order; centroid updates are exact integer
-    means), so there is no float-summation order to disagree about.
+    (``floor(x * scale) + offset_units``), squared-L2 distances are
+    exact bigint folds in index order, centroid updates are exact
+    integer means — no float-summation order to disagree about.
 
     Deterministic by construction: init = the ``k`` smallest ids'
-    vectors; assignment ties break on the lower cluster id; a cluster
-    that loses all members drops out (documented, mirrored by the
-    oracle's group-by). Returns the final assignment
-    ``(vec_id, cluster, dist_units)``.
+    vectors; assignment ties break on the lower cluster id (the fold
+    visits candidates in ascending cluster order and replaces only on
+    strictly-smaller distance); a cluster that loses all members drops
+    out (documented, mirrored by the oracle's group-by). Returns the
+    final assignment ``(vec_id, cluster, dist_units)``.
 
-    Scale shape (the 100 TB path): assignment is a broadcast of k
-    centroid rows against the corpus — one narrow crossJoin, k·dim
-    bigints per task, never a corpus shuffle; the tie-break window
-    partitions by ``vec_id`` over exactly k rows each; the update is
-    ONE (cluster, pos) aggregate (map-side partial over k·dim keys)
-    collapsing to k rows re-broadcast next round. ``localCheckpoint``
-    truncates the k-row centroid lineage per superstep, exactly as
-    ``graph.pagerank`` does for its rank vector. Overflow headroom:
-    |units| <= 2·scale ⇒ dist <= dim·(2·scale)² ≈ 2.6e14 per 64-dim
-    row — 4 orders under bigint.
+    Scale shape (the 100 TB path): assignment is a ZERO-SHUFFLE narrow
+    map — the k centroids embed as a plan-literal array of structs
+    (bounded: k·dim bigints, the same bounded-literal transport as the
+    Bloom bitmap and the BPE best-pair) and the argmin is one
+    whole-stage-codegen fold over that array per row; no corpus-wide
+    window, no per-candidate explode. The only shuffle per superstep is
+    the centroid update: one (cluster, pos) aggregate — k·dim grouping
+    keys, map-side partials — whose k·dim result rows come back to the
+    driver as the next round's literals (bounded collect, same contract
+    as the BPE trainer's best-pair row). The quantized input is
+    persisted once; the handle is caller-owned (clearCache).
+
+    Overflow headroom: |units| <= 2·scale ⇒ dist <= dim·(2·scale)² ≈
+    2.6e14 per 64-dim row — 4 orders under bigint.
     """
     u = F.transform(
         F.col(vec_col),
@@ -727,38 +731,55 @@ def kmeans_lloyd_fixedpoint(
         )
         + F.lit(offset_units),
     )
-    v = embs.select(F.col(id_col).alias("vec_id"), u.alias("u"))
-    w_init = Window.orderBy("vec_id")
-    cent = (
-        v.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w_init) - 1).alias("cluster"),
-            F.col("u").alias("cu"),
+    v = embs.select(F.col(id_col).alias("vec_id"), u.alias("u")).persist()
+    first = v.orderBy("vec_id").limit(k).collect()
+    centroids: list[tuple[int, list[int]]] = [
+        (c, list(row["u"])) for c, row in enumerate(first)
+    ]
+
+    def best_of(cents: list[tuple[int, list[int]]]):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("cluster"),
+                    F.array(
+                        *[F.lit(int(x)).cast("long") for x in cu]
+                    ).alias("cu"),
+                )
+                for c, cu in cents
+            ]
         )
-        .localCheckpoint(eager=True)
-    )
-    dist = F.aggregate(
-        F.zip_with("u", "cu", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        dist_to = lambda cand: F.aggregate(  # noqa: E731
+            F.zip_with("u", cand["cu"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.aggregate(
+            cands,
+            F.struct(
+                F.lit(-1).alias("cluster"),
+                F.lit(2**62).cast("long").alias("dist"),
+            ),
+            lambda acc, cand: F.when(
+                dist_to(cand) < acc["dist"],
+                F.struct(
+                    cand["cluster"].alias("cluster"),
+                    dist_to(cand).alias("dist"),
+                ),
+            ).otherwise(acc),
+        )
+
     assigned = None
     for it in range(iters):
-        scored = v.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cluster", "u", dist.alias("dist")
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+        assigned = v.select(
+            "vec_id", "u", best_of(centroids).alias("best")
         )
         if it == iters - 1:
             break
         means = (
             assigned.select(
-                "cluster", F.posexplode("u").alias("pos", "val")
+                F.col("best")["cluster"].alias("cluster"),
+                F.posexplode("u").alias("pos", "val"),
             )
             .groupBy("cluster", "pos")
             .agg(
@@ -767,20 +788,17 @@ def kmeans_lloyd_fixedpoint(
                     "div", F.sum("val"), F.count(F.lit(1))
                 ).alias("mu")
             )
+            .collect()  # k*dim rows — bounded, the next round's literals
         )
-        cent = (
-            means.groupBy("cluster")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "mu"))
-                ).alias("s")
-            )
-            .select(
-                "cluster",
-                F.transform("s", lambda st: st["mu"]).alias("cu"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mu"]
+        centroids = [
+            (c, [d[p] for p in sorted(d)])
+            for c, d in sorted(by_cluster.items())
+        ]
     return assigned.select(
-        "vec_id", "cluster", F.col("dist").alias("dist_units")
+        "vec_id",
+        F.col("best")["cluster"].alias("cluster"),
+        F.col("best")["dist"].alias("dist_units"),
     ).orderBy("vec_id")

@@ -44,11 +44,12 @@ SHUFFLE_BUDGETS = {
     # three consumer joins reuse the cached partitioning
     "ingest_neardup_select": 25,
     "dedup_remove_spans": 3,
-    # r6: final-superstep assignment plan (earlier supersteps are
-    # materialized behind localCheckpoint): the tie-break window's
-    # vec_id shuffle + the final orderBy range exchange. The k-row
-    # centroid side broadcasts.
-    "emb_kmeans_lloyd": 2,
+    # r6: assignment is a ZERO-SHUFFLE codegen fold over the centroid
+    # literal array (no corpus window, no explode); the only exchange
+    # in the returned plan is the output sort. Each superstep's
+    # centroid update runs eagerly at build as its own bounded
+    # (cluster, pos) aggregate job (k*dim keys, BPE-trainer contract).
+    "emb_kmeans_lloyd": 1,
     # r6: same PPJoin family as jaccard (7): ranked-prefix window,
     # candidate join on shingle id, distinct, verify re-join
     "dedup_containment_docs": 7,
