@@ -738,36 +738,38 @@ def kmeans_lloyd_fixedpoint(
     ]
 
     def best_of(cents: list[tuple[int, list[int]]]):
-        cands = F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("cluster"),
-                    F.array(
-                        *[F.lit(int(x)).cast("long") for x in cu]
-                    ).alias("cu"),
-                )
+        # ONE SQL-text expression, not k*dim F.lit() calls: each lit is
+        # a py4j roundtrip (~3 ms), so 8x64 of them per superstep cost
+        # seconds of DRIVER time while the job itself takes 0.1 s —
+        # the same literal-transport lesson as bloom_probe, solved the
+        # parser way because a 512-child CreateArray is cheap to
+        # analyze at single reference count
+        cands = F.expr(
+            "array("
+            + ",".join(
+                f"struct({c} as cluster, array("
+                + ",".join(f"{int(x)}L" for x in cu)
+                + ") as cu)"
                 for c, cu in cents
-            ]
+            )
+            + ")"
         )
         dist_to = lambda cand: F.aggregate(  # noqa: E731
             F.zip_with("u", cand["cu"], lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        return F.aggregate(
+        # one dist evaluation per candidate; array_min over
+        # (dist, cluster) structs is lexicographic, so equal distances
+        # tie to the smaller cluster id
+        scored = F.transform(
             cands,
-            F.struct(
-                F.lit(-1).alias("cluster"),
-                F.lit(2**62).cast("long").alias("dist"),
+            lambda cand: F.struct(
+                dist_to(cand).alias("dist"),
+                cand["cluster"].alias("cluster"),
             ),
-            lambda acc, cand: F.when(
-                dist_to(cand) < acc["dist"],
-                F.struct(
-                    cand["cluster"].alias("cluster"),
-                    dist_to(cand).alias("dist"),
-                ),
-            ).otherwise(acc),
         )
+        return F.array_min(scored)
 
     assigned = None
     for it in range(iters):
