@@ -47,10 +47,34 @@ import statistics
 import time
 
 SCALE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_data")
+SKEW_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale_skew")
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 DOC_COPIES = 32
 FACT_COPIES = 10
+
+# Skew variant (--gen-skew / --skew): volume growth is the same shape as
+# the uniform stress, but the KEY DISTRIBUTION is adversarial —
+# * events x10 with ~20% of ALL rows reassigned to ONE user (a Zipf-1
+#   hot key): stresses the salted join's fan-out and AQE's skew-split
+#   on anything that shuffles on user_id;
+# * documents x16 with a shared 5-token sentence injected into HALF the
+#   docs across every copy (one shingle in ~50% of the corpus): stresses
+#   the PPJoin prefix filters — the df-descending canonical token order
+#   must push the hot shingle out of every prefix, or candidate pairs
+#   go quadratic.
+SKEW_DOC_COPIES = 16
+SKEW_FACT_COPIES = 10
+SKEW_HOT_SHARE = 0.2  # fraction of event volume owned by the hot user
+
+SKEW_STRESS = [
+    ("join_salted_user_spend", SKEW_FACT_COPIES, "events x10, 20% one user"),
+    ("diag_key_skew_users", SKEW_FACT_COPIES, "events x10, 20% one user"),
+    ("sessionize_events", SKEW_FACT_COPIES, "events x10, 20% one user"),
+    ("dedup_ngram_jaccard_docs", SKEW_DOC_COPIES, "docs x16, hot 5-gram in 50%"),
+    ("dedup_containment_docs", SKEW_DOC_COPIES, "docs x16, hot 5-gram in 50%"),
+    ("ingest_neardup_select", SKEW_DOC_COPIES, "docs x16, hot 5-gram in 50%"),
+]
 
 # (query name, expected input multiplier, which tables drive it)
 STRESS = [
@@ -138,6 +162,240 @@ def gen() -> None:
         os.path.getsize(os.path.join(SCALE_DIR, f)) for f in os.listdir(SCALE_DIR)
     )
     print(f"done: {total / 1e6:.0f} MB in {SCALE_DIR}")
+
+
+def gen_skew() -> None:
+    """Build .scale_skew: same volume-growth recipe as --gen, but with
+    adversarial key distributions (see SKEW_* constants)."""
+    import duckdb
+
+    os.makedirs(SKEW_DIR, exist_ok=True)
+    con = duckdb.connect()
+    src = lambda t: f"read_parquet('{BASE_DIR}/{t}.parquet')"  # noqa: E731
+    out = lambda t: os.path.join(SKEW_DIR, f"{t}.parquet")  # noqa: E731
+
+    hot = con.sql(f"SELECT MIN(user_id) FROM {src('events')}").fetchone()[0]
+    kev = con.sql(f"SELECT MAX(event_id) + 1 FROM {src('events')}").fetchone()[0]
+    hot_copies = max(1, int(SKEW_FACT_COPIES * SKEW_HOT_SHARE))
+    print(
+        f"events x{SKEW_FACT_COPIES}, copies 0..{hot_copies - 1} "
+        f"fully reassigned to hot user {hot!r} "
+        f"(~{hot_copies / SKEW_FACT_COPIES:.0%} of all rows)..."
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + c * {kev} AS event_id, ts,
+                 CASE WHEN c < {hot_copies} THEN {hot!r} ELSE user_id END
+                   AS user_id,
+                 event_type, value, props
+          FROM {src('events')}, range({SKEW_FACT_COPIES}) t(c)
+        ) TO '{out('events')}' (FORMAT PARQUET)
+        """
+    )
+
+    kdoc = con.sql(f"SELECT MAX(doc_id) + 1 FROM {src('documents')}").fetchone()[0]
+    print(
+        f"documents x{SKEW_DOC_COPIES} (token-namespaced per copy, hot "
+        f"5-gram appended to every even doc_id — ~50% of the corpus)..."
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + c * {kdoc} AS doc_id,
+                 regexp_replace(text, '([a-zA-Z0-9]+)', 'q' || c || '\\1', 'g')
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN ' zhot0 zhot1 zhot2 zhot3 zhot4'
+                         ELSE '' END AS text,
+                 lang, source, n_chars
+          FROM {src('documents')}, range({SKEW_DOC_COPIES}) t(c)
+        ) TO '{out('documents')}' (FORMAT PARQUET)
+        """
+    )
+
+    kemb = con.sql(f"SELECT MAX(vec_id) + 1 FROM {src('embeddings')}").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + c * {kemb} AS vec_id, embedding, label
+          FROM {src('embeddings')}, range({SKEW_DOC_COPIES}) t(c)
+        ) TO '{out('embeddings')}' (FORMAT PARQUET)
+        """
+    )
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copyfile(f"{BASE_DIR}/{t}.parquet", out(t))
+    total = sum(
+        os.path.getsize(os.path.join(SKEW_DIR, f)) for f in os.listdir(SKEW_DIR)
+    )
+    print(f"done: {total / 1e6:.0f} MB in {SKEW_DIR}")
+
+
+def _aqe_skew_evidence(spark, sf_dir: str) -> str:
+    """Run the UNSALTED skew-shuffle shape (hot-keyed events sort-merge
+    joined to a per-user dim) and report whether AQE's skew-split fired
+    in the final adaptive plan — the 'observed where expected' evidence
+    VERDICT r6 asked for, straight from the executed plan.
+
+    The skew thresholds are temporarily lowered to match the local data
+    volume (the defaults are 256 MB-per-partition, sized for real
+    clusters; at 100 TB the hot partition passes them on its own —
+    locally the whole table is ~50 MB, so without this the mechanism
+    can never demonstrate itself)."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.sources.tables import load_table
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        dim = (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("u_events"))
+            .hint("merge")
+        )
+        joined = (
+            ev.join(dim, "user_id")
+            .groupBy("event_type")
+            .agg(F.sum("u_events").alias("s"))
+        )
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    fired = "skew=true" in plan or "isSkew=true" in plan or "skewed" in plan
+    return (
+        "AQE skew-split in unsalted hot-join final plan "
+        "(thresholds scaled to local volume): "
+        + ("OBSERVED" if fired else "not observed")
+    )
+
+
+def _percentile_approx_swapin(spark, sf_dir: str) -> str:
+    """Exercise the documented percentile_approx swap-in for the
+    exact-percentile class (MAD docstring, analytics_ext): same plan
+    shape, mergeable sketch aggregation, on the skewed events. Reports
+    wall time and max |approx - exact| over the per-type medians."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t0 = time.time()
+    exact = {
+        r["event_type"]: r["med"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile("value", F.lit(0.5)).alias("med"))
+        .collect()
+    }
+    t_exact = time.time() - t0
+    t0 = time.time()
+    approx = {
+        r["event_type"]: r["med"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("med"))
+        .collect()
+    }
+    t_approx = time.time() - t0
+    err = max(abs(exact[k] - approx[k]) for k in exact)
+    return (
+        f"percentile_approx swap-in (grouped median, skewed events): "
+        f"exact={t_exact:.2f}s approx={t_approx:.2f}s max_abs_err={err:.4g}"
+    )
+
+
+def run_skew() -> None:
+    import bench
+    from near_event_streams_spark.session import get_spark
+
+    if not os.path.isdir(SKEW_DIR):
+        raise SystemExit("no .scale_skew — run `python bench_scale.py --gen-skew`")
+    spark = get_spark(app_name="bench_scale_skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    fns = dict(bench.HEADLINE)
+    for name, fn in entry.queries().items():
+        fns.setdefault(name, fn)
+    rows = []
+    for name, mult, driver in SKEW_STRESS:
+        fn = fns[name]
+        fn(spark, BASE_DIR).count()  # warm
+        base = _median_time(fn, spark, BASE_DIR)
+        fn(spark, SKEW_DIR).count()
+        scaled = _median_time(fn, spark, SKEW_DIR)
+        ratio = scaled / base
+        verdict = "linear-or-better" if ratio <= 1.3 * mult else "SUPERLINEAR"
+        rows.append((name, driver, mult, base, scaled, ratio, verdict))
+        print(
+            f"{name}: base={base:.2f}s skewed={scaled:.2f}s "
+            f"ratio={ratio:.1f}x (input x{mult}) -> {verdict}"
+        )
+    notes = [
+        _aqe_skew_evidence(spark, SKEW_DIR),
+        _percentile_approx_swapin(spark, SKEW_DIR),
+    ]
+    for n in notes:
+        print(n)
+    report = {
+        "metric": "scale_stress_skew",
+        "base_dir": BASE_DIR,
+        "doc_copies": SKEW_DOC_COPIES,
+        "fact_copies": SKEW_FACT_COPIES,
+        "hot_share": SKEW_HOT_SHARE,
+        "notes": notes,
+        "queries": {
+            name: {
+                "base_sec": round(b, 3),
+                "skewed_sec": round(s, 3),
+                "ratio": round(r, 2),
+                "input_multiplier": m,
+                "verdict": v,
+            }
+            for name, _, m, b, s, r, v in rows
+        },
+    }
+    print(json.dumps(report))
+    _append_skew_md(rows, notes)
+
+
+def _append_skew_md(rows, notes) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md")
+    with open(path) as f:
+        content = f.read()
+    marker = "## Appendix: skew-adversarial stress"
+    content = content.split(marker)[0].rstrip() + "\n\n"
+    lines = [
+        marker,
+        "",
+        f"Same growth recipe, adversarial keys: events x{SKEW_FACT_COPIES} "
+        f"with ~{SKEW_HOT_SHARE:.0%} of ALL rows on one user (Zipf-1 hot "
+        f"key), documents x{SKEW_DOC_COPIES} with one 5-token sentence in "
+        "~50% of docs (hot shingle). Median of 3 after a warm run.",
+        "",
+        "| query | inputs | input x | sf0.1 s | skewed s | wall ratio | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, driver, m, b, s, r, v in rows:
+        lines.append(
+            f"| {name} | {driver} | {m} | {b:.2f} | {s:.2f} | {r:.1f}x | {v} |"
+        )
+    lines += ["", *(f"- {n}" for n in notes), ""]
+    with open(path, "w") as f:
+        f.write(content + "\n".join(lines))
+    print(f"appended skew section to {path}")
 
 
 def _median_time(fn, spark, sf_dir: str, runs: int = 3) -> float:
@@ -233,7 +491,11 @@ def _write_md(rows) -> None:
 if __name__ == "__main__":
     import sys
 
-    if "--gen" in sys.argv:
+    if "--gen-skew" in sys.argv:
+        gen_skew()
+    elif "--gen" in sys.argv:
         gen()
+    elif "--skew" in sys.argv:
+        run_skew()
     else:
         run()

@@ -26,6 +26,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from near_event_streams_spark.plans._common import half_up6_spark
 from pyspark.sql.window import Window
 
 # --------------------------------------------------------------------------
@@ -153,11 +155,8 @@ def contamination_overlap(
             F.coalesce("n_shared", zero).alias("n_shared"),
             F.when(
                 F.coalesce("n_grams", zero) > 0,
-                F.round(
-                    F.coalesce("n_shared", zero).cast("double")
-                    / F.col("n_grams").cast("double"),
-                    6,
-                ),
+                # exact integer HALF_UP (plans/_common.half_up6_*)
+                F.expr(half_up6_spark("coalesce(n_shared, 0L)", "n_grams")),
             )
             .otherwise(F.lit(0.0))
             .alias("overlap_pct"),

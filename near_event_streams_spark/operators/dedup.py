@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from near_event_streams_spark.plans._common import half_up6_spark
+
 # ---------------------------------------------------------------------------
 # shared tokenization (must stay in lockstep with the DuckDB oracle SQL in
 # plans/llm_ops.py)
@@ -752,12 +754,9 @@ def duplicated_ngram_stats(
         )
         .withColumn(
             "dup_fraction",
+            # exact integer HALF_UP (plans/_common.half_up6_*)
             F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
-                F.round(
-                    F.col("n_dup_grams").cast("double")
-                    / F.col("n_grams").cast("double"),
-                    6,
-                )
+                F.expr(half_up6_spark("n_dup_grams", "n_grams"))
             ),
         )
     )

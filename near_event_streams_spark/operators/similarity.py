@@ -732,6 +732,21 @@ def kmeans_lloyd_fixedpoint(
         + F.lit(offset_units),
     )
     v = embs.select(F.col(id_col).alias("vec_id"), u.alias("u")).persist()
+    # Oracle parity (truncating div == floor div) and bigint overflow
+    # headroom both rest on quantized units being NON-NEGATIVE, i.e.
+    # every component >= -offset_units/scale. Fail loudly instead of
+    # silently diverging from the DuckDB oracle on an out-of-range
+    # corpus (one cheap scan of the already-persisted frame).
+    min_unit = v.select(
+        F.min(F.array_min("u")).alias("mn")
+    ).first()["mn"]
+    if min_unit is not None and min_unit < 0:
+        raise ValueError(
+            f"kmeans_lloyd_fixedpoint: component below "
+            f"-offset_units/scale = {-offset_units / scale}: quantized "
+            f"unit {min_unit} < 0 — raise offset_units to cover the "
+            f"corpus min"
+        )
     first = v.orderBy("vec_id").limit(k).collect()
     centroids: list[tuple[int, list[int]]] = [
         (c, list(row["u"])) for c, row in enumerate(first)

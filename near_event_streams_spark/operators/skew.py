@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from near_event_streams_spark.plans._common import half_up6_spark
+
 
 def _salt_col(df: DataFrame, salt: int, spread_col: str | None) -> Column:
     """Deterministic salt when a spread column is given (reproducible
@@ -127,18 +129,15 @@ def key_skew_profile(
             "cnt",
             "n_rows",
             "n_keys",
-            F.round(
-                F.col("cnt").cast("double")
-                / F.col("n_rows").cast("double")
-                * 100.0,
-                6,
-            ).alias("share_pct"),
-            F.round(
-                F.col("cum_cnt").cast("double")
-                / F.col("n_rows").cast("double")
-                * 100.0,
-                6,
-            ).alias("cum_share_pct"),
+            # HALF_UP 6dp via exact integer arithmetic
+            # (plans/_common.half_up6_*): ROUND on a double quotient
+            # tie-breaks differently across engines on 2^i·5^j counts.
+            F.expr(half_up6_spark("cnt*100", "n_rows")).alias(
+                "share_pct"
+            ),
+            F.expr(half_up6_spark("cum_cnt*100", "n_rows")).alias(
+                "cum_share_pct"
+            ),
         )
         .orderBy("rank")
     )

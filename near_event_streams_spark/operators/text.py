@@ -771,7 +771,10 @@ def kl_source_drift(
         .select(
             "source",
             F.col("g_total").alias("n_tokens"),
-            F.round(F.col("_kl").cast("double"), 6).alias(
+            # round in the DECIMAL domain then cast: both engines
+            # tie-break decimal HALF_UP identically, while ROUND on the
+            # cast double diverges on 7th-digit-5 ties (r6 rfm class)
+            F.round(F.col("_kl"), 6).cast("double").alias(
                 "kl_divergence"
             ),
         )
@@ -1023,7 +1026,8 @@ def dsir_importance(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum(summand).cast("double"), 6).alias(
+            # decimal-domain round (see kl_drift): tie-exact cross-engine
+            F.round(F.sum(summand), 6).cast("double").alias(
                 "importance"
             ),
         )
@@ -1074,7 +1078,8 @@ def source_token_entropy(
             "source",
             "n_tokens",
             "vocab_size",
-            F.round(F.col("_h").cast("double"), 6).alias("entropy"),
+            # decimal-domain round (see kl_drift): tie-exact cross-engine
+            F.round(F.col("_h"), 6).cast("double").alias("entropy"),
         )
         .orderBy("source")
     )

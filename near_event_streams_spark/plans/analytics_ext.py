@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from near_event_streams_spark.plans._common import _t, dec, dsum
+from near_event_streams_spark.plans._common import (
+    _t,
+    dec,
+    dsum,
+    half_up6_duck,
+    half_up6_spark,
+)
 
 # --------------------------------------------------------------------------
 # TPC-H Q6 — forecast revenue change: pure scan+filter+scalar agg.
@@ -2166,15 +2172,20 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("step")  # 3 rows — bounded by construction
-    return counts.withColumn(
-        "conv_from_prev",
-        F.round(
-            F.col("n").cast("double") / F.lag("n").over(w).cast("double"), 6
-        ),
-    ).orderBy("step")
+    return (
+        counts.withColumn("_prev_n", F.lag("n").over(w))
+        # exact integer HALF_UP (see _common.half_up6_*); NULL prev
+        # (step 1) propagates to NULL like the double division did
+        .withColumn(
+            "conv_from_prev",
+            F.expr(half_up6_spark("n", "_prev_n")),
+        )
+        .drop("_prev_n")
+        .orderBy("step")
+    )
 
 
-FUNNEL_SQL = """
+FUNNEL_SQL = f"""
 WITH ev AS (
   SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
 ), s1 AS (
@@ -2198,10 +2209,10 @@ WITH ev AS (
   SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 )
 SELECT step, step_name, n,
-       ROUND(CAST(n AS DOUBLE)
-             / CAST(lag(n) OVER (ORDER BY step) AS DOUBLE), 6)
-         AS conv_from_prev
-FROM counts
+       {half_up6_duck("n", "prev_n")} AS conv_from_prev
+FROM (SELECT step, step_name, n,
+             lag(n) OVER (ORDER BY step) AS prev_n
+      FROM counts)
 ORDER BY step
 """
 
@@ -2269,16 +2280,20 @@ def funnel_windowed_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("step")  # 3 rows — bounded by construction
-    return counts.withColumn(
-        "conv_from_prev",
-        F.round(
-            F.col("n").cast("double") / F.lag("n").over(w).cast("double"),
-            6,
-        ),
-    ).orderBy("step")
+    return (
+        counts.withColumn("_prev_n", F.lag("n").over(w))
+        # exact integer HALF_UP (see _common.half_up6_*); NULL prev
+        # (step 1) propagates to NULL like the double division did
+        .withColumn(
+            "conv_from_prev",
+            F.expr(half_up6_spark("n", "_prev_n")),
+        )
+        .drop("_prev_n")
+        .orderBy("step")
+    )
 
 
-FUNNEL_WINDOWED_SQL = """
+FUNNEL_WINDOWED_SQL = f"""
 WITH ev AS (
   SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
 ), s1 AS (
@@ -2305,10 +2320,10 @@ WITH ev AS (
   SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 )
 SELECT step, step_name, n,
-       ROUND(CAST(n AS DOUBLE)
-             / CAST(lag(n) OVER (ORDER BY step) AS DOUBLE), 6)
-         AS conv_from_prev
-FROM counts
+       {half_up6_duck("n", "prev_n")} AS conv_from_prev
+FROM (SELECT step, step_name, n,
+             lag(n) OVER (ORDER BY step) AS prev_n
+      FROM counts)
 ORDER BY step
 """
 
@@ -3002,16 +3017,14 @@ def seq_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cur_type",
             "next_type",
             "n",
-            F.round(
-                F.col("n").cast("double") / F.col("row_n").cast("double"),
-                6,
-            ).alias("p"),
+            # exact integer HALF_UP (see _common.half_up6_*)
+            F.expr(half_up6_spark("n", "row_n")).alias("p"),
         )
         .orderBy("cur_type", "next_type")
     )
 
 
-SEQ_MARKOV_SQL = """
+SEQ_MARKOV_SQL = f"""
 WITH ev AS (
   SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
   FROM events
@@ -3029,7 +3042,7 @@ WITH ev AS (
   FROM counts GROUP BY cur_type
 )
 SELECT c.cur_type, c.next_type, c.n,
-       ROUND(CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
+       {half_up6_duck("c.n", "t.row_n")} AS p
 FROM counts c JOIN totals t USING (cur_type)
 ORDER BY c.cur_type, c.next_type
 """
@@ -3380,7 +3393,7 @@ def diag_key_skew_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(ev, "user_id", top_k=10)
 
 
-DIAG_KEY_SKEW_SQL = """
+DIAG_KEY_SKEW_SQL = f"""
 WITH counts AS (
   SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1
 ), totals AS (
@@ -3399,9 +3412,9 @@ WITH counts AS (
   FROM top
 )
 SELECT rank, key, CAST(cnt AS BIGINT) AS cnt, n_rows, n_keys,
-  ROUND(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) * 100.0, 6)
+  {half_up6_duck("cnt*100", "n_rows")}
     AS share_pct,
-  ROUND(CAST(cum_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) * 100.0, 6)
+  {half_up6_duck("cum_cnt*100", "n_rows")}
     AS cum_share_pct
 FROM ranked, totals
 ORDER BY rank
@@ -4208,6 +4221,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The store directory is wiped and rebuilt per call (deterministic —
     a leftover store would merge into itself on re-run)."""
+    import hashlib
     import shutil
     import tempfile
 
@@ -4225,9 +4239,12 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
         "seq", F.lit(2).cast("long")
     )
+    # stable digest: builtin hash() is salted per process
+    # (PYTHONHASHSEED), which left stale store dirs behind and made the
+    # pre-run rmtree miss prior state
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"nes_merge_gate_{abs(hash(sf_dir)) % 10**8}",
+        tempfile.gettempdir(), f"nes_merge_gate_{digest}"
     )
     shutil.rmtree(path, ignore_errors=True)
     upsert.merge_upsert(base, path, key_cols=["o_orderkey"], seq_col="seq")
@@ -4269,6 +4286,92 @@ FROM final GROUP BY 1 ORDER BY 1
 """
 
 
+def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL through the versioned bucket store
+    (``streaming/upsert.read_state_at``): two MERGE commits (the same
+    base/updates/inserts batches as ``merge_upsert_orders``), then read
+    BOTH committed versions — v1 must still be the pre-update base
+    snapshot even though v2 has re-priced and appended on top of it —
+    and roll each up per order status. Exercises the full-manifest
+    snapshot design: historical reads prune to the as-of manifest's
+    bucket→version map with no log replay. The oracle reconstructs
+    both versions relationally (v1 = even keys as loaded; v2 = updates
+    override, inserts append).
+
+    Store dir wiped and rebuilt per call (stable md5 digest path)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from near_event_streams_spark.streaming import upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "seq", F.lit(1).cast("long")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "seq", F.lit(2).cast("long")
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"nes_timetravel_gate_{digest}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    upsert.merge_upsert(base, path, key_cols=["o_orderkey"], seq_col="seq")
+    upsert.merge_upsert(
+        updates.unionByName(inserts),
+        path,
+        key_cols=["o_orderkey"],
+        seq_col="seq",
+    )
+    v1 = upsert.read_state_at(spark, path, 1)
+    v2 = upsert.read_state_at(spark, path, 2)
+    both = v1.withColumn("version", F.lit(1).cast("int")).unionByName(
+        v2.withColumn("version", F.lit(2).cast("int"))
+    )
+    return (
+        both.groupBy("version", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.sum("seq").alias("sum_seq"),
+        )
+        .orderBy("version", "o_orderstatus")
+    )
+
+
+TIME_TRAVEL_SQL = """
+WITH v1 AS (
+  SELECT o_orderstatus, o_totalprice, 1 AS seq
+  FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+  SELECT o_orderstatus, o_totalprice, 1 AS seq
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 != 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice + 100.0, 2 AS seq
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice, 2 AS seq
+  FROM orders WHERE o_orderkey % 2 = 1
+), both_v AS (
+  SELECT 1 AS version, * FROM v1
+  UNION ALL
+  SELECT 2 AS version, * FROM v2
+)
+SELECT CAST(version AS INT) AS version, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(SUM(seq) AS BIGINT) AS sum_seq
+FROM both_v GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles)
     rolled up to segment-combination counts. Quartile boundaries come
@@ -4279,7 +4382,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. Monetary sums are exact decimals; recency is integer epoch
     days; boundaries interpolate identically in both engines
     (``F.percentile`` ↔ ``quantile_cont``, the
-    ``percentile_value_stats`` parity precedent)."""
+    ``percentile_value_stats`` parity precedent).
+
+    avg_monetary is rounded HALF_UP at 6dp in EXACT INTEGER arithmetic
+    — ``q6 = (sum_cents·2·10^4 + n) div (2·n)`` then one IEEE division
+    ``q6/10^6`` — because the r6 driver red was a round-half tie
+    (68570553.99/32 = 2142829.8121875 exactly): Spark's ROUND on the
+    decimal quotient rounds the tie up while DuckDB promotes decimal
+    division to DOUBLE and rounds the binary value down. Integer
+    floor-division of identical integers is bit-exact on both engines
+    by construction (positive sums; o_totalprice > 0)."""
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.datediff(
@@ -4315,10 +4427,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_rows.groupBy("seg_recency", "seg_frequency", "seg_monetary")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum("m_dec").cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+            F.expr(
+                "CAST(CAST((CAST(sum(m_dec)*100 AS DECIMAL(38,0))*20000"
+                " + count(1)) div (2*count(1)) AS BIGINT) AS DOUBLE)"
+                " / 1000000.0"
             ).alias("avg_monetary"),
         )
         .orderBy("seg_recency", "seg_frequency", "seg_monetary")
@@ -4357,7 +4469,8 @@ WITH per_cust AS (
 )
 SELECT seg_recency, seg_frequency, seg_monetary,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       CAST(CAST((CAST(SUM(m)*100 AS HUGEINT)*20000 + COUNT(*))
+                 // (2*COUNT(*)) AS BIGINT) AS DOUBLE) / 1000000.0
          AS avg_monetary
 FROM segs GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
@@ -4432,6 +4545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_gaps_islands": seq_gaps_islands,
     "rfm_customer_segments": rfm_customer_segments,
     "merge_upsert_orders": merge_upsert_orders,
+    "time_travel_orders": time_travel_orders,
     "graph_label_propagation": graph_label_propagation,
     "url_functions": url_functions,
     "string_fuzzy_levenshtein": string_fuzzy_levenshtein,
@@ -4516,6 +4630,7 @@ ORACLE_SQL: dict[str, str] = {
     "seq_gaps_islands": SEQ_ISLANDS_SQL,
     "rfm_customer_segments": RFM_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
+    "time_travel_orders": TIME_TRAVEL_SQL,
     "graph_label_propagation": LABELPROP_SQL,
     "url_functions": URL_FUNCTIONS_SQL,
     "string_fuzzy_levenshtein": STRING_FUZZY_SQL,

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from near_event_streams_spark.operators import curation
+from near_event_streams_spark.plans._common import half_up6_duck
 from near_event_streams_spark.sources.tables import load_table
 
 EVAL_SOURCES = ("src0", "src1")
@@ -127,8 +128,7 @@ SELECT d.doc_id,
        COALESCE(n_grams, 0) AS n_grams,
        COALESCE(n_shared, 0) AS n_shared,
        CASE WHEN COALESCE(n_grams, 0) > 0
-            THEN ROUND(CAST(n_shared AS DOUBLE)
-                       / CAST(n_grams AS DOUBLE), 6)
+            THEN {half_up6_duck("n_shared", "n_grams")}
             ELSE 0.0 END AS overlap_pct
 FROM documents d LEFT JOIN per_doc USING (doc_id)
 WHERE d.source NOT IN ('src0', 'src1')

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from near_event_streams_spark.operators import dedup, multimodal, similarity, text
+from near_event_streams_spark.plans._common import half_up6_duck, half_up6_spark
 from near_event_streams_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -926,17 +927,15 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ws_tokens").alias("total_ws_tokens"),
             F.sum("re_tokens").alias("total_re_tokens"),
-            F.round(
-                F.sum("ws_tokens").cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+            F.expr(
+                half_up6_spark("sum(ws_tokens)", "count(1)")
             ).alias("avg_tokens_per_doc"),
         )
         .orderBy("source")
     )
 
 
-TEXT_TOKENS_SQL = """
+TEXT_TOKENS_SQL = f"""
 WITH per_doc AS (
   SELECT source,
          len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
@@ -947,7 +946,7 @@ SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
        CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
-       ROUND(CAST(SUM(ws_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       {half_up6_duck("SUM(ws_tokens)", "COUNT(*)")}
          AS avg_tokens_per_doc
 FROM per_doc
 GROUP BY source
@@ -1248,7 +1247,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_ngram_stats(docs, n=8).orderBy("doc_id")
 
 
-DEDUP_SUBSTRING_SQL = """
+DEDUP_SUBSTRING_SQL = f"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
   FROM documents
@@ -1272,7 +1271,7 @@ SELECT l.doc_id,
        CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
        CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
-            ELSE ROUND(CAST(p.n_dup_grams AS DOUBLE) / p.n_grams, 6)
+            ELSE {half_up6_duck("p.n_dup_grams", "p.n_grams")}
        END AS dup_fraction
 FROM glist l LEFT JOIN per p USING (doc_id)
 ORDER BY l.doc_id
@@ -1627,10 +1626,10 @@ WITH terms AS (
   FROM gcounts GROUP BY source
 )
 SELECT g.source, t.n_tokens, t.vocab_size,
-  ROUND(CAST(SUM(CAST(ROUND(
+  CAST(ROUND(SUM(CAST(ROUND(
       -(CAST(c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
       * ln(CAST(c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)), 12)
-    AS DECIMAL(26,12))) AS DOUBLE), 6) AS entropy
+    AS DECIMAL(26,12))), 6) AS DOUBLE) AS entropy
 FROM gcounts g JOIN gtotals t USING (source)
 GROUP BY g.source, t.n_tokens, t.vocab_size
 ORDER BY g.source
@@ -1669,11 +1668,9 @@ def report_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ntok").alias("total_tokens"),
-            F.round(
-                F.sum("nc").cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("avg_chars"),
+            F.expr(half_up6_spark("sum(nc)", "count(1)")).alias(
+                "avg_chars"
+            ),
             F.count(F.when(F.col("keep"), 1)).alias("n_quality_keep"),
             F.count(F.when(F.col("fpc") > 1, 1)).alias("n_exact_dup"),
         )
@@ -1681,7 +1678,7 @@ def report_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SOURCE_PROFILE_SQL = """
+SOURCE_PROFILE_SQL = f"""
 WITH per AS (
   SELECT doc_id, source, text,
          CAST(LENGTH(text) AS BIGINT) AS nc,
@@ -1702,7 +1699,7 @@ WITH per AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ntok) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       {half_up6_duck("SUM(nc)", "COUNT(*)")}
          AS avg_chars,
        CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_quality_keep,
        CAST(COUNT(*) FILTER (WHERE fpc > 1) AS BIGINT) AS n_exact_dup
@@ -1802,8 +1799,8 @@ WITH raw_tok AS (
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(CAST(ROUND(w, 12) AS DECIMAL(26,12)))
-             AS DOUBLE), 6) AS importance
+       CAST(ROUND(SUM(CAST(ROUND(w, 12) AS DECIMAL(26,12))), 6)
+             AS DOUBLE) AS importance
 FROM raw_tok JOIN wt USING (bucket)
 GROUP BY doc_id
 ORDER BY doc_id
@@ -2200,16 +2197,24 @@ def _bpe_apply_tail(n_merges: int = 8) -> str:
         FROM documents)
 )"""
     ]
+    # LEFT JOIN ON TRUE, not CROSS JOIN: a corpus that exhausts before
+    # n_merges leaves b{i} EMPTY, and a cross join would collapse every
+    # later av stage — and the final doc join — to zero rows, while the
+    # Spark side (text_bpe_apply) just applies the merges the trainer
+    # actually produced. With the left join an empty b{i} yields NULL
+    # b.l and the CASE passes sym through unchanged — both engines
+    # degrade identically on degenerate corpora.
     for i in range(1, n_merges + 1):
         stages.append(
             f""", av{i} AS (
-  SELECT w, list_reduce(
+  SELECT w, CASE WHEN b.l IS NULL THEN sym
+            ELSE list_reduce(
            list_transform(sym, s -> [s]),
            (acc, x) -> CASE WHEN len(acc) > 0
                             AND acc[-1] = b.l AND x[1] = b.r
                        THEN acc[:len(acc) - 1] || [b.merged]
-                       ELSE acc || x END) AS sym
-  FROM av{i - 1} CROSS JOIN b{i} b
+                       ELSE acc || x END) END AS sym
+  FROM av{i - 1} LEFT JOIN b{i} b ON TRUE
 )"""
         )
     return (
@@ -2271,7 +2276,7 @@ WITH terms AS (
   FROM grid GROUP BY 1, 2
 )
 SELECT source, g_total AS n_tokens,
-       ROUND(CAST(_kl AS DOUBLE), 6) AS kl_divergence
+       CAST(ROUND(_kl, 6) AS DOUBLE) AS kl_divergence
 FROM kl ORDER BY source
 """
 

