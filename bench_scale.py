@@ -242,14 +242,23 @@ def _aqe_skew_evidence(spark, sf_dir: str) -> str:
     volume (the defaults are 256 MB-per-partition, sized for real
     clusters; at 100 TB the hot partition passes them on its own —
     locally the whole table is ~50 MB, so without this the mechanism
-    can never demonstrate itself)."""
+    can never demonstrate itself).
+
+    Two probe requirements learned the hard way: (a) the dim side must
+    be a PLAIN shuffle under its Sort — OptimizeSkewedJoin's pattern is
+    SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) and an aggregate
+    between them makes it skip entirely, so the dim is localCheckpoint-
+    materialized first; (b) the plan must be read from the SAME
+    DataFrame that executed (``collect``, not ``count`` — count wraps a
+    new plan instance and the inspected one stays isFinalPlan=false)."""
     from pyspark.sql import functions as F
 
     from near_event_streams_spark.sources.tables import load_table
 
     overrides = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     saved = {k: spark.conf.get(k, None) for k in overrides}
@@ -260,14 +269,14 @@ def _aqe_skew_evidence(spark, sf_dir: str) -> str:
         dim = (
             ev.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("u_events"))
-            .hint("merge")
+            .localCheckpoint()
         )
         joined = (
-            ev.join(dim, "user_id")
+            ev.join(dim.hint("merge"), "user_id")
             .groupBy("event_type")
             .agg(F.sum("u_events").alias("s"))
         )
-        joined.count()
+        joined.collect()
         plan = joined._jdf.queryExecution().executedPlan().toString()
     finally:
         for k, v in saved.items():
@@ -275,7 +284,7 @@ def _aqe_skew_evidence(spark, sf_dir: str) -> str:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    fired = "skew=true" in plan or "isSkew=true" in plan or "skewed" in plan
+    fired = "skew=true" in plan or "skewed" in plan
     return (
         "AQE skew-split in unsalted hot-join final plan "
         "(thresholds scaled to local volume): "

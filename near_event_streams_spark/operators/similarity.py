@@ -819,3 +819,93 @@ def kmeans_lloyd_fixedpoint(
         F.col("best")["cluster"].alias("cluster"),
         F.col("best")["dist"].alias("dist_units"),
     ).orderBy("vec_id")
+
+
+def power_iteration_pc1(
+    embs: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000,
+    offset_units: int = 1_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """First principal direction of the (non-centered) corpus Gram
+    matrix by matrix-free POWER ITERATION in exact fixed-point integer
+    arithmetic — the 4th member of the iterative family (k-means,
+    PageRank, BPE trainer), oracle-replayable superstep by superstep
+    like the others: no float-summation order anywhere.
+
+    Semantics: quantize ``u_ij = floor(x·scale) + offset_units``
+    (non-negative by the same bound as ``kmeans_lloyd_fixedpoint``);
+    seed ``v`` with the smallest-id vector; each superstep computes
+    projections ``s_i = Σ_j u_ij·v_j`` (bigint fold in index order),
+    the matrix-free Gram product ``w_j = Σ_i s_i·u_ij`` (exact
+    decimal(38,0) accumulation — this sum grows with corpus size), and
+    renormalizes ``v_j = (w_j · 2^20) div max_j(w_j)`` in integer
+    floor division (all terms non-negative, so truncation == floor ==
+    DuckDB ``//``). Returns the ``top_k`` rows by final projection
+    (ties to the smaller id) — the documents most aligned with the
+    corpus's dominant embedding direction.
+
+    Scale shape (the 100 TB path): the projection pass is a
+    ZERO-SHUFFLE codegen fold — ``v`` embeds as one plan-literal array
+    (dim bigints, the same bounded-literal transport as the k-means
+    centroids); the only shuffle per superstep is the dim-key ``w``
+    aggregate whose dim rows return to the driver as the next round's
+    literal (bounded collect). Top-k is TakeOrdered, not a global
+    sort. Overflow: s_i <= dim·(2·scale)·2^20 ≈ 1.3e11; the w sum is
+    decimal(38,0), good to 10^38 — no corpus size overflows it.
+    """
+    u = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        )
+        + F.lit(offset_units),
+    )
+    v = embs.select(F.col(id_col).alias("vec_id"), u.alias("u")).persist()
+    min_unit = v.select(F.min(F.array_min("u")).alias("mn")).first()["mn"]
+    if min_unit is not None and min_unit < 0:
+        raise ValueError(
+            f"power_iteration_pc1: quantized unit {min_unit} < 0 — "
+            f"component below -offset_units/scale; raise offset_units"
+        )
+    vvec = [int(x) for x in v.orderBy("vec_id").limit(1).first()["u"]]
+
+    def project(vec: list[int]):
+        vlit = F.expr(
+            "array(" + ",".join(f"{int(x)}L" for x in vec) + ")"
+        )
+        return F.aggregate(
+            F.zip_with("u", vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = None
+    for t in range(iters):
+        scored = v.select("vec_id", "u", project(vvec).alias("s"))
+        if t == iters - 1:
+            break
+        w_rows = (
+            scored.select("s", F.posexplode("u").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    (F.col("s") * F.col("val")).cast("decimal(38,0)")
+                ).alias("w")
+            )
+            .collect()  # dim rows — bounded, the next round's literal
+        )
+        w = {int(r["pos"]): int(r["w"]) for r in w_rows}
+        wv = [w[p] for p in sorted(w)]
+        m = max(wv)
+        vvec = [(x << 20) // m for x in wv]
+    top = scored.orderBy(F.desc("s"), F.asc("vec_id")).limit(top_k)
+    rk = Window.orderBy(F.desc("s"), F.asc("vec_id"))  # top_k rows
+    return (
+        top.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .select("rank", "vec_id", F.col("s").alias("proj_units"))
+        .orderBy("rank")
+    )

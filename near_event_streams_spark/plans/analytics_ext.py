@@ -4477,6 +4477,167 @@ ORDER BY 1, 2, 3
 """
 
 
+def unpivot_stack_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): per-status order metrics rotate into
+    ``(status, metric, value)`` rows — the missing inverse of the pivot
+    family (``pivot_status_revenue``). ``DataFrame.unpivot`` is pure
+    projection + generator (one ``Expand`` node, zero shuffle beyond
+    the feeding aggregate); the oracle uses DuckDB's native UNPIVOT.
+    All three measures cast to DOUBLE (UNPIVOT requires one value
+    type); sums are exact decimals first."""
+    orders = _t(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.max(dec("o_totalprice")).cast("double").alias("max_price"),
+    )
+    return g.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "sum_price", "max_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
+UNPIVOT_SQL = """
+WITH g AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS sum_price,
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS max_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, metric, value
+FROM (UNPIVOT g ON n_orders, sum_price, max_price
+      INTO NAME metric VALUE value)
+ORDER BY o_orderstatus, metric
+"""
+
+
+def trend_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear trend: least-squares slope/intercept of event
+    value over time (epoch days) for EVERY event type — the grouped
+    twin of ``stats_corr_regression``, i.e. regr_slope/regr_intercept
+    as a keyed aggregate rather than a global one (the shape a metrics
+    backend runs per series). Same exact-decimal moment formulation:
+    one hash agg collects (n, Σx, Σy, Σx², Σxy) as exact decimals, the
+    closed forms run identical flops on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    from near_event_streams_spark.plans._common import ts_us
+
+    x = (
+        F.call_function(
+            "div", ts_us(), F.lit(86_400_000_000).cast("long")
+        )
+    ).cast("decimal(10,0)")
+    y = dec("value")
+    g = (
+        ev.withColumn("x", x)
+        .withColumn("y", y)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(slope, 9).alias("trend_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("trend_intercept"),
+    ).orderBy("event_type")
+
+
+TREND_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
+                       AS DECIMAL(10,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
+                       AS DECIMAL(10,0))
+                  * CAST(epoch_ns(ts) // 1000 // 86400000000
+                         AS DECIMAL(10,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
+                       AS DECIMAL(10,0))
+                  * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM events GROUP BY 1
+)
+SELECT event_type, n AS n_events,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS trend_slope,
+       ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 6) AS trend_intercept
+FROM g ORDER BY event_type
+"""
+
+
+def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (BOM/org-chart) SUBTREE ROLLUP without a recursive
+    CTE: suppliers form a decimal trie (parent(n) = n div 10), and each
+    node's subtree aggregate is computed by EXPLODING every leaf's
+    bounded ancestor path (≤ 6 rows per supplier, pure arithmetic — no
+    join) and aggregating once per ancestor. This is the scale-correct
+    rewrite of ``WITH RECURSIVE`` rollups: one narrow generate + one
+    hash agg instead of a join per level, and it parallelizes over
+    leaves regardless of tree depth. Internal nodes 1–999 reported."""
+    sup = _t(spark, sf_dir, "supplier")
+    anc = F.filter(
+        F.array(
+            *[
+                F.call_function(
+                    "div", F.col("s_suppkey").cast("long"),
+                    F.lit(10**j).cast("long"),
+                )
+                for j in range(6)
+            ]
+        ),
+        lambda a: a >= 1,
+    )
+    return (
+        sup.select(
+            F.explode(anc).alias("node"), dec("s_acctbal").alias("bal")
+        )
+        .filter(F.col("node") <= 999)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_subtree"),
+            F.sum("bal").cast("double").alias("subtree_acctbal"),
+        )
+        .orderBy("node")
+    )
+
+
+HIERARCHY_SQL = """
+WITH anc AS (
+  SELECT u.a AS node, s_acctbal
+  FROM supplier, unnest([s_suppkey, s_suppkey // 10, s_suppkey // 100,
+                         s_suppkey // 1000, s_suppkey // 10000,
+                         s_suppkey // 100000]) u(a)
+  WHERE u.a >= 1
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_subtree,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+         AS subtree_acctbal
+FROM anc WHERE node <= 999
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -4546,6 +4707,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_customer_segments": rfm_customer_segments,
     "merge_upsert_orders": merge_upsert_orders,
     "time_travel_orders": time_travel_orders,
+    "unpivot_stack_metrics": unpivot_stack_metrics,
+    "trend_per_event_type": trend_per_event_type,
+    "hierarchy_subtree_rollup": hierarchy_subtree_rollup,
     "graph_label_propagation": graph_label_propagation,
     "url_functions": url_functions,
     "string_fuzzy_levenshtein": string_fuzzy_levenshtein,
@@ -4631,6 +4795,9 @@ ORACLE_SQL: dict[str, str] = {
     "rfm_customer_segments": RFM_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "time_travel_orders": TIME_TRAVEL_SQL,
+    "unpivot_stack_metrics": UNPIVOT_SQL,
+    "trend_per_event_type": TREND_SQL,
+    "hierarchy_subtree_rollup": HIERARCHY_SQL,
     "graph_label_propagation": LABELPROP_SQL,
     "url_functions": URL_FUNCTIONS_SQL,
     "string_fuzzy_levenshtein": STRING_FUZZY_SQL,

@@ -2526,6 +2526,76 @@ ORDER BY media_id
 """
 
 
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant embedding direction by matrix-free power iteration
+    (``similarity.power_iteration_pc1``, 3 supersteps in fixed-point
+    integer units): surfaces the documents most aligned with the
+    corpus's principal (non-centered) axis — the cheap first look at
+    "what direction dominates this corpus" before SemDeDup-style
+    semantic pruning. Fourth member of the iterative family (k-means,
+    PageRank, BPE), oracle-replayed superstep by superstep."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.power_iteration_pc1(emb, iters=3, top_k=10)
+
+
+def _power_iter_oracle_sql(
+    iters: int = 3,
+    dim: int = 64,
+    scale: int = 1_000,
+    offset_units: int = 1_000,
+    top_k: int = 10,
+) -> str:
+    """Chained-CTE DuckDB replay of fixed-point power iteration: per
+    superstep a projection CTE (bigint fold in index order), a
+    matrix-free Gram product over (position) — DuckDB's SUM(BIGINT)
+    widens to HUGEINT, mirroring Spark's decimal(38,0) accumulator —
+    and an integer renormalization ``(w·2^20)//max(w)`` (all terms
+    non-negative, floor == truncate). Same superstep-replay technique
+    as ``EMB_KMEANS_SQL``."""
+    parts = [
+        f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)
+           + {offset_units}) AS u
+  FROM embeddings
+), vv0 AS (
+  SELECT u AS vvec FROM v ORDER BY vec_id LIMIT 1
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT v.vec_id, v.u,
+         list_reduce(list_transform(range(1, {dim + 1}),
+             j -> v.u[j] * p.vvec[j]), (a, b) -> a + b) AS s
+  FROM v CROSS JOIN vv{i - 1} p
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""w{i} AS (
+  SELECT j, SUM(s * u[j]) AS w
+  FROM s{i} CROSS JOIN range(1, {dim + 1}) r(j)
+  GROUP BY j
+), m{i} AS (
+  SELECT MAX(w) AS m FROM w{i}
+), vv{i} AS (
+  SELECT list(CAST((w * 1048576) // m AS BIGINT) ORDER BY j) AS vvec
+  FROM w{i} CROSS JOIN m{i}
+)"""
+            )
+    tail = (
+        f"SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT)"
+        f" AS rank,\n       vec_id, CAST(s AS BIGINT) AS proj_units\n"
+        f"FROM s{iters} ORDER BY s DESC, vec_id LIMIT {top_k}"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+EMB_POWER_ITER_SQL = _power_iter_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2565,6 +2635,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize_rasters": multimodal_resize_rasters,
     "emb_source_similarity": emb_source_similarity,
     "emb_kmeans_lloyd": emb_kmeans_lloyd,
+    "emb_power_iteration": emb_power_iteration,
     "sample_cluster_balanced": sample_cluster_balanced,
     "curation_dsir_weights": curation_dsir_weights,
     "report_source_profile": report_source_profile,
@@ -2618,6 +2689,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_resize_rasters": MULTIMODAL_RESIZE_SQL,
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "emb_kmeans_lloyd": EMB_KMEANS_SQL,
+    "emb_power_iteration": EMB_POWER_ITER_SQL,
     "sample_cluster_balanced": CLUSTER_SAMPLE_SQL,
     "curation_dsir_weights": DSIR_SQL,
     "report_source_profile": SOURCE_PROFILE_SQL,

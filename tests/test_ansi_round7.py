@@ -1,0 +1,127 @@
+"""ANSI-mode smoke sweep + reference tests for the round-7 registry
+additions. Value correctness is gated by the oracle suite; these pin
+(a) strict-cast/overflow robustness and (b) operator semantics against
+driver-side pure-Python references, independent of DuckDB."""
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+ROUND7 = [
+    "time_travel_orders",
+    "unpivot_stack_metrics",
+    "trend_per_event_type",
+    "hierarchy_subtree_rollup",
+    "emb_power_iteration",
+]
+
+
+@pytest.mark.parametrize("name", ROUND7)
+def test_round7_query_runs_under_ansi(spark, name):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = entry.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def _ref_power_iteration(vecs, iters, scale=1000, offset=1000, top_k=10):
+    """Driver-side integer reference of power_iteration_pc1."""
+    import math
+
+    u = {
+        i: [int(math.floor(float(x) * scale)) + offset for x in v]
+        for i, v in vecs
+    }
+    first = min(u)
+    vvec = list(u[first])
+    s = {}
+    for t in range(iters):
+        s = {i: sum(a * b for a, b in zip(ui, vvec)) for i, ui in u.items()}
+        if t == iters - 1:
+            break
+        dim = len(vvec)
+        w = [sum(s[i] * u[i][j] for i in u) for j in range(dim)]
+        m = max(w)
+        vvec = [(x << 20) // m for x in w]
+    order = sorted(s, key=lambda i: (-s[i], i))[:top_k]
+    return [(r + 1, i, s[i]) for r, i in enumerate(order)]
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_power_iteration_matches_integer_reference(spark, seed):
+    """Randomized corpus, float32 round-trip quantization, exact
+    superstep-for-superstep agreement with the pure-Python integer
+    reference (the same proof style as the fixed-point k-means)."""
+    import random
+    import struct
+
+    from near_event_streams_spark.operators.similarity import (
+        power_iteration_pc1,
+    )
+
+    rng = random.Random(seed)
+    dim = rng.randint(3, 8)
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    vecs = [
+        (i, [f32(rng.uniform(-0.9, 0.9)) for _ in range(dim)])
+        for i in range(rng.randint(15, 40))
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = [
+        (r["rank"], r["vec_id"], r["proj_units"])
+        for r in power_iteration_pc1(df, iters=3, top_k=5).collect()
+    ]
+    assert got == _ref_power_iteration(vecs, 3, top_k=5), f"seed={seed}"
+
+
+def test_power_iteration_rejects_out_of_range_components(spark):
+    from near_event_streams_spark.operators.similarity import (
+        power_iteration_pc1,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [-1.5, 0.0]), (1, [0.2, 0.3])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="quantized unit"):
+        power_iteration_pc1(df, iters=2, top_k=2)
+
+
+def test_hierarchy_rollup_hand_checked(spark):
+    """Digit-trie subtree rollup on a 6-supplier toy tree:
+    node 1 owns {1, 12, 123}, node 12 owns {12, 123}, node 9 owns
+    {9, 99}; balances sum along those subtrees exactly."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.plans.analytics_ext import (
+        hierarchy_subtree_rollup,
+    )
+
+    rows = [(1, 10.0), (12, 20.0), (123, 40.0), (9, 1.0), (99, 2.0),
+            (500, 7.0)]
+    df = spark.createDataFrame(rows, "s_suppkey long, s_acctbal double")
+    import near_event_streams_spark.plans.analytics_ext as ext
+
+    orig = ext._t
+    ext._t = lambda sp, sf, name: df  # the query only reads supplier
+    try:
+        got = {
+            r["node"]: (r["n_subtree"], r["subtree_acctbal"])
+            for r in hierarchy_subtree_rollup(spark, "ignored").collect()
+        }
+    finally:
+        ext._t = orig
+    assert got == {
+        1: (3, 70.0),
+        12: (2, 60.0),
+        123: (1, 40.0),
+        9: (2, 3.0),
+        99: (1, 2.0),
+        500: (1, 7.0),
+        50: (1, 7.0),
+        5: (1, 7.0),
+    }, got

@@ -181,3 +181,38 @@ def test_round4_query_stays_within_shuffle_budget(spark, name):
         f"{name}: {n} shuffle exchanges > budget {ROUND4_BUDGETS[name]}:"
         f"\n{plan[:2000]}"
     )
+
+
+# Round-7 registry additions.
+ROUND7_BUDGETS = {
+    # feeding status agg + presentation sort; the UNPIVOT itself is a
+    # zero-shuffle Expand projection
+    "unpivot_stack_metrics": 2,
+    # one (event_type)-keyed moment agg + presentation sort
+    "trend_per_event_type": 2,
+    # one ancestor-keyed hash agg after the bounded-path generate + sort;
+    # NO join-per-level — the recursive-CTE rewrite this query exists
+    # to demonstrate
+    "hierarchy_subtree_rollup": 2,
+    # projection pass is a zero-shuffle codegen fold over the v literal
+    # (k-means contract); top-k is TakeOrdered. Each superstep's dim-key
+    # w aggregate runs eagerly at build as its own bounded job.
+    "emb_power_iteration": 0,
+    # two pruned store scans + status agg + presentation sort; bucket
+    # store reads are unioned file scans, not shuffles
+    "time_travel_orders": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROUND7_BUDGETS))
+def test_round7_query_stays_within_shuffle_budget(spark, name):
+    import __spark_entry__ as entry
+
+    spark.catalog.clearCache()
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    n = count_exchanges(plan)
+    assert n <= ROUND7_BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges > budget {ROUND7_BUDGETS[name]}:"
+        f"\n{plan[:2000]}"
+    )
