@@ -77,6 +77,11 @@ HEADLINE = [
     # variant, worth its own wall-time datapoint)
     ("emb_kmeans_lloyd", llm_ops.QUERIES["emb_kmeans_lloyd"]),
     ("dedup_containment_docs", llm_ops.QUERIES["dedup_containment_docs"]),
+    # round-7: matrix-free fixed-point power iteration (zero-shuffle
+    # projection over a plan-literal direction) and the recursive-CTE
+    # rewrite (ancestor-path explode + single hash agg)
+    ("emb_power_iteration", llm_ops.QUERIES["emb_power_iteration"]),
+    ("hierarchy_subtree_rollup", analytics_ext.QUERIES["hierarchy_subtree_rollup"]),
 ]
 
 

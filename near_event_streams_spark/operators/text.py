@@ -1083,3 +1083,92 @@ def source_token_entropy(
         )
         .orderBy("source")
     )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition rules'
+    mechanics): the fraction of word TRIGRAM occurrences that belong to
+    a trigram repeated inside the SAME document, and the share of
+    bigram occurrences claimed by the document's single most frequent
+    bigram. High values flag boilerplate/listicle/SEO-spam docs that
+    cross-document dedup structurally misses (the duplication is
+    internal). Distinct from ``duplicated_ngram_stats``, which measures
+    ACROSS-document duplication.
+
+    Shape: one generate (tagged bigram+trigram explode) → one
+    (doc, kind, gram) count → one (doc, kind) reduce folded to columns
+    by conditional aggregation — two keyed shuffles total, linear in
+    corpus token count. Ratios round via the engine-exact integer
+    HALF_UP helper."""
+    from near_event_streams_spark.plans._common import half_up6_spark
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+    n = F.size("w")
+
+    def grams(k: int):
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("w", i + j) for j in range(k)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tagged = base.select(
+        "doc_id", F.lit("b").alias("kind"), F.explode(grams(2)).alias("g")
+    ).unionByName(
+        base.select(
+            "doc_id", F.lit("t").alias("kind"), F.explode(grams(3)).alias("g")
+        )
+    )
+    per_gram = tagged.groupBy("doc_id", "kind", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_kind = per_gram.groupBy("doc_id", "kind").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("rep"),
+        F.max("c").alias("mx"),
+    )
+    folded = per_kind.groupBy("doc_id").agg(
+        F.max(F.when(F.col("kind") == "t", F.col("total"))).alias("tri_total"),
+        F.max(F.when(F.col("kind") == "t", F.col("rep"))).alias("tri_rep"),
+        F.max(F.when(F.col("kind") == "b", F.col("total"))).alias("bi_total"),
+        F.max(F.when(F.col("kind") == "b", F.col("mx"))).alias("bi_mx"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tri_total", zero).alias("n_trigrams"),
+            F.coalesce("tri_rep", zero).alias("n_repeated_trigrams"),
+            F.when(
+                F.coalesce("tri_total", zero) > 0,
+                F.expr(
+                    half_up6_spark(
+                        "coalesce(tri_rep, 0L)", "tri_total"
+                    )
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tri_rep_fraction"),
+            F.when(
+                F.coalesce("bi_total", zero) > 0,
+                F.expr(
+                    half_up6_spark("coalesce(bi_mx, 0L)", "bi_total")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_share"),
+        )
+        .orderBy("doc_id")
+    )

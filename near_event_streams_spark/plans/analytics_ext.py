@@ -4638,6 +4638,168 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the supplier co-purchase graph (two
+    suppliers connected when they serve the same order) via
+    ``operators/graph.triangle_count`` — the degree-oriented wedge
+    join, the work-optimal O(m^1.5) formulation. Non-iterative graph
+    analytics to complement the iterative trio (PageRank, label
+    propagation, power iteration): one summary row with node/edge/
+    triangle/wedge counts and the global clustering coefficient."""
+    from near_event_streams_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+    ).select(
+        F.col("x.l_suppkey").alias("src"),
+        F.col("y.l_suppkey").alias("dst"),
+    )
+    return triangle_count(pairs)
+
+
+TRIANGLE_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+  GROUP BY v
+), ed AS (
+  SELECT a, b, da.deg AS da, db.deg AS db
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+), o AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+  FROM ed
+), w AS (
+  SELECT a1.v AS x, a2.v AS y
+  FROM o a1 JOIN o a2 ON a1.u = a2.u
+  WHERE a1.dv < a2.dv OR (a1.dv = a2.dv AND a1.v < a2.v)
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM w JOIN o ON o.u = w.x AND o.v = w.y
+), na AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), ne AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+)
+SELECT n_nodes, n_edges, n_triangles,
+       COALESCE(n_wedges, 0) AS n_wedges,
+       CASE WHEN COALESCE(n_wedges, 0) > 0
+            THEN {half_up6_duck("n_triangles*3", "n_wedges")}
+            ELSE 0.0 END AS global_clustering
+FROM na, ne, t
+"""
+
+
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization through Spark's NATIVE
+    ``session_window`` operator (30-minute gap) — the built-in twin of
+    the hand-rolled gaps-islands ``sessionize_events``: same keyed
+    shuffle, but the session merge runs inside Spark's dedicated
+    session-window aggregation (the exact operator the streaming path
+    uses with a watermark). Session end = last event + gap, end
+    EXCLUSIVE: an event landing exactly at the previous end starts a
+    NEW session — the oracle's gaps-islands flag uses >= gap, not >,
+    for precisely that boundary."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(ts, "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value
+  FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN ts_us - LAG(ts_us) OVER
+           (PARTITION BY user_id ORDER BY ts_us, event_id)
+         >= 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), sessed AS (
+  SELECT *,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 1800000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+FROM sessed
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via positional bitmaps
+    (``bitmap_bit_position`` / ``bitmap_construct_agg`` /
+    ``bitmap_count``) — the mergeable exact-distinct sketch family:
+    each (status, bitmap-bucket) aggregates its members into a fixed
+    4KB bitmap, counts sum across buckets, and — unlike
+    approx_count_distinct — the result is exact, so the oracle is a
+    plain COUNT(DISTINCT). The shape is the 100 TB pattern for exact
+    distinct at scale: bitmap partials merge associatively (map-side
+    combine), no per-row hash set."""
+    orders = _t(spark, sf_dir, "orders")
+    per_bucket = (
+        orders.groupBy(
+            "o_orderstatus",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bkt"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col("o_custkey"))
+            ).alias("bm")
+        )
+    )
+    return (
+        per_bucket.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.bitmap_count(F.col("bm"))).alias("n_distinct_cust")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+BITMAP_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -4710,6 +4872,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_stack_metrics": unpivot_stack_metrics,
     "trend_per_event_type": trend_per_event_type,
     "hierarchy_subtree_rollup": hierarchy_subtree_rollup,
+    "graph_triangle_census": graph_triangle_census,
+    "session_window_native": session_window_native,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
     "graph_label_propagation": graph_label_propagation,
     "url_functions": url_functions,
     "string_fuzzy_levenshtein": string_fuzzy_levenshtein,
@@ -4798,6 +4963,9 @@ ORACLE_SQL: dict[str, str] = {
     "unpivot_stack_metrics": UNPIVOT_SQL,
     "trend_per_event_type": TREND_SQL,
     "hierarchy_subtree_rollup": HIERARCHY_SQL,
+    "graph_triangle_census": TRIANGLE_SQL,
+    "session_window_native": SESSION_WINDOW_SQL,
+    "agg_bitmap_distinct": BITMAP_DISTINCT_SQL,
     "graph_label_propagation": LABELPROP_SQL,
     "url_functions": URL_FUNCTIONS_SQL,
     "string_fuzzy_levenshtein": STRING_FUZZY_SQL,

@@ -2596,6 +2596,57 @@ def _power_iter_oracle_sql(
 EMB_POWER_ITER_SQL = _power_iter_oracle_sql()
 
 
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition (``text.repetition_signals``): the
+    Gopher-style boilerplate detector — per doc, the fraction of
+    trigram occurrences belonging to trigrams repeated inside that same
+    doc, plus the most frequent bigram's occurrence share. Complements
+    the across-document dedup family (those can't see a doc that
+    repeats itself). Two keyed shuffles, linear in token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs)
+
+
+TEXT_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS w
+  FROM documents
+), tagged AS (
+  SELECT doc_id, 'b' AS kind, w[i] || ' ' || w[i + 1] AS g
+  FROM base, unnest(range(1, len(w))) t(i)
+  UNION ALL
+  SELECT doc_id, 't', w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+  FROM base, unnest(range(1, len(w) - 1)) t(i)
+), per_gram AS (
+  SELECT doc_id, kind, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tagged GROUP BY 1, 2, 3
+), per_kind AS (
+  SELECT doc_id, kind, SUM(c) AS total,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS rep,
+         MAX(c) AS mx
+  FROM per_gram GROUP BY 1, 2
+), folded AS (
+  SELECT doc_id,
+         MAX(CASE WHEN kind = 't' THEN total END) AS tri_total,
+         MAX(CASE WHEN kind = 't' THEN rep END) AS tri_rep,
+         MAX(CASE WHEN kind = 'b' THEN total END) AS bi_total,
+         MAX(CASE WHEN kind = 'b' THEN mx END) AS bi_mx
+  FROM per_kind GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(tri_total, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(tri_rep, 0) AS BIGINT) AS n_repeated_trigrams,
+       CASE WHEN COALESCE(tri_total, 0) > 0
+            THEN {half_up6_duck("COALESCE(tri_rep, 0)", "tri_total")}
+            ELSE 0.0 END AS tri_rep_fraction,
+       CASE WHEN COALESCE(bi_total, 0) > 0
+            THEN {half_up6_duck("COALESCE(bi_mx, 0)", "bi_total")}
+            ELSE 0.0 END AS top_bigram_share
+FROM documents d LEFT JOIN folded USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2636,6 +2687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_source_similarity": emb_source_similarity,
     "emb_kmeans_lloyd": emb_kmeans_lloyd,
     "emb_power_iteration": emb_power_iteration,
+    "text_repetition_signals": text_repetition_signals,
     "sample_cluster_balanced": sample_cluster_balanced,
     "curation_dsir_weights": curation_dsir_weights,
     "report_source_profile": report_source_profile,
@@ -2690,6 +2742,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "emb_kmeans_lloyd": EMB_KMEANS_SQL,
     "emb_power_iteration": EMB_POWER_ITER_SQL,
+    "text_repetition_signals": TEXT_REPETITION_SQL,
     "sample_cluster_balanced": CLUSTER_SAMPLE_SQL,
     "curation_dsir_weights": DSIR_SQL,
     "report_source_profile": SOURCE_PROFILE_SQL,

@@ -14,6 +14,10 @@ ROUND7 = [
     "trend_per_event_type",
     "hierarchy_subtree_rollup",
     "emb_power_iteration",
+    "graph_triangle_census",
+    "session_window_native",
+    "agg_bitmap_distinct",
+    "text_repetition_signals",
 ]
 
 
@@ -125,3 +129,47 @@ def test_hierarchy_rollup_hand_checked(spark):
         50: (1, 7.0),
         5: (1, 7.0),
     }, got
+
+
+def test_triangle_count_hand_checked(spark):
+    """K4 plus a pendant edge: C(4,3)=4 triangles; wedges =
+    3·C(3,2)+C(4,2)=15 (three degree-3 nodes, one degree-4 node);
+    clustering = 12/15 = 0.8. Duplicate/reversed input edges must
+    normalize away."""
+    from near_event_streams_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5)] + [(2, 1), (3, 1)]  # reversed dups
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).first()
+    assert (
+        row["n_nodes"],
+        row["n_edges"],
+        row["n_triangles"],
+        row["n_wedges"],
+        row["global_clustering"],
+    ) == (5, 7, 4, 15, 0.8), row
+
+
+def test_repetition_signals_hand_checked(spark):
+    """'a b c a b c a b' → trigrams: [abc, bca, cab, abc, bca, cab] —
+    all 6 occurrences repeat (fraction 1.0); bigrams: ab×3, bc×2,
+    ca×2 of 7 → top share 3/7. A 2-word doc has zero trigrams."""
+    from near_event_streams_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c a b"), (1, "x y"), (2, "unique words only here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_trigrams"],
+            r["n_repeated_trigrams"],
+            r["tri_rep_fraction"],
+            r["top_bigram_share"],
+        )
+        for r in repetition_signals(docs).collect()
+    }
+    assert got[0] == (6, 6, 1.0, round(3 / 7, 6) + 0.0), got[0]
+    assert got[1] == (0, 0, 0.0, 1.0), got[1]
+    assert got[2][1] == 0 and got[2][2] == 0.0, got[2]

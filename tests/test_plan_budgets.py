@@ -201,6 +201,18 @@ ROUND7_BUDGETS = {
     # two pruned store scans + status agg + presentation sort; bucket
     # store reads are unioned file scans, not shuffles
     "time_travel_orders": 2,
+    # degree-oriented wedge join: e/deg/oriented persisted (diamond
+    # reuse), 7 executing exchanges outside the caches + 3 cache-fill
+    # bodies. The r7 counter fix (dedent + id-strip cache keys) makes
+    # this the true executing count, not the 41 textual reprints.
+    "graph_triangle_census": 10,
+    # one session-window agg + presentation sort
+    "session_window_native": 2,
+    # (status, bucket) bitmap agg + status merge + presentation sort
+    "agg_bitmap_distinct": 3,
+    # tagged gram generate -> (doc,kind,gram) count -> (doc,kind)
+    # reduce -> doc join; 4 keyed exchanges
+    "text_repetition_signals": 4,
 }
 
 

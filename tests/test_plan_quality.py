@@ -63,7 +63,20 @@ def count_exchanges(plan: str) -> int:
                 while j < len(block) and depth(block[j]) > d:
                     j += 1
                 body = block[i + 1 : j]
-                key = re.sub(r"plan_id=\d+", "", "\n".join(body))
+                # strip plan ids AND expression ids: CacheManager
+                # matches canonicalized plans (expr ids ignored), so a
+                # self-join-dealiased second reference ([a#64L] over the
+                # same cached [a#26L] body) is the SAME cache entry and
+                # must not double-count (r7: graph_triangle_census)
+                # dedent each body line before keying: the same cached
+                # body prints at a different indentation depth under
+                # each consumer, which defeated the dedup for deeply
+                # shared diamonds (r7: graph_triangle_census)
+                key = re.sub(
+                    r"plan_id=\d+|#\d+L?",
+                    "",
+                    "\n".join(line.lstrip(" :+-") for line in body),
+                )
                 if key not in seen_bodies:
                     seen_bodies.add(key)
                     total += count(body)
