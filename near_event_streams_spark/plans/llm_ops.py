@@ -1474,7 +1474,9 @@ def text_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_DISTILL_SQL = """
+# CTE chain shared by TEXT_DISTILL_SQL and QUALITY_PR_SQL: the full
+# hashing-trick NB distillation ending in the `scored` relation
+_DISTILL_BODY = """
 WITH t AS (
   SELECT doc_id, text,
          regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS toks
@@ -1523,15 +1525,21 @@ WITH t AS (
          CAST(COUNT(*) AS INT) AS n_tokens
   FROM (tok LEFT JOIN wt USING (bucket)) CROSS JOIN tot GROUP BY doc_id
 )
-SELECT sc.doc_id, lab.label, sc.n_tokens,
-  ROUND(ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
-        + sc.avg_w, 6) AS clf_score,
-  (ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
-        + sc.avg_w) > 0 AS clf_pred,
-  ((ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
-        + sc.avg_w) > 0) = lab.label AS agree
-FROM (sc LEFT JOIN lab USING (doc_id)) CROSS JOIN dtot
-ORDER BY sc.doc_id
+, scored AS (
+  SELECT sc.doc_id, lab.label, sc.n_tokens,
+    ROUND(ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
+          + sc.avg_w, 6) AS clf_score,
+    (ln(CAST(d_pos + 1 AS DOUBLE) / CAST(d_neg + 1 AS DOUBLE))
+          + sc.avg_w) > 0 AS clf_pred
+  FROM (sc LEFT JOIN lab USING (doc_id)) CROSS JOIN dtot
+)
+"""
+
+TEXT_DISTILL_SQL = _DISTILL_BODY + """
+SELECT doc_id, label, n_tokens, clf_score, clf_pred,
+       clf_pred = label AS agree
+FROM scored
+ORDER BY doc_id
 """
 
 
@@ -2596,6 +2604,140 @@ def _power_iter_oracle_sql(
 EMB_POWER_ITER_SQL = _power_iter_oracle_sql()
 
 
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration sweep: precision/recall/accuracy of the
+    distilled NB quality classifier (``text.nb_quality_distill``, the
+    ``text_quality_distill`` model) against its Gopher teacher labels
+    at 17 score thresholds (−2.0 … 2.0, step 0.25) — the curve read
+    before picking a corpus-filter operating point. One broadcast
+    threshold spine × one pass over the scored docs, one bounded agg;
+    ratios via the engine-exact integer HALF_UP helper."""
+    docs = load_table(spark, sf_dir, "documents")
+    teacher = text.repetition_features(docs).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    scored = text.nb_quality_distill(docs, teacher, buckets=4096).select(
+        "doc_id", "label", "clf_score"
+    )
+    th = spark.range(-8, 9).select(
+        (F.col("id").cast("double") / 4.0).alias("thr")
+    )
+    j = scored.crossJoin(F.broadcast(th))
+    pred = F.col("clf_score") >= F.col("thr")
+    g = j.groupBy("thr").agg(
+        F.count(F.when(pred & F.col("label"), 1)).alias("n_tp"),
+        F.count(F.when(pred & ~F.col("label"), 1)).alias("n_fp"),
+        F.count(F.when(~pred & F.col("label"), 1)).alias("n_fn"),
+        F.count(F.when(~pred & ~F.col("label"), 1)).alias("n_tn"),
+    )
+    return g.select(
+        "thr",
+        "n_tp",
+        "n_fp",
+        "n_fn",
+        "n_tn",
+        F.when(
+            F.col("n_tp") + F.col("n_fp") > 0,
+            F.expr(half_up6_spark("n_tp", "n_tp + n_fp")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(
+            F.col("n_tp") + F.col("n_fn") > 0,
+            F.expr(half_up6_spark("n_tp", "n_tp + n_fn")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    ).orderBy("thr")
+
+
+QUALITY_PR_SQL = _DISTILL_BODY + f"""
+, th AS (
+  SELECT CAST(x AS DOUBLE) / 4.0 AS thr FROM unnest(range(-8, 9)) t(x)
+), g AS (
+  SELECT thr,
+         CAST(COUNT(*) FILTER (WHERE clf_score >= thr AND label)
+              AS BIGINT) AS n_tp,
+         CAST(COUNT(*) FILTER (WHERE clf_score >= thr AND NOT label)
+              AS BIGINT) AS n_fp,
+         CAST(COUNT(*) FILTER (WHERE clf_score < thr AND label)
+              AS BIGINT) AS n_fn,
+         CAST(COUNT(*) FILTER (WHERE clf_score < thr AND NOT label)
+              AS BIGINT) AS n_tn
+  FROM scored CROSS JOIN th
+  GROUP BY thr
+)
+SELECT thr, n_tp, n_fp, n_fn, n_tn,
+       CASE WHEN n_tp + n_fp > 0
+            THEN {half_up6_duck("n_tp", "n_tp + n_fp")}
+            ELSE 0.0 END AS precision,
+       CASE WHEN n_tp + n_fn > 0
+            THEN {half_up6_duck("n_tp", "n_tp + n_fn")}
+            ELSE 0.0 END AS recall
+FROM g ORDER BY thr
+"""
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID error analysis: the (labeled lang × predicted lang)
+    confusion matrix of the marker-word classifier (``text.lang_id``),
+    with each cell's share of its labeled-language row — which
+    languages the heuristic confuses, the evaluation read before
+    trusting per-language corpus mixtures. Bounded |langs|² output; one
+    doc-level pass + one tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.lang_id(docs).select("lang", "pred_lang")
+    row_tot = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        out.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(row_tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr(half_up6_spark("n_docs", "n_lang")).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {_SCORES["en"]} AS score_en,
+    {_SCORES["es"]} AS score_es,
+    {_SCORES["de"]} AS score_de,
+    {_SCORES["fr"]} AS score_fr,
+    {_SCORES["zh"]} AS score_zh
+  FROM documents
+), pred AS (
+  SELECT lang,
+    CASE
+      WHEN score_en >= GREATEST(score_es, score_de, score_fr, score_zh)
+        THEN 'en'
+      WHEN score_es >= GREATEST(score_de, score_fr, score_zh) THEN 'es'
+      WHEN score_de >= GREATEST(score_fr, score_zh) THEN 'de'
+      WHEN score_fr >= score_zh THEN 'fr'
+      ELSE 'zh'
+    END AS pred_lang
+  FROM scored
+), cells AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+  FROM cells GROUP BY 1
+)
+SELECT c.lang, c.pred_lang, c.n_docs,
+       {half_up6_duck("c.n_docs", "t.n_lang")} AS row_share
+FROM cells c JOIN tot t USING (lang)
+ORDER BY c.lang, c.pred_lang
+"""
+
+
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition (``text.repetition_signals``): the
     Gopher-style boilerplate detector — per doc, the fraction of
@@ -2688,6 +2830,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kmeans_lloyd": emb_kmeans_lloyd,
     "emb_power_iteration": emb_power_iteration,
     "text_repetition_signals": text_repetition_signals,
+    "quality_pr_curve": quality_pr_curve,
+    "lang_confusion_matrix": lang_confusion_matrix,
     "sample_cluster_balanced": sample_cluster_balanced,
     "curation_dsir_weights": curation_dsir_weights,
     "report_source_profile": report_source_profile,
@@ -2743,6 +2887,8 @@ ORACLE_SQL: dict[str, str] = {
     "emb_kmeans_lloyd": EMB_KMEANS_SQL,
     "emb_power_iteration": EMB_POWER_ITER_SQL,
     "text_repetition_signals": TEXT_REPETITION_SQL,
+    "quality_pr_curve": QUALITY_PR_SQL,
+    "lang_confusion_matrix": LANG_CONFUSION_SQL,
     "sample_cluster_balanced": CLUSTER_SAMPLE_SQL,
     "curation_dsir_weights": DSIR_SQL,
     "report_source_profile": SOURCE_PROFILE_SQL,

@@ -18,6 +18,8 @@ ROUND7 = [
     "session_window_native",
     "agg_bitmap_distinct",
     "text_repetition_signals",
+    "quality_pr_curve",
+    "lang_confusion_matrix",
 ]
 
 

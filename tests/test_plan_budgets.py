@@ -213,6 +213,11 @@ ROUND7_BUDGETS = {
     # tagged gram generate -> (doc,kind,gram) count -> (doc,kind)
     # reduce -> doc join; 4 keyed exchanges
     "text_repetition_signals": 4,
+    # distill scoring (bucket agg + doc agg) + threshold agg + sort;
+    # the 17-row threshold spine broadcasts
+    "quality_pr_curve": 4,
+    # doc-level scoring is narrow; cell agg + row-total agg + sort
+    "lang_confusion_matrix": 3,
 }
 
 
