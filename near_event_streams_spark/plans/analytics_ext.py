@@ -4800,6 +4800,88 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def scan_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink FORMAT breadth, gated: write the orders' exact-
+    round-trip columns (ints, strings, ISO day strings — no floats, so
+    text serialization is lossless by construction) to CSV-with-header
+    AND JSON-lines under a wiped scratch dir, read both back with
+    EXPLICIT schemas (never inference in a production read path), and
+    aggregate per (format, status). The oracle aggregates the parquet
+    source directly, once per format tag — any serialization drift in
+    either format breaks the hash. Scratch path is a stable md5 digest
+    (the merge-store lesson)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    sel = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format(
+            F.col("o_orderdate").cast("date"), "yyyy-MM-dd"
+        ).alias("order_day"),
+        "o_orderpriority",
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"nes_fmt_gate_{digest}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    sel.write.mode("overwrite").option("header", True).csv(
+        os.path.join(base, "csv")
+    )
+    sel.write.mode("overwrite").json(os.path.join(base, "json"))
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "order_day string, o_orderpriority string"
+    )
+    c = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(os.path.join(base, "csv"))
+        .withColumn("fmt", F.lit("csv"))
+    )
+    j = (
+        spark.read.schema(schema)
+        .json(os.path.join(base, "json"))
+        .withColumn("fmt", F.lit("json"))
+    )
+    return (
+        c.unionByName(j)
+        .groupBy("fmt", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.min("order_day").alias("first_day"),
+            F.max("order_day").alias("last_day"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("fmt", "o_orderstatus")
+    )
+
+
+MULTIFORMAT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+         o_orderpriority
+  FROM orders
+), fmts AS (
+  SELECT 'csv' AS fmt UNION ALL SELECT 'json'
+)
+SELECT fmt, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MIN(order_day) AS first_day,
+       MAX(order_day) AS last_day,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM base CROSS JOIN fmts
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -4875,6 +4957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangle_census": graph_triangle_census,
     "session_window_native": session_window_native,
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "scan_multiformat_roundtrip": scan_multiformat_roundtrip,
     "graph_label_propagation": graph_label_propagation,
     "url_functions": url_functions,
     "string_fuzzy_levenshtein": string_fuzzy_levenshtein,
@@ -4966,6 +5049,7 @@ ORACLE_SQL: dict[str, str] = {
     "graph_triangle_census": TRIANGLE_SQL,
     "session_window_native": SESSION_WINDOW_SQL,
     "agg_bitmap_distinct": BITMAP_DISTINCT_SQL,
+    "scan_multiformat_roundtrip": MULTIFORMAT_SQL,
     "graph_label_propagation": LABELPROP_SQL,
     "url_functions": URL_FUNCTIONS_SQL,
     "string_fuzzy_levenshtein": STRING_FUZZY_SQL,

@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from near_event_streams_spark.operators import dedup, multimodal, similarity, text
 from near_event_streams_spark.plans._common import half_up6_duck, half_up6_spark
@@ -444,6 +445,86 @@ SELECT node AS doc_id,
 FROM lab
 GROUP BY node
 ORDER BY doc_id
+"""
+)
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup RESOLUTION: near-dup clusters (exact
+    Jaccard ≥ 0.8 → connected components) keep their HIGHEST-QUALITY
+    member (most distinct words, doc id as tie-break) instead of the
+    naive lowest-id representative — the standard refinement that stops
+    dedup from discarding the cleaner copy of a pair. Singletons form
+    their own component and survive. Window ranks run per component
+    (bounded groups, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    comp = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    q = text.quality_features(docs).select("doc_id", "n_distinct_words")
+    full = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "component", F.coalesce("component", F.col("doc_id"))
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_distinct_words"), F.asc("doc_id")
+    )
+    return (
+        full.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "n_distinct_words",
+            (F.col("rn") == 1).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = (
+    _JACCARD_EXACT_PAIRS_CTE.rstrip().replace(
+        "WITH words", "WITH RECURSIVE words", 1
+    )
+    + """,
+sym_edges AS (
+  SELECT a_doc_id AS src, b_doc_id AS dst FROM true_pairs
+  UNION
+  SELECT b_doc_id AS src, a_doc_id AS dst FROM true_pairs
+),
+lab(node, comp) AS (
+  SELECT src, LEAST(src, dst) FROM sym_edges
+  UNION
+  SELECT e.dst, l.comp
+  FROM lab l JOIN sym_edges e ON l.node = e.src
+  WHERE l.comp < e.dst
+),
+comp AS (
+  SELECT node AS doc_id, MIN(comp) AS component FROM lab GROUP BY node
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+              AS INT) AS n_distinct_words
+  FROM documents
+),
+membership AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT m.doc_id, m.component, q.n_distinct_words,
+         row_number() OVER (PARTITION BY m.component
+                            ORDER BY q.n_distinct_words DESC, m.doc_id)
+           AS rn
+  FROM membership m JOIN q USING (doc_id)
+)
+SELECT doc_id, component, n_distinct_words, rn = 1 AS kept
+FROM ranked ORDER BY doc_id
 """
 )
 
@@ -2799,6 +2880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_containment_docs": dedup_containment_docs,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best_quality": dedup_keep_best_quality,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
     "ingest_neardup_incremental": ingest_neardup_incremental,
     "dedup_simhash_docs": dedup_simhash_docs,
@@ -2856,6 +2938,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard_docs": DEDUP_JACCARD_SQL,
     "dedup_containment_docs": DEDUP_CONTAINMENT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_keep_best_quality": DEDUP_KEEP_BEST_SQL,
     "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,
     "ingest_neardup_incremental": INGEST_NEARDUP_SQL,
     "dedup_simhash_docs": DEDUP_SIMHASH_SQL,

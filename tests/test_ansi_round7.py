@@ -20,6 +20,8 @@ ROUND7 = [
     "text_repetition_signals",
     "quality_pr_curve",
     "lang_confusion_matrix",
+    "dedup_keep_best_quality",
+    "scan_multiformat_roundtrip",
 ]
 
 

@@ -218,6 +218,12 @@ ROUND7_BUDGETS = {
     "quality_pr_curve": 4,
     # doc-level scoring is narrow; cell agg + row-total agg + sort
     "lang_confusion_matrix": 3,
+    # components run eagerly (localCheckpoint truncates lineage); the
+    # returned plan is the membership join + per-component rank window
+    "dedup_keep_best_quality": 2,
+    # union of two format scans -> distinct-expand agg (countDistinct
+    # adds a partial) + status agg + presentation sort
+    "scan_multiformat_roundtrip": 3,
 }
 
 
