@@ -229,7 +229,9 @@ def triangle_count(
     # two endpoint joins + the node/wedge aggregate; oriented feeds the
     # two wedge legs + the closure probe. Without persist each consumer
     # recomputes the whole upstream subtree — the classic diamond-reuse
-    # trap this operator's budget gate pins.
+    # trap this operator's budget gate pins. The cache handles are
+    # caller-owned (spark.catalog.clearCache()), the same contract as
+    # label_propagation / kmeans_lloyd_fixedpoint.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),

@@ -857,6 +857,8 @@ def power_iteration_pc1(
     sort. Overflow: s_i <= dim·(2·scale)·2^20 ≈ 1.3e11; the w sum is
     decimal(38,0), good to 10^38 — no corpus size overflows it.
     """
+    if iters < 1:
+        raise ValueError(f"power_iteration_pc1: iters must be >= 1, got {iters}")
     u = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
@@ -864,6 +866,8 @@ def power_iteration_pc1(
         )
         + F.lit(offset_units),
     )
+    # persisted for the iters projection passes; handle is caller-owned
+    # (clearCache), same contract as kmeans_lloyd_fixedpoint
     v = embs.select(F.col(id_col).alias("vec_id"), u.alias("u")).persist()
     min_unit = v.select(F.min(F.array_min("u")).alias("mn")).first()["mn"]
     if min_unit is not None and min_unit < 0:
@@ -901,6 +905,12 @@ def power_iteration_pc1(
         w = {int(r["pos"]): int(r["w"]) for r in w_rows}
         wv = [w[p] for p in sorted(w)]
         m = max(wv)
+        if m <= 0:
+            raise ValueError(
+                "power_iteration_pc1: degenerate corpus — every Gram "
+                "component is zero (all vectors quantize to 0); raise "
+                "offset_units or check the input"
+            )
         vvec = [(x << 20) // m for x in wv]
     top = scored.orderBy(F.desc("s"), F.asc("vec_id")).limit(top_k)
     rk = Window.orderBy(F.desc("s"), F.asc("vec_id"))  # top_k rows

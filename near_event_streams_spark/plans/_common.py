@@ -63,6 +63,38 @@ def half_up6_duck(num: str, den: str, num_scale: int = 1) -> str:
     )
 
 
+def half_up_signed_spark(
+    num: str, den: str, digits: int = 6, num_scale: int = 1
+) -> str:
+    """Signed variant of :func:`half_up6_spark`: HALF_UP (away from
+    zero) rounding of ``(num/num_scale)/den`` at ``digits`` decimals,
+    for POSITIVE ``den`` and either-sign integer-valued ``num`` —
+    ``q = sign(num)·((2·|num|·M + den) div (2·den))`` with
+    ``M = 10^digits/num_scale``; abs() makes truncating and floor
+    division agree, so the DuckDB twin is bit-identical. NULL/zero
+    ``den`` propagates NULL (callers guard or accept NULL)."""
+    assert 10**digits % num_scale == 0, (digits, num_scale)
+    m = 10**digits // num_scale
+    return (
+        f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
+        f" * CAST((CAST(ABS({num}) AS DECIMAL(38,0))*{2 * m} + ({den}))"
+        f" div (2*({den})) AS BIGINT) AS DOUBLE)/{10**digits}.0"
+    )
+
+
+def half_up_signed_duck(
+    num: str, den: str, digits: int = 6, num_scale: int = 1
+) -> str:
+    """DuckDB twin of :func:`half_up_signed_spark` (HUGEINT, ``//``)."""
+    assert 10**digits % num_scale == 0, (digits, num_scale)
+    m = 10**digits // num_scale
+    return (
+        f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
+        f" * CAST((CAST(ABS({num}) AS HUGEINT)*{2 * m} + ({den}))"
+        f" // (2*({den})) AS BIGINT) AS DOUBLE)/{10**digits}.0"
+    )
+
+
 def ts_us(col_name: str = "ts") -> Column:
     """``events.ts`` (parquet timestamp[us], read as TIMESTAMP_NTZ) →
     epoch microseconds. Session timezone is pinned to UTC (session.py),

@@ -27,6 +27,7 @@ from near_event_streams_spark.plans._common import (
     dsum,
     half_up6_duck,
     half_up6_spark,
+    half_up_signed_duck,
 )
 
 # --------------------------------------------------------------------------
@@ -2175,10 +2176,15 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("_prev_n", F.lag("n").over(w))
         # exact integer HALF_UP (see _common.half_up6_*); NULL prev
-        # (step 1) propagates to NULL like the double division did
+        # (step 1) propagates to NULL like the double division did, and
+        # a ZERO prev (empty funnel step) is guarded to NULL too — the
+        # integer div would raise DIVIDE_BY_ZERO under ANSI mode
         .withColumn(
             "conv_from_prev",
-            F.expr(half_up6_spark("n", "_prev_n")),
+            F.when(
+                F.col("_prev_n") > 0,
+                F.expr(half_up6_spark("n", "_prev_n")),
+            ),
         )
         .drop("_prev_n")
         .orderBy("step")
@@ -2209,7 +2215,8 @@ WITH ev AS (
   SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 )
 SELECT step, step_name, n,
-       {half_up6_duck("n", "prev_n")} AS conv_from_prev
+       CASE WHEN prev_n > 0
+            THEN {half_up6_duck("n", "prev_n")} END AS conv_from_prev
 FROM (SELECT step, step_name, n,
              lag(n) OVER (ORDER BY step) AS prev_n
       FROM counts)
@@ -2283,10 +2290,15 @@ def funnel_windowed_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("_prev_n", F.lag("n").over(w))
         # exact integer HALF_UP (see _common.half_up6_*); NULL prev
-        # (step 1) propagates to NULL like the double division did
+        # (step 1) propagates to NULL like the double division did, and
+        # a ZERO prev (empty funnel step) is guarded to NULL too — the
+        # integer div would raise DIVIDE_BY_ZERO under ANSI mode
         .withColumn(
             "conv_from_prev",
-            F.expr(half_up6_spark("n", "_prev_n")),
+            F.when(
+                F.col("_prev_n") > 0,
+                F.expr(half_up6_spark("n", "_prev_n")),
+            ),
         )
         .drop("_prev_n")
         .orderBy("step")
@@ -2320,7 +2332,8 @@ WITH ev AS (
   SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
 )
 SELECT step, step_name, n,
-       {half_up6_duck("n", "prev_n")} AS conv_from_prev
+       CASE WHEN prev_n > 0
+            THEN {half_up6_duck("n", "prev_n")} END AS conv_from_prev
 FROM (SELECT step, step_name, n,
              lag(n) OVER (ORDER BY step) AS prev_n
       FROM counts)
@@ -4428,16 +4441,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.expr(
-                "CAST(CAST((CAST(sum(m_dec)*100 AS DECIMAL(38,0))*20000"
-                " + count(1)) div (2*count(1)) AS BIGINT) AS DOUBLE)"
-                " / 1000000.0"
+                half_up6_spark("sum(m_dec)*100", "count(1)", 100)
             ).alias("avg_monetary"),
         )
         .orderBy("seg_recency", "seg_frequency", "seg_monetary")
     )
 
 
-RFM_SQL = """
+RFM_SQL = f"""
 WITH per_cust AS (
   SELECT o_custkey,
          CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
@@ -4469,8 +4480,7 @@ WITH per_cust AS (
 )
 SELECT seg_recency, seg_frequency, seg_monetary,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(CAST((CAST(SUM(m)*100 AS HUGEINT)*20000 + COUNT(*))
-                 // (2*COUNT(*)) AS BIGINT) AS DOUBLE) / 1000000.0
+       {half_up6_duck("SUM(m)*100", "COUNT(*)", 100)}
          AS avg_monetary
 FROM segs GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
@@ -4545,43 +4555,81 @@ def trend_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
         )
     )
-    n = F.col("n").cast("double")
-    sx = F.col("sx").cast("double")
-    sy = F.col("sy").cast("double")
-    sxx = F.col("sxx").cast("double")
-    sxy = F.col("sxy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    return g.select(
+    from near_event_streams_spark.plans._common import (
+        half_up_signed_spark,
+    )
+
+    # slope = t_num/t_den and intercept = (sy·t_den − t_num·sx)/(n·t_den)
+    # stay EXACT decimals end-to-end, rounded by the signed integer
+    # HALF_UP helper — ROUND on the double quotient is the r6 tie class
+    # (and violates the verify-skill rule this round introduced).
+    # t_den = n·Σx² − (Σx)² ≥ 0; zero (a group with one distinct x) is
+    # guarded to NULL on both engines.
+    g2 = g.withColumn("t_num", F.expr("n*sxy - sx*sy")).withColumn(
+        "t_den", F.expr("n*sxx - sx*sx")
+    )
+    slope = F.when(
+        F.col("t_den") > 0,
+        F.expr(half_up_signed_spark("t_num*100", "t_den", 9, 100)),
+    )
+    intercept = F.when(
+        F.col("t_den") > 0,
+        F.expr(
+            half_up_signed_spark(
+                "(sy*t_den - t_num*sx)*100", "n*t_den", 6, 100
+            )
+        ),
+    )
+    return g2.select(
         "event_type",
         F.col("n").alias("n_events"),
-        F.round(slope, 9).alias("trend_slope"),
-        F.round((sy - slope * sx) / n, 6).alias("trend_intercept"),
+        slope.alias("trend_slope"),
+        intercept.alias("trend_intercept"),
     ).orderBy("event_type")
 
 
-TREND_SQL = """
+TREND_SQL = f"""
 WITH g AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
-                       AS DECIMAL(10,0))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
-                       AS DECIMAL(10,0))
-                  * CAST(epoch_ns(ts) // 1000 // 86400000000
-                         AS DECIMAL(10,0))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
-                       AS DECIMAL(10,0))
-                  * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+         SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
+                  AS DECIMAL(10,0))) AS sx,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
+                  AS DECIMAL(10,0))
+             * CAST(epoch_ns(ts) // 1000 // 86400000000
+                    AS DECIMAL(10,0))) AS sxx,
+         SUM(CAST(epoch_ns(ts) // 1000 // 86400000000
+                  AS DECIMAL(10,0))
+             * CAST(value AS DECIMAL(12,2))) AS sxy
   FROM events GROUP BY 1
+), gi AS (
+  -- HUGEINT integer units BEFORE any multiplication: DuckDB silently
+  -- promotes decimal products that would exceed DECIMAL(38) to DOUBLE,
+  -- which re-introduces the binary-rounding divergence this query
+  -- exists to avoid. sy/sxy carry 2dp -> cents.
+  SELECT event_type, CAST(n AS HUGEINT) AS n,
+         CAST(sx AS HUGEINT) AS sx0,
+         CAST(sy*100 AS HUGEINT) AS sy2,
+         CAST(sxx AS HUGEINT) AS sxx0,
+         CAST(sxy*100 AS HUGEINT) AS sxy2
+  FROM g
+), g2 AS (
+  SELECT event_type, n,
+         n*sxy2 - sx0*sy2 AS t_num_cents,
+         n*sxx0 - sx0*sx0 AS t_den,
+         sy2, sx0
+  FROM gi
 )
-SELECT event_type, n AS n_events,
-       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS trend_slope,
-       ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
-             / CAST(n AS DOUBLE), 6) AS trend_intercept
-FROM g ORDER BY event_type
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CASE WHEN t_den > 0
+            THEN {half_up_signed_duck("t_num_cents", "t_den", 9, 100)}
+            END AS trend_slope,
+       CASE WHEN t_den > 0
+            THEN {half_up_signed_duck(
+                "sy2*t_den - t_num_cents*sx0", "n*t_den", 6, 100)}
+            END AS trend_intercept
+FROM g2 ORDER BY event_type
 """
 
 
