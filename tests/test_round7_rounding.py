@@ -95,3 +95,50 @@ def test_oracle_canonicalizer_matches_driver_resolution():
     # one-ulp ln() divergence between JVM and DuckDB libm: tolerated
     c, d = 6.9021395401965009, 6.9021395401965018
     assert _canon_value(c) == _canon_value(d)
+
+
+def test_half_up_signed_helpers_agree_on_ties(spark):
+    """Signed variant: negative ties must round AWAY FROM ZERO on both
+    engines (Spark HALF_UP == DuckDB decimal-style half-away), and the
+    digits/num_scale parameters must agree."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.plans._common import (
+        half_up_signed_duck,
+        half_up_signed_spark,
+    )
+
+    cases = [
+        (-6857055399, 3200),   # the r6 tie, negated: -2142829.8121875
+        (6857055399, 3200),
+        (-1, 2000000),         # -5e-7 → -0.000001
+        (-3, 2000000),
+        (1, 3),
+        (-999999999999, 1024),
+    ]
+    sdf = spark.createDataFrame(cases, "num long, den long").select(
+        "num",
+        "den",
+        F.expr(half_up_signed_spark("num", "den", 6, 1)).alias("q6"),
+        F.expr(half_up_signed_spark("num*100", "den", 9, 100)).alias(
+            "q9"
+        ),
+    )
+    got = {(r["num"], r["den"]): (r["q6"], r["q9"]) for r in sdf.collect()}
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (num BIGINT, den BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            f"SELECT num, den, "
+            f"{half_up_signed_duck('num', 'den', 6, 1)}, "
+            f"{half_up_signed_duck('num*100', 'den', 9, 100)} FROM t"
+        ).fetchall()
+    }
+    assert got == want, (got, want)
+    assert got[(-6857055399, 3200)][0] == -2142829.812188  # away from 0
+    assert got[(-1, 2000000)][0] == -0.000001
