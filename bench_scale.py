@@ -86,6 +86,8 @@ STRESS = [
     ("graph_pagerank_copurchase", FACT_COPIES, "lineitem x10"),
     ("dedup_containment_docs", DOC_COPIES, "documents x32"),
     ("emb_kmeans_lloyd", DOC_COPIES, "embeddings x32"),
+    ("emb_power_iteration", DOC_COPIES, "embeddings x32"),
+    ("graph_triangle_census", FACT_COPIES, "lineitem x10"),
 ]
 
 
