@@ -4930,6 +4930,94 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level data-quality PROFILE: per column, null count /
+    distinct count / min / max (rendered as strings so one schema fits
+    every column type) — the first look any ingestion pipeline takes at
+    a new table. ONE pass over orders computes all 24 metrics in a
+    single aggregate, then a ``stack`` generator pivots the 1-row
+    result into a per-column report (no per-column re-scan). Decimal
+    and ISO-day renderings keep the string forms engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    typed = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": dec("o_totalprice"),
+        "o_orderdate": F.date_format(
+            F.col("o_orderdate").cast("date"), "yyyy-MM-dd"
+        ),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = []
+    for name, col in typed.items():
+        aggs += [
+            F.count(F.when(col.isNull(), 1)).alias(f"nn_{name}"),
+            F.countDistinct(col).alias(f"nd_{name}"),
+            F.min(col).cast("string").alias(f"mn_{name}"),
+            F.max(col).cast("string").alias(f"mx_{name}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+        for name in typed
+    )
+    return one.selectExpr(
+        f"stack({len(typed)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)"
+    ).orderBy("col_name")
+
+
+DQ_COLUMN_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col_name,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+           AS n_nulls,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(MIN(o_custkey) AS VARCHAR),
+         CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(12,2)))
+              AS BIGINT),
+         CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+         CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate',
+         CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+         CAST(COUNT(DISTINCT strftime(CAST(o_orderdate AS DATE),
+                                      '%Y-%m-%d')) AS BIGINT),
+         MIN(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')),
+         MAX(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'))
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL)
+              AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+ORDER BY col_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
@@ -5006,6 +5094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window_native": session_window_native,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "scan_multiformat_roundtrip": scan_multiformat_roundtrip,
+    "dq_column_profile": dq_column_profile,
     "graph_label_propagation": graph_label_propagation,
     "url_functions": url_functions,
     "string_fuzzy_levenshtein": string_fuzzy_levenshtein,
@@ -5098,6 +5187,7 @@ ORACLE_SQL: dict[str, str] = {
     "session_window_native": SESSION_WINDOW_SQL,
     "agg_bitmap_distinct": BITMAP_DISTINCT_SQL,
     "scan_multiformat_roundtrip": MULTIFORMAT_SQL,
+    "dq_column_profile": DQ_COLUMN_PROFILE_SQL,
     "graph_label_propagation": LABELPROP_SQL,
     "url_functions": URL_FUNCTIONS_SQL,
     "string_fuzzy_levenshtein": STRING_FUZZY_SQL,

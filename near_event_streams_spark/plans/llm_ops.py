@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from near_event_streams_spark.operators import dedup, multimodal, similarity, text
-from near_event_streams_spark.plans._common import half_up6_duck, half_up6_spark
+from near_event_streams_spark.plans._common import (
+    half_up6_duck,
+    half_up6_spark,
+    half_up_signed_duck,
+)
 from near_event_streams_spark.sources.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -2870,6 +2874,84 @@ ORDER BY d.doc_id
 """
 
 
+def emb_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column PROFILE: per-dimension count / mean / std /
+    min / max over the whole corpus — the read before feature
+    standardization, whitening, or quantizer calibration (which
+    dimensions are dead, skewed, or dominate the scale). One
+    posexplode + one 64-key hash agg. Means are exact decimal sums
+    rounded by the signed integer helper at 12dp; std uses the exact
+    decimal moments collapsed to doubles once (sqrt is IEEE
+    correctly-rounded, so both engines agree bit-for-bit — the
+    ``stats_corr_regression`` precedent)."""
+    from near_event_streams_spark.plans._common import (
+        half_up_signed_spark,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("pos", "vf")
+    ).select("pos", F.col("vf").cast("double").alias("v"))
+    g = flat.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("v"), 12).cast("decimal(26,12)")).alias(
+            "s12"
+        ),
+        F.sum(
+            F.round(F.col("v") * F.col("v"), 12).cast("decimal(26,12)")
+        ).alias("ss12"),
+        F.min("v").alias("dim_min"),
+        F.max("v").alias("dim_max"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s12").cast("double")
+    ssd = F.col("ss12").cast("double")
+    var = (nd * ssd - sd * sd) / (nd * nd)
+    return g.select(
+        "pos",
+        "n",
+        F.expr(
+            half_up_signed_spark(
+                "CAST(s12*1000000000000 AS DECIMAL(38,0))",
+                "n",
+                12,
+                10**12,
+            )
+        ).alias("dim_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias(
+            "dim_std"
+        ),
+        "dim_min",
+        "dim_max",
+    ).orderBy("pos")
+
+
+EMB_DIM_PROFILE_SQL = f"""
+WITH flat AS (
+  SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, 65)) t(i)
+), g AS (
+  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(v, 12) AS DECIMAL(26,12))) AS s12,
+         SUM(CAST(ROUND(v * v, 12) AS DECIMAL(26,12))) AS ss12,
+         MIN(v) AS dim_min,
+         MAX(v) AS dim_max
+  FROM flat GROUP BY pos
+)
+SELECT CAST(pos AS INT) AS pos, n,
+       {half_up_signed_duck(
+           "CAST(s12*1000000000000 AS HUGEINT)", "n", 12, 10**12)}
+         AS dim_mean,
+       ROUND(sqrt(GREATEST(
+           (CAST(n AS DOUBLE) * CAST(ss12 AS DOUBLE)
+            - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)), 6)
+         AS dim_std,
+       dim_min, dim_max
+FROM g ORDER BY pos
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2911,6 +2993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_source_similarity": emb_source_similarity,
     "emb_kmeans_lloyd": emb_kmeans_lloyd,
     "emb_power_iteration": emb_power_iteration,
+    "emb_dimension_profile": emb_dimension_profile,
     "text_repetition_signals": text_repetition_signals,
     "quality_pr_curve": quality_pr_curve,
     "lang_confusion_matrix": lang_confusion_matrix,
@@ -2969,6 +3052,7 @@ ORACLE_SQL: dict[str, str] = {
     "emb_source_similarity": EMB_SOURCE_SIM_SQL,
     "emb_kmeans_lloyd": EMB_KMEANS_SQL,
     "emb_power_iteration": EMB_POWER_ITER_SQL,
+    "emb_dimension_profile": EMB_DIM_PROFILE_SQL,
     "text_repetition_signals": TEXT_REPETITION_SQL,
     "quality_pr_curve": QUALITY_PR_SQL,
     "lang_confusion_matrix": LANG_CONFUSION_SQL,

@@ -22,6 +22,8 @@ ROUND7 = [
     "lang_confusion_matrix",
     "dedup_keep_best_quality",
     "scan_multiformat_roundtrip",
+    "emb_dimension_profile",
+    "dq_column_profile",
 ]
 
 

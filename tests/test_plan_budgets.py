@@ -224,6 +224,11 @@ ROUND7_BUDGETS = {
     # union of two format scans -> distinct-expand agg (countDistinct
     # adds a partial) + status agg + presentation sort
     "scan_multiformat_roundtrip": 3,
+    # posexplode generate -> one 64-key moment agg + presentation sort
+    "emb_dimension_profile": 2,
+    # ONE pass computes all 24 metrics; the stack pivot is a zero-
+    # shuffle generator over the 1-row aggregate
+    "dq_column_profile": 1,
 }
 
 
