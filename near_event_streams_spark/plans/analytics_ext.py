@@ -3598,6 +3598,172 @@ ORDER BY purchase_id
 """
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase matched to the user's closest
+    click in EITHER direction within 30 minutes — completing the as-of
+    family (backward `join_asof_purchase_click`, forward
+    `join_asof_forward_tolerance`). Ties (equidistant click before and
+    after) resolve BACKWARD, the causal choice; a same-instant click
+    counts as backward with distance 0.
+
+    Same scalable shape as both siblings: tagged union, ONE shuffle on
+    user_id, and the backward-last + forward-first windows share that
+    single exchange (same partitioning and ordering) — no self-join,
+    no cross product, hot users are one partition's sort not a
+    quadratic blowup."""
+    from near_event_streams_spark.plans._common import ts_us
+
+    tol_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    # click src=0 sorts BEFORE a same-ts purchase: same-instant clicks
+    # are visible to the backward frame and excluded from the forward
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        ts_us().alias("ts_us"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("src"),
+    )
+    order = ["ts_us", "src", "event_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    c_ts = F.when(F.col("src") == 0, F.col("ts_us"))
+    c_id = F.when(F.col("src") == 0, F.col("event_id"))
+    m = (
+        tagged.withColumn("_bts", F.last(c_ts, ignorenulls=True).over(wb))
+        .withColumn("_bid", F.last(c_id, ignorenulls=True).over(wb))
+        .withColumn("_fts", F.first(c_ts, ignorenulls=True).over(wf))
+        .withColumn("_fid", F.first(c_id, ignorenulls=True).over(wf))
+        .filter(F.col("src") == 1)
+    )
+    bdist = F.col("ts_us") - F.col("_bts")
+    fdist = F.col("_fts") - F.col("ts_us")
+    b_ok = F.col("_bts").isNotNull() & (bdist <= tol_us)
+    f_ok = F.col("_fts").isNotNull() & (fdist <= tol_us)
+    use_b = b_ok & (~f_ok | (bdist <= fdist))
+    use_f = f_ok & ~use_b
+    return m.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.when(use_b, F.col("_bid"))
+        .when(use_f, F.col("_fid"))
+        .alias("nearest_click_id"),
+        F.when(use_b, bdist).when(use_f, fdist).alias("dist_us"),
+        F.when(use_b, F.lit("back"))
+        .when(use_f, F.lit("fwd"))
+        .alias("direction"),
+    ).orderBy("purchase_id")
+
+
+ASOF_NEAREST_SQL = """
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS src
+  FROM events WHERE event_type IN ('purchase', 'click')
+), m AS (
+  SELECT user_id, event_id, ts_us, src,
+    last_value(CASE WHEN src = 0 THEN ts_us END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, src, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+    last_value(CASE WHEN src = 0 THEN event_id END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, src, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid,
+    first_value(CASE WHEN src = 0 THEN ts_us END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, src, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts,
+    first_value(CASE WHEN src = 0 THEN event_id END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, src, event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fid
+  FROM tagged
+), p AS (
+  SELECT *,
+    bts IS NOT NULL AND ts_us - bts <= 1800000000 AS b_ok,
+    fts IS NOT NULL AND fts - ts_us <= 1800000000 AS f_ok
+  FROM m WHERE src = 1
+), d AS (
+  SELECT *,
+    b_ok AND (NOT f_ok OR ts_us - bts <= fts - ts_us) AS use_b
+  FROM p
+)
+SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
+  CASE WHEN use_b THEN bid WHEN f_ok THEN fid END AS nearest_click_id,
+  CASE WHEN use_b THEN ts_us - bts
+       WHEN f_ok THEN fts - ts_us END AS dist_us,
+  CASE WHEN use_b THEN 'back' WHEN f_ok THEN 'fwd' END AS direction
+FROM d
+ORDER BY purchase_id
+"""
+
+
+def mixture_temperature_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled source mixture at α = 0.5: sampling weight
+    ``w_i = √n_i / Σ√n_j`` — the standard temperature re-weighting that
+    up-samples small sources relative to proportional mixing (α=1, the
+    ``mixture_weighted_sources`` family). α=0.5 is the EXACTLY
+    REPRODUCIBLE member of the family: sqrt is IEEE correctly-rounded
+    on both engines while fractional ``pow`` is libm-dependent; the
+    Σ√n total folds over a SORTED list so float summation order is
+    pinned. Expected docs in a 100k budget round HALF-AWAY from the
+    6dp weight (exact dyadic .5 ties — both engines agree)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n_docs")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("tot_sqrt")
+    )
+    w = F.round(F.sqrt(F.col("n_docs")) / F.col("tot_sqrt"), 6)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            w.alias("weight"),
+            F.round(w * 100000.0)
+            .cast("bigint")
+            .alias("expected_docs_100k"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_TEMP_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT list_reduce(
+           list_prepend(0.0, list_sort(list(sqrt(CAST(n_docs AS DOUBLE))))),
+           (acc, x) -> acc + x) AS tot_sqrt
+  FROM counts
+)
+SELECT source, n_docs,
+       ROUND(sqrt(CAST(n_docs AS DOUBLE)) / tot_sqrt, 6) AS weight,
+       CAST(ROUND(ROUND(sqrt(CAST(n_docs AS DOUBLE)) / tot_sqrt, 6)
+                  * 100000.0) AS BIGINT) AS expected_docs_100k
+FROM counts CROSS JOIN tot
+ORDER BY source
+"""
+
+
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension build from a change stream: each user's
     event_type is treated as a changing attribute; consecutive repeats
@@ -5075,6 +5241,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_zscore_winsorize": feature_zscore_winsorize,
     "scd2_user_state": scd2_user_state,
     "join_asof_forward_tolerance": join_asof_forward_tolerance,
+    "join_asof_nearest": join_asof_nearest,
+    "mixture_temperature_sources": mixture_temperature_sources,
     "hopping_window_events": hopping_window_events,
     "active_users_dau_wau_mau": active_users_dau_wau_mau,
     "active_users_hll": active_users_hll,
@@ -5168,6 +5336,8 @@ ORACLE_SQL: dict[str, str] = {
     "feature_zscore_winsorize": FEATURE_ZSCORE_SQL,
     "scd2_user_state": SCD2_SQL,
     "join_asof_forward_tolerance": ASOF_FORWARD_SQL,
+    "join_asof_nearest": ASOF_NEAREST_SQL,
+    "mixture_temperature_sources": MIXTURE_TEMP_SQL,
     "hopping_window_events": HOPPING_WINDOW_SQL,
     "active_users_dau_wau_mau": DAU_WAU_MAU_SQL,
     "active_users_hll": ACTIVE_USERS_HLL_SQL,

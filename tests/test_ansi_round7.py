@@ -24,6 +24,8 @@ ROUND7 = [
     "scan_multiformat_roundtrip",
     "emb_dimension_profile",
     "dq_column_profile",
+    "join_asof_nearest",
+    "mixture_temperature_sources",
 ]
 
 

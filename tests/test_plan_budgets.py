@@ -229,6 +229,11 @@ ROUND7_BUDGETS = {
     # ONE pass computes all 24 metrics; the stack pivot is a zero-
     # shuffle generator over the 1-row aggregate
     "dq_column_profile": 1,
+    # one user-key shuffle shared by all four windows + presentation
+    # sort — no self-join in the nearest-match
+    "join_asof_nearest": 2,
+    # source agg + 1-row sorted-fold total + presentation sort
+    "mixture_temperature_sources": 3,
 }
 
 
