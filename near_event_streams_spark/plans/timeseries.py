@@ -25,6 +25,7 @@ from near_event_streams_spark.plans._common import (
     dec,
     half_up6_duck,
     half_up6_spark,
+    half_up_signed_duck,
     ts_us,
 )
 
@@ -324,8 +325,173 @@ ORDER BY event_type, hour_utc
 """
 
 
+def ts_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag CROSS-CORRELATION between the click and purchase
+    hourly count series at lags −3 … +3 hours — the "does activity in
+    A anticipate activity in B" read (positive-lag peak ⇒ clicks lead
+    purchases). Hours present in BOTH series at the shifted alignment
+    correlate (inner join on the shifted hour — documented choice: no
+    zero-imputation bias). One bounded hour-key aggregate, a 7-row lag
+    spine broadcast, one equi-join on the shifted hour, one 7-key
+    moment aggregate; all moments are exact integers so the closed
+    form runs identical flops on both engines (the
+    ``stats_corr_regression`` shape)."""
+    us_h = 3_600_000_000
+    ev = _t(spark, sf_dir, "events")
+    t = ts_us()
+    hour = F.call_function(
+        "div", t - F.pmod(t, F.lit(us_h).cast("long")),
+        F.lit(us_h).cast("long"),
+    )
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", hour.alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = hourly.filter(F.col("event_type") == "click").select(
+        F.col("h").alias("ha"), F.col("cnt").alias("x")
+    )
+    b = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb"), F.col("cnt").alias("y")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag_hours"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ha") + F.col("lag_hours") == F.col("hb"))
+    )
+    g = j.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return g.select(
+        "lag_hours",
+        F.col("n").alias("n_hours"),
+        F.when(den > 0, F.round(cov_n / den, 6)).alias("lag_corr"),
+    ).orderBy("lag_hours")
+
+
+TS_LAG_CORR_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         epoch_ns(ts) // 1000 // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), a AS (
+  SELECT h AS ha, cnt AS x FROM hourly WHERE event_type = 'click'
+), b AS (
+  SELECT h AS hb, cnt AS y FROM hourly WHERE event_type = 'purchase'
+), lags AS (
+  SELECT CAST(x AS BIGINT) AS lag_hours FROM unnest(range(-3, 4)) t(x)
+), g AS (
+  SELECT lag_hours,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM a CROSS JOIN lags JOIN b ON ha + lag_hours = hb
+  GROUP BY lag_hours
+)
+SELECT lag_hours, n AS n_hours,
+       CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE)
+                         * CAST(sy AS DOUBLE))) > 0
+            THEN ROUND((CAST(n AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE))), 6)
+            END AS lag_corr
+FROM g ORDER BY lag_hours
+"""
+
+
+def ts_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per event type: exact decimal
+    monthly sums, and the percent change ``(cur−prev)/prev`` rounded
+    by the SIGNED integer HALF_UP helper — a ratio of exact decimals,
+    so the r6 tie class cannot reach it. First month per type is NULL
+    (no prior); a zero prev month guards to NULL on both engines."""
+    from near_event_streams_spark.plans._common import (
+        half_up_signed_spark,
+    )
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    month = F.date_format(
+        F.col("ts").cast("timestamp"), "yyyy-MM"
+    ).alias("month")
+    m = ev.groupBy("event_type", month).agg(
+        F.sum(dec("value")).alias("mv")
+    )
+    w = Window.partitionBy("event_type").orderBy("month")
+    m2 = m.withColumn("prev_mv", F.lag("mv").over(w))
+    pct = F.when(
+        F.col("prev_mv") > 0,
+        F.expr(
+            # num and den BOTH carry the x100 cents scale, so the
+            # ratio needs no num_scale correction
+            half_up_signed_spark(
+                "(mv - prev_mv)*100",
+                "CAST(prev_mv*100 AS DECIMAL(38,0))",
+                6,
+                1,
+            )
+        ),
+    )
+    return m2.select(
+        "event_type",
+        "month",
+        F.col("mv").cast("double").alias("month_value"),
+        pct.alias("mom_change"),
+    ).orderBy("event_type", "month")
+
+
+TS_MOM_SQL = f"""
+WITH m AS (
+  SELECT event_type, strftime(ts, '%Y-%m') AS month,
+         SUM(CAST(value AS DECIMAL(12,2))) AS mv
+  FROM events GROUP BY 1, 2
+), m2 AS (
+  SELECT event_type, month, mv,
+         lag(mv) OVER (PARTITION BY event_type ORDER BY month) AS prev_mv
+  FROM m
+), mi AS (
+  SELECT event_type, month, mv,
+         CAST(mv*100 AS HUGEINT) AS mv100,
+         CAST(prev_mv*100 AS HUGEINT) AS prev100
+  FROM m2
+)
+SELECT event_type, month, CAST(mv AS DOUBLE) AS month_value,
+       CASE WHEN prev100 > 0
+            THEN {half_up_signed_duck(
+                "mv100 - prev100", "prev100", 6, 1)}
+            END AS mom_change
+FROM mi ORDER BY event_type, month
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_seasonal_hourly": ts_seasonal_hourly,
+    "ts_lag_correlation": ts_lag_correlation,
+    "ts_month_over_month": ts_month_over_month,
     "ts_rollup_cascade": ts_rollup_cascade,
     "ts_gapfill_locf": ts_gapfill_locf,
     "ts_interpolate_linear": ts_interpolate_linear,
@@ -334,6 +500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "ts_seasonal_hourly": TS_SEASONAL_SQL,
+    "ts_lag_correlation": TS_LAG_CORR_SQL,
+    "ts_month_over_month": TS_MOM_SQL,
     "ts_rollup_cascade": TS_ROLLUP_CASCADE_SQL,
     "ts_gapfill_locf": TS_GAPFILL_LOCF_SQL,
     "ts_interpolate_linear": TS_INTERPOLATE_SQL,

@@ -26,6 +26,8 @@ ROUND7 = [
     "dq_column_profile",
     "join_asof_nearest",
     "mixture_temperature_sources",
+    "ts_lag_correlation",
+    "ts_month_over_month",
 ]
 
 

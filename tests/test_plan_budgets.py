@@ -234,6 +234,11 @@ ROUND7_BUDGETS = {
     "join_asof_nearest": 2,
     # source agg + 1-row sorted-fold total + presentation sort
     "mixture_temperature_sources": 3,
+    # hour agg (shared by both series filters) + shifted-hour join +
+    # 7-key moment agg + presentation sort
+    "ts_lag_correlation": 4,
+    # month agg + per-type lag window + presentation sort
+    "ts_month_over_month": 3,
 }
 
 
