@@ -28,6 +28,7 @@ from near_event_streams_spark.plans._common import (
     half_up6_duck,
     half_up6_spark,
     half_up_signed_duck,
+    half_up_signed_spark,
 )
 
 # --------------------------------------------------------------------------
@@ -4721,10 +4722,6 @@ def trend_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
         )
     )
-    from near_event_streams_spark.plans._common import (
-        half_up_signed_spark,
-    )
-
     # slope = t_num/t_den and intercept = (sy·t_den − t_num·sx)/(n·t_den)
     # stay EXACT decimals end-to-end, rounded by the signed integer
     # HALF_UP helper — ROUND on the double quotient is the r6 tie class

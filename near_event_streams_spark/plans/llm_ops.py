@@ -23,6 +23,7 @@ from near_event_streams_spark.plans._common import (
     half_up6_duck,
     half_up6_spark,
     half_up_signed_duck,
+    half_up_signed_spark,
 )
 from near_event_streams_spark.sources.tables import load_table
 
@@ -2884,10 +2885,6 @@ def emb_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal moments collapsed to doubles once (sqrt is IEEE
     correctly-rounded, so both engines agree bit-for-bit — the
     ``stats_corr_regression`` precedent)."""
-    from near_event_streams_spark.plans._common import (
-        half_up_signed_spark,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select(
         F.posexplode("embedding").alias("pos", "vf")

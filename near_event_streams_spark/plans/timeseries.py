@@ -26,6 +26,7 @@ from near_event_streams_spark.plans._common import (
     half_up6_duck,
     half_up6_spark,
     half_up_signed_duck,
+    half_up_signed_spark,
     ts_us,
 )
 
@@ -406,20 +407,19 @@ WITH hourly AS (
   FROM a CROSS JOIN lags JOIN b ON ha + lag_hours = hb
   GROUP BY lag_hours
 )
-SELECT lag_hours, n AS n_hours,
-       CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE)
-                       * CAST(sx AS DOUBLE))
-                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE)
-                         * CAST(sy AS DOUBLE))) > 0
-            THEN ROUND((CAST(n AS DOUBLE) * sxy
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                       / sqrt((CAST(n AS DOUBLE) * sxx
-                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                              * (CAST(n AS DOUBLE) * syy
-                                 - CAST(sy AS DOUBLE)
-                                   * CAST(sy AS DOUBLE))), 6)
-            END AS lag_corr
-FROM g ORDER BY lag_hours
+SELECT lag_hours, n_hours,
+       CASE WHEN den > 0 THEN ROUND(cov_n / den, 6) END AS lag_corr
+FROM (
+  SELECT lag_hours, n AS n_hours,
+         CAST(n AS DOUBLE) * sxy
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         sqrt((CAST(n AS DOUBLE) * sxx
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * syy
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS den
+  FROM g
+)
+ORDER BY lag_hours
 """
 
 
@@ -429,9 +429,6 @@ def ts_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the SIGNED integer HALF_UP helper — a ratio of exact decimals,
     so the r6 tie class cannot reach it. First month per type is NULL
     (no prior); a zero prev month guards to NULL on both engines."""
-    from near_event_streams_spark.plans._common import (
-        half_up_signed_spark,
-    )
     from pyspark.sql.window import Window
 
     ev = _t(spark, sf_dir, "events")
