@@ -771,3 +771,66 @@ def weighted_sample_per_group(
         )
         .drop("_pri")
     )
+
+
+def token_budget_fill(
+    docs: DataFrame,
+    budget_tokens: int,
+    token_col: Column,
+    salt: str = "tb-v1",
+    id_col: str = "doc_id",
+    coarse_buckets: int = 256,
+) -> DataFrame:
+    """Greedy TOKEN-BUDGET fill: walk documents in deterministic
+    md5-priority order and keep each one whose inclusive running token
+    total still fits ``budget_tokens`` — "give me a reproducible ~N-token
+    slice of this corpus", the last step before packing a training
+    shard.
+
+    Scale shape: the naive formulation is ONE GLOBAL running-sum window
+    (a single-partition sort — the anti-pattern). Here the priority
+    space splits into ``coarse_buckets`` ranges: one bounded aggregate
+    computes per-range token sums, a window over those ~256 rows
+    produces exact range prefix totals, and the per-doc running sum
+    windows PARTITION BY range (parallel, each seeded with its range's
+    prefix) — identical answer, no global sort. The oracle runs the
+    naive global window; matching it proves the decomposition exact.
+    """
+    pri = hash_bucket(
+        F.col(id_col).cast("string"), salt=salt, buckets=10**9
+    )
+    rng = (F.col("pri") / F.lit(10**9 // coarse_buckets)).cast("int")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_col.cast("long").alias("n_tokens"),
+    ).withColumn("pri", pri).withColumn("rng", rng)
+    per_range = d.groupBy("rng").agg(F.sum("n_tokens").alias("rng_sum"))
+    # ~coarse_buckets rows: the bounded-window exception (skew top-k
+    # precedent), not a data-sized global sort
+    prefix = per_range.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("rng_sum").over(
+                Window.orderBy("rng").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("rng", "cum_before")
+    w_doc = Window.partitionBy("rng").orderBy("pri", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.join(F.broadcast(prefix), "rng")
+        .withColumn(
+            "cum_incl",
+            F.col("cum_before") + F.sum("n_tokens").over(w_doc),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("cum_incl") <= budget_tokens).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -559,6 +559,45 @@ FROM top
 # registry
 # --------------------------------------------------------------------------
 
+def curation_token_budget_fill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reproducible token-budget slice: keep documents in deterministic
+    md5-priority order while the inclusive running token total fits a
+    15k-token budget (≈55% of the sf0.01 corpus — the cutoff genuinely
+    bites at every test scale) (``curation.token_budget_fill``) — the shard-sizing
+    step before packing. The operator decomposes the global running sum
+    into ~256 priority-range prefix sums + per-range parallel windows
+    (no single-partition global sort); the oracle runs the NAIVE global
+    window, so the hash match proves the decomposition exact."""
+    from near_event_streams_spark.operators.text import token_count_regex
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.token_budget_fill(
+        docs,
+        budget_tokens=15_000,
+        token_col=token_count_regex(F.col("text")),
+    )
+
+
+TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+              AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || '|' || 'tb-v1'), 1, 8))
+                   AS UBIGINT) % 1000000000 AS BIGINT) AS pri
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY pri, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 15000
+         AS kept
+FROM d ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_train_docs": decontaminate_train_docs,
     "decontaminate_bloom_docs": decontaminate_bloom_docs,
@@ -566,6 +605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted_per_source": sample_weighted_per_source,
     "sample_hash_deterministic": sample_hash_deterministic,
     "split_train_val_test": split_train_val_test,
+    "curation_token_budget_fill": curation_token_budget_fill,
     "mixture_weighted_sources": mixture_weighted_sources,
     "pack_docs_concat_split": pack_docs_concat_split,
     "pack_docs_next_fit": pack_docs_next_fit,
@@ -583,6 +623,7 @@ ORACLE_SQL: dict[str, str] = {
     "sample_weighted_per_source": SAMPLE_WEIGHTED_GROUP_SQL,
     "sample_hash_deterministic": SAMPLE_HASH_SQL,
     "split_train_val_test": SPLIT_TVT_SQL,
+    "curation_token_budget_fill": TOKEN_BUDGET_SQL,
     "mixture_weighted_sources": MIXTURE_SQL,
     "pack_docs_concat_split": PACK_CONCAT_SQL,
     "pack_docs_next_fit": PACK_NEXT_FIT_SQL,

@@ -28,6 +28,7 @@ ROUND7 = [
     "mixture_temperature_sources",
     "ts_lag_correlation",
     "ts_month_over_month",
+    "curation_token_budget_fill",
 ]
 
 

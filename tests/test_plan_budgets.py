@@ -239,6 +239,9 @@ ROUND7_BUDGETS = {
     "ts_lag_correlation": 4,
     # month agg + per-type lag window + presentation sort
     "ts_month_over_month": 3,
+    # range-sum agg + bounded 256-row prefix + per-range parallel
+    # windows + presentation sort — the global-running-sum rewrite
+    "curation_token_budget_fill": 3,
 }
 
 
