@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from near_event_streams_spark.plans._common import half_up6_spark
+from near_event_streams_spark.functions.rounding import half_up6_spark
 from pyspark.sql.window import Window
 
 # --------------------------------------------------------------------------
@@ -155,7 +155,7 @@ def contamination_overlap(
             F.coalesce("n_shared", zero).alias("n_shared"),
             F.when(
                 F.coalesce("n_grams", zero) > 0,
-                # exact integer HALF_UP (plans/_common.half_up6_*)
+                # exact integer HALF_UP (functions/rounding.half_up6_*)
                 F.expr(half_up6_spark("coalesce(n_shared, 0L)", "n_grams")),
             )
             .otherwise(F.lit(0.0))

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from near_event_streams_spark.plans._common import half_up6_spark
+from near_event_streams_spark.functions.rounding import half_up6_spark
 
 # ---------------------------------------------------------------------------
 # shared tokenization (must stay in lockstep with the DuckDB oracle SQL in
@@ -754,7 +754,7 @@ def duplicated_ngram_stats(
         )
         .withColumn(
             "dup_fraction",
-            # exact integer HALF_UP (plans/_common.half_up6_*)
+            # exact integer HALF_UP (functions/rounding.half_up6_*)
             F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
                 F.expr(half_up6_spark("n_dup_grams", "n_grams"))
             ),

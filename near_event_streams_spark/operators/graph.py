@@ -223,7 +223,7 @@ def triangle_count(
     counts and the global clustering coefficient 3·T / #wedges, with
     the ratio rounded via the engine-exact integer HALF_UP helper).
     """
-    from near_event_streams_spark.plans._common import half_up6_spark
+    from near_event_streams_spark.functions.rounding import half_up6_spark
 
     # e feeds deg + the orientation join + the edge count; deg feeds
     # two endpoint joins + the node/wedge aggregate; oriented feeds the

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from near_event_streams_spark.plans._common import half_up6_spark
+from near_event_streams_spark.functions.rounding import half_up6_spark
 
 
 def _salt_col(df: DataFrame, salt: int, spread_col: str | None) -> Column:
@@ -130,7 +130,7 @@ def key_skew_profile(
             "n_rows",
             "n_keys",
             # HALF_UP 6dp via exact integer arithmetic
-            # (plans/_common.half_up6_*): ROUND on a double quotient
+            # (functions/rounding.half_up6_*): ROUND on a double quotient
             # tie-breaks differently across engines on 2^i·5^j counts.
             F.expr(half_up6_spark("cnt*100", "n_rows")).alias(
                 "share_pct"

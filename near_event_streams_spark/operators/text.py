@@ -1102,7 +1102,7 @@ def repetition_signals(
     by conditional aggregation — two keyed shuffles total, linear in
     corpus token count. Ratios round via the engine-exact integer
     HALF_UP helper."""
-    from near_event_streams_spark.plans._common import half_up6_spark
+    from near_event_streams_spark.functions.rounding import half_up6_spark
 
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0

@@ -4800,26 +4800,33 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy (BOM/org-chart) SUBTREE ROLLUP without a recursive
     CTE: suppliers form a decimal trie (parent(n) = n div 10), and each
     node's subtree aggregate is computed by EXPLODING every leaf's
-    bounded ancestor path (≤ 6 rows per supplier, pure arithmetic — no
-    join) and aggregating once per ancestor. This is the scale-correct
-    rewrite of ``WITH RECURSIVE`` rollups: one narrow generate + one
-    hash agg instead of a join per level, and it parallelizes over
-    leaves regardless of tree depth. Internal nodes 1–999 reported."""
+    bounded ancestor path (digits(max key) rows per supplier, pure
+    arithmetic — no join) and aggregating once per ancestor. This is
+    the scale-correct rewrite of ``WITH RECURSIVE`` rollups: one
+    narrow generate + one hash agg instead of a join per level, and it
+    parallelizes over leaves regardless of tree depth. The ancestor
+    depth is DERIVED from ``length(max(s_suppkey))`` (one scalar agg,
+    broadcast) rather than hard-coded, so deep ancestors survive any
+    key domain up to bigint (19 digits; 10^j stays exact in a double
+    through 10^22). Internal nodes 1–999 reported."""
     sup = _t(spark, sf_dir, "supplier")
+    nd = sup.agg(
+        F.length(F.max("s_suppkey").cast("string")).alias("n_digits")
+    )
     anc = F.filter(
-        F.array(
-            *[
-                F.call_function(
-                    "div", F.col("s_suppkey").cast("long"),
-                    F.lit(10**j).cast("long"),
-                )
-                for j in range(6)
-            ]
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_digits") - 1),
+            lambda j: F.call_function(
+                "div",
+                F.col("s_suppkey").cast("long"),
+                F.pow(F.lit(10.0), j).cast("long"),
+            ),
         ),
         lambda a: a >= 1,
     )
     return (
-        sup.select(
+        sup.crossJoin(F.broadcast(nd))
+        .select(
             F.explode(anc).alias("node"), dec("s_acctbal").alias("bal")
         )
         .filter(F.col("node") <= 999)
@@ -4833,12 +4840,13 @@ def hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HIERARCHY_SQL = """
-WITH anc AS (
-  SELECT u.a AS node, s_acctbal
-  FROM supplier, unnest([s_suppkey, s_suppkey // 10, s_suppkey // 100,
-                         s_suppkey // 1000, s_suppkey // 10000,
-                         s_suppkey // 100000]) u(a)
-  WHERE u.a >= 1
+WITH nd AS (
+  SELECT LENGTH(CAST(MAX(s_suppkey) AS VARCHAR)) AS n_digits
+  FROM supplier
+), anc AS (
+  SELECT s_suppkey // CAST(POWER(10, u.j) AS HUGEINT) AS node, s_acctbal
+  FROM supplier, nd, unnest(range(0, nd.n_digits)) u(j)
+  WHERE s_suppkey // CAST(POWER(10, u.j) AS HUGEINT) >= 1
 )
 SELECT CAST(node AS BIGINT) AS node,
        CAST(COUNT(*) AS BIGINT) AS n_subtree,

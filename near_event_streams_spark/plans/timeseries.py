@@ -297,11 +297,15 @@ def ts_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", hour.alias("hour_utc"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # HALF_UP 6dp in exact integer cents (see _common.half_up6_*):
+            # HALF_UP 6dp in exact integer cents (functions/rounding):
             # ROUND on a double quotient ties-breaks differently across
-            # engines when n_events is a power of 2×5.
+            # engines when n_events is a power of 2×5. Signed variant —
+            # events.value is non-negative in the current fixtures, but
+            # nothing in the schema forbids negative values, and the
+            # unsigned helper silently diverges on a negative SUM
+            # (Spark div truncates toward zero, DuckDB // floors).
             F.expr(
-                half_up6_spark("sum(v_dec)*100", "count(1)", 100)
+                half_up_signed_spark("sum(v_dec)*100", "count(1)", 6, 100)
             ).alias("avg_value"),
         )
         .orderBy("event_type", "hour_utc")
@@ -318,7 +322,7 @@ WITH base AS (
 )
 SELECT event_type, hour_utc,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       {half_up6_duck("SUM(v)*100", "COUNT(*)", 100)}
+       {half_up_signed_duck("SUM(v)*100", "COUNT(*)", 6, 100)}
          AS avg_value
 FROM base
 GROUP BY event_type, hour_utc
@@ -336,7 +340,15 @@ def ts_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine broadcast, one equi-join on the shifted hour, one 7-key
     moment aggregate; all moments are exact integers so the closed
     form runs identical flops on both engines (the
-    ``stats_corr_regression`` shape)."""
+    ``stats_corr_regression`` shape).
+
+    Residual cross-engine risk (accepted, per the
+    ``stats_corr_regression`` precedent): the final ``ROUND(corr, 6)``
+    acts on a double quotient involving ``sqrt``, so it relies on a
+    correlation never landing on an exact 6dp half-tie rather than on
+    integer-arithmetic construction — a half-tie would require the
+    irrational denominator to conspire to a terminating decimal, which
+    the sqrt makes measure-zero but not impossible."""
     us_h = 3_600_000_000
     ev = _t(spark, sf_dir, "events")
     t = ts_us()
