@@ -82,6 +82,21 @@ HEADLINE = [
     # rewrite (ancestor-path explode + single hash agg)
     ("emb_power_iteration", llm_ops.QUERIES["emb_power_iteration"]),
     ("hierarchy_subtree_rollup", analytics_ext.QUERIES["hierarchy_subtree_rollup"]),
+    # round-8: the heavy iterative/graph family enters the headline set
+    # so a plan regression in the costliest queries is caught
+    # round-over-round (previously only in the ad-hoc scale stress).
+    # These amortize whole-stage-codegen over many supersteps, so their
+    # cold-vs-steady gap is the largest in the suite — read the
+    # dispersion bands, not single runs.
+    ("graph_pagerank_copurchase", analytics_ext.QUERIES["graph_pagerank_copurchase"]),
+    ("graph_label_propagation", analytics_ext.QUERIES["graph_label_propagation"]),
+    ("graph_triangle_census", analytics_ext.QUERIES["graph_triangle_census"]),
+    ("dedup_clusters", llm_ops.QUERIES["dedup_clusters"]),
+    ("text_bpe_merges", llm_ops.QUERIES["text_bpe_merges"]),
+    # round-8: approximate-candidate containment (one-sided MinHash
+    # slots, detail-pairs form) benched NEXT TO its exact PPJoin twin
+    # above — the headline number that justifies the escape hatch
+    ("dedup_containment_lsh_docs", llm_ops.dedup_containment_lsh_pairs),
 ]
 
 

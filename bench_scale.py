@@ -73,6 +73,7 @@ SKEW_STRESS = [
     ("sessionize_events", SKEW_FACT_COPIES, "events x10, 20% one user"),
     ("dedup_ngram_jaccard_docs", SKEW_DOC_COPIES, "docs x16, hot 5-gram in 50%"),
     ("dedup_containment_docs", SKEW_DOC_COPIES, "docs x16, hot 5-gram in 50%"),
+    ("dedup_containment_lsh_docs", SKEW_DOC_COPIES, "docs x16, hot 5-gram in 50%"),
     ("ingest_neardup_select", SKEW_DOC_COPIES, "docs x16, hot 5-gram in 50%"),
 ]
 
@@ -85,6 +86,7 @@ STRESS = [
     ("q18_large_volume", FACT_COPIES, "orders+lineitem x10"),
     ("graph_pagerank_copurchase", FACT_COPIES, "lineitem x10"),
     ("dedup_containment_docs", DOC_COPIES, "documents x32"),
+    ("dedup_containment_lsh_docs", DOC_COPIES, "documents x32"),
     ("emb_kmeans_lloyd", DOC_COPIES, "embeddings x32"),
     ("emb_power_iteration", DOC_COPIES, "embeddings x32"),
     ("graph_triangle_census", FACT_COPIES, "lineitem x10"),

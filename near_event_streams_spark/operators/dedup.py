@@ -377,6 +377,21 @@ def containment_pairs(
         .select("a_doc_id", "b_doc_id")
         .distinct()
     )
+    return _verify_containment(
+        cands, sets, threshold, broadcast_sets, max_broadcast_docs
+    )
+
+
+def _verify_containment(
+    cands: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    broadcast_sets: bool | None = None,
+    max_broadcast_docs: int = 500_000,
+) -> DataFrame:
+    """Exact containment ``|A∩B|/|A|`` for candidate ORDERED pairs via
+    JVM array intersection — the asymmetric twin of
+    :func:`_verify_pairs`, same size-adaptive join contract."""
     a_sets = sets.select(
         F.col("doc_id").alias("a_doc_id"),
         F.col("sh").alias("sh_a"),
@@ -402,6 +417,150 @@ def containment_pairs(
     return joined.select(
         "a_doc_id", "b_doc_id", cont.alias("containment")
     ).filter(F.col("containment") >= threshold)
+
+
+def containment_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    min_shingles: int = 5,
+    num_probe_slots: int = 8,
+    min_slot_hits: int = 5,
+    hot_df_fraction: float = 0.05,
+    min_df_cap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_sets: bool | None = None,
+    max_broadcast_docs: int = 500_000,
+) -> DataFrame:
+    """Approximate-candidate containment dedup — the LSH escape hatch
+    for :func:`containment_pairs`, whose exact PPJoin must inverted-
+    index the FULL contained side (its honest cost outlier at skewed
+    scale: 14-20x wall at 16-32x input, BENCH_scale.md).
+
+    Candidate generation uses the ONE-SIDED MinHash containment
+    estimator instead of symmetric Jaccard banding: slot j of the
+    contained doc A is ``argmin over A's pool of xxhash64(j, sid)`` —
+    a uniformly random shingle of the pool — and that shingle lies in
+    B with probability exactly ``|pool∩B|/|pool|``. Symmetric MinHash
+    banding cannot detect a short quote inside a long doc (J = |A|/|B|
+    is arbitrarily small, below any fixed band threshold — the
+    LSH-Ensemble problem); the one-sided estimator sidesteps the
+    size-partition machinery entirely.
+
+    Three precision/robustness levers on top of the raw estimator:
+
+    * **m-of-k slot voting** — a pair becomes a candidate only when ≥m
+      of the k slots collide. True pairs at τ=0.9 survive with
+      P(Bin(8, 0.9) ≥ 5) ≈ 0.995 (worst-case pool degradation to 0.8:
+      ≥ 0.94) while incidental-overlap pairs (containment c ~ 0.05)
+      pass at ~10⁻⁵ — a ~150× candidate cut over any-slot-collides on
+      corpora with heavy cross-doc vocabulary overlap (measured 3.4M →
+      ~20k ordered candidates at sf0.1, 7.0M → 216k at the 16× skew
+      stress). The collision rows feed a map-side partial count before
+      any exchange, so the raw collision volume never shuffles.
+    * **hot-shingle pool** — the probe pool excludes shingles with
+      document frequency above ``max(min_df_cap, hot_df_fraction·n)``
+      (uniform sampling would pick a 50%-df boilerplate shingle with
+      probability k/|A| per doc and fan out df ~ n/2 index rows per
+      hit — the quadratic blow-up the skew stress plants). Docs whose
+      pool would cover less than HALF their shingles fall back to
+      full-set sampling, which keeps the bound analytic: the pool
+      covers ≥ |A|/2, so ``C_pool ≥ 1 − 2(1−τ)`` (= 0.8 at τ=0.9).
+    * **exact verify** — JVM ``array_intersect`` on surviving pairs
+      only (after the ``|B| ≥ ⌈τ|A|⌉`` length filter), so emitted
+      pairs are EXACT: approximation affects recall only, never
+      precision.
+
+    Recall: a true pair is missed only when fewer than m of k
+    independent slots land in B — ``P(Bin(k, C_pool) < m)`` ≤ 0.0012
+    at the defaults, and FULL containment (C=1, the excerpt-in-
+    superset class this detector exists for) is caught
+    DETERMINISTICALLY: pool ⊆ A ⊆ B, so every slot collides.
+
+    Cost shape vs the exact PPJoin: probe k rows per doc (vs
+    ~(1−τ)·|A|+1 prefix rows), no per-doc rank window (the dfreq
+    groupBy remains, but feeds a bounded conditional-agg, not a
+    row_number over the full shingle stream); index k·|B| (slot,
+    hash) rows joined on a well-spread 64-bit key (hot buckets split
+    by AQE). Returns verified ORDERED
+    ``(a_doc_id, b_doc_id, containment)``. ``sets`` persist handle is
+    caller-owned (clearCache)."""
+    num = int(round(threshold * 10000))
+    den = 10000
+    k = num_probe_slots
+    sets = (
+        shingle_id_sets(docs, id_col, text_col)
+        .filter(F.col("sz") >= min_shingles)
+        .persist()
+    )
+    n_docs = sets.count()
+    if broadcast_sets is None:
+        broadcast_sets = n_docs <= max_broadcast_docs
+    df_cap = max(min_df_cap, int(hot_df_fraction * n_docs))
+    ids = sets.select("doc_id", "sz", F.explode("sh").alias("sid"))
+    dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    idf = ids.join(dfreq, "sid")
+    rare = F.col("df") <= df_cap
+    aggs = []
+    for j in range(k):
+        h = F.xxhash64(F.lit(j), F.col("sid"))
+        aggs.append(F.min(F.when(rare, h)).alias(f"r{j}"))
+        aggs.append(F.min(h).alias(f"f{j}"))
+    aggs.append(F.sum(rare.cast("int")).alias("n_rare"))
+    slot_mins = idf.groupBy("doc_id", "sz").agg(*aggs)
+    use_rare = F.col("n_rare") * 2 >= F.col("sz")
+    probe = slot_mins.select(
+        F.col("doc_id").alias("a_doc_id"),
+        F.col("sz").alias("sza"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("slot"),
+                        F.when(use_rare, F.col(f"r{j}"))
+                        .otherwise(F.col(f"f{j}"))
+                        .alias("v"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("s"),
+    ).select("a_doc_id", "sza", "s.slot", "s.v")
+    index = ids.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("sz").alias("szb"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("slot"),
+                        F.xxhash64(F.lit(j), F.col("sid")).alias("v"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("s"),
+    ).select("b_doc_id", "szb", "s.slot", "s.v")
+    need_a = F.expr(f"({num}*sza + {den} - 1) div {den}")
+    # The probe table is n·k narrow rows — broadcast it for corpora
+    # that fit (the index stream then never shuffles; collision rows
+    # are generated in-stage and partially aggregated before the only
+    # exchange, the (a,b) vote). Past the broadcast bound the plain
+    # shuffle join keeps the same property: partial agg runs before
+    # the exchange, so raw collisions still never shuffle.
+    probe_side = F.broadcast(probe) if broadcast_sets else probe
+    cands = (
+        probe_side.join(index, ["slot", "v"])
+        .filter(F.col("a_doc_id") != F.col("b_doc_id"))
+        .filter(F.col("szb") >= need_a)
+        .groupBy("a_doc_id", "b_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_slot_hits)
+        .select("a_doc_id", "b_doc_id")
+    )
+    return _verify_containment(
+        cands, sets, threshold, broadcast_sets, max_broadcast_docs
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -152,6 +152,87 @@ ORDER BY a_doc_id, b_doc_id
 """
 
 
+def dedup_containment_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-candidate containment dedup
+    (``dedup.containment_lsh_pairs``): one-sided MinHash slots of the
+    contained doc (each a uniformly random shingle, in the superset
+    with probability = containment) generate candidates — no
+    document-frequency ranking, no full-set inverted index — then
+    exact array-intersect verify. Gated like ``dedup_minhash_lsh_docs``
+    by engine-local invariants: Spark computes the LSH pair set AND
+    the exact ``containment_pairs`` ground truth, emits the exact-pair
+    count plus recall/precision booleans; DuckDB recomputes the exact
+    count and pins the booleans TRUE. Recall bound is analytic —
+    miss probability (1−C)^4 ≤ 1e-4 per true pair at τ=0.9, and
+    C=1 pairs (the excerpt-in-superset class) collide
+    deterministically — so the 0.9-recall invariant has slack."""
+    docs = load_table(spark, sf_dir, "documents")
+    found = dedup.containment_lsh_pairs(
+        docs, threshold=0.9, min_shingles=5
+    ).select("a_doc_id", "b_doc_id")
+    exact = dedup.containment_pairs(
+        docs, threshold=0.9, min_shingles=5
+    ).select("a_doc_id", "b_doc_id")
+    keys = ["a_doc_id", "b_doc_id"]
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = found.join(exact, keys).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_extra = found.join(exact, keys, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    return (
+        n_true.crossJoin(n_hit)
+        .crossJoin(n_extra)
+        .select(
+            F.col("n_true").alias("n_true_pairs"),
+            (
+                (F.col("n_true") == 0)
+                | (
+                    F.col("n_hit").cast("double")
+                    >= 0.9 * F.col("n_true").cast("double")
+                )
+            ).alias("recall_ok"),
+            (F.col("n_extra") == 0).alias("precision_ok"),
+        )
+    )
+
+
+DEDUP_CONTAINMENT_LSH_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+  FROM words, unnest(range(1, len(w))) t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+), true_pairs AS (
+  SELECT a_doc_id
+  FROM pairs
+  JOIN sizes sa ON a_doc_id = sa.doc_id
+  JOIN sizes sb ON b_doc_id = sb.doc_id
+  WHERE sa.sz >= 5 AND sb.sz >= 5
+    AND ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.9
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       TRUE AS recall_ok,
+       TRUE AS precision_ok
+FROM true_pairs
+"""
+
+
+def dedup_containment_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-LSH pair list (detail/bench view — the approximate
+    pipeline alone, without the invariant gate's exact ground-truth
+    recomputation; xxhash64 slots are not DuckDB-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_lsh_pairs(
+        docs, threshold=0.9, min_shingles=5
+    ).orderBy("a_doc_id", "b_doc_id")
+
+
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pair list (detail view; xxhash64 has no DuckDB
     equivalent so the pair list itself is not oracle-expressible)."""
@@ -2958,6 +3039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint_docs": dedup_fingerprint_docs,
     "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
     "dedup_containment_docs": dedup_containment_docs,
+    "dedup_containment_lsh_docs": dedup_containment_lsh_docs,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best_quality": dedup_keep_best_quality,
     "dedup_minhash_lsh_docs": dedup_minhash_lsh_docs,
@@ -3017,6 +3099,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_fingerprint_docs": DEDUP_FINGERPRINT_SQL,
     "dedup_ngram_jaccard_docs": DEDUP_JACCARD_SQL,
     "dedup_containment_docs": DEDUP_CONTAINMENT_SQL,
+    "dedup_containment_lsh_docs": DEDUP_CONTAINMENT_LSH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best_quality": DEDUP_KEEP_BEST_SQL,
     "dedup_minhash_lsh_docs": DEDUP_MINHASH_SQL,

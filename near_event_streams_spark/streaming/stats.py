@@ -37,6 +37,9 @@ class BlockStatsListener(StreamingQueryListener):
         self.last_height_provider = last_height_provider
         self.emit = emit or log.info
         self.lines: list[str] = []
+        # structured per-batch record for throughput benches: the same
+        # numbers the log line renders, kept machine-readable
+        self.progress: list[dict] = []
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         self.emit(f"stream started id={event.id}")
@@ -44,6 +47,15 @@ class BlockStatsListener(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         bps = p.inputRowsPerSecond or 0.0
+        self.progress.append(
+            {
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows,
+                "input_rows_per_second": bps,
+                "process_rows_per_second": p.processedRowsPerSecond or 0.0,
+                "trigger_ms": (p.durationMs or {}).get("triggerExecution"),
+            }
+        )
         line = (
             f"Stats: {bps:.2f} bps, {p.numInputRows} blocks in batch "
             f"{p.batchId}"

@@ -110,3 +110,46 @@ def test_containment_ppjoin_matches_brute_force_on_random_corpora(spark):
                 f"seed={seed} t={threshold}: "
                 f"missing={want - got} extra={got - want}"
             )
+
+
+def test_containment_lsh_full_containment_is_deterministic(spark):
+    """C(A→B) = 1 pairs (every shingle of A in B) are caught
+    DETERMINISTICALLY by the one-sided estimator — each probe slot of A
+    is a shingle of A ⊆ B, so the slot's (j, hash) row exists on B's
+    index side. Planted strict-subset docs must ALL be recovered, on
+    every seed, and every emitted pair must be exactly correct (verify
+    is exact, so approximation can never inflate precision)."""
+    for seed in (11, 42, 77):
+        docs = _random_corpus(seed, 35)
+        rng = random.Random(seed + 1)
+        base_n = len(docs)
+        planted = []
+        for k in range(5):
+            src_id, src = docs[rng.randrange(base_n)]
+            words = src.split()
+            if len(words) > 8:
+                cut = rng.randint(6, len(words) - 1)
+                sub_id = 1000 + base_n + k
+                docs.append((sub_id, " ".join(words[:cut])))
+                planted.append(sub_id)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["a_doc_id"], r["b_doc_id"])
+            for r in dedup.containment_lsh_pairs(
+                df, threshold=0.9, min_shingles=3
+            ).collect()
+        }
+        want = _brute_force_containment(docs, threshold=0.9, min_shingles=3)
+        # precision is exact by construction (verify recomputes C)
+        assert got <= want, f"seed={seed}: false pairs {got - want}"
+        # full-containment subset of ground truth is recovered exactly
+        full = {
+            (a, b)
+            for (a, b) in want
+            if _bigrams(dict(docs)[a]) <= _bigrams(dict(docs)[b])
+        }
+        assert full <= got, f"seed={seed}: missed C=1 pairs {full - got}"
+        # analytic recall bound (1-C)^4 <= 1e-4 makes a full-recall
+        # expectation safe at this corpus size; assert it outright so a
+        # slot-independence regression (e.g. reusing one salt) fails loudly
+        assert got == want, f"seed={seed}: missing={want - got}"
