@@ -139,6 +139,23 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Streaming-mode throughput for the parity layer (extract →
+    # validate → route as a real micro-batch stream; bench_streaming.py
+    # is also runnable standalone). The analytics numbers above answer
+    # "how fast are the queries"; this answers the reference's own
+    # question — blocks/s sustained (stats.rs:27-69) vs the ~1 block/s
+    # mainnet production bar in BASELINE.md.
+    import bench_streaming
+
+    streaming = bench_streaming.run(spark, SF_DIR)
+    print(
+        f"# streaming catch-up: {streaming['catchup']['blocks_per_sec']}"
+        f" blocks/s ({streaming['catchup']['events_per_sec']} events/s),"
+        f" paced p50={streaming['paced']['batch_p50_ms']}ms"
+        f" p95={streaming['paced']['batch_p95_ms']}ms",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -149,6 +166,7 @@ def main() -> None:
                 "dispersion": dispersion,
                 "steady_runs_per_query": 3,
                 "cold_total": round(cold_total, 3),
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

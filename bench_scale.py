@@ -501,6 +501,106 @@ def _write_md(rows) -> None:
     print(f"wrote {path}")
 
 
+
+
+NEARDUP_LAT_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".scale_neardup"
+)
+
+
+def run_neardup_latency() -> None:
+    """Per-batch probe latency of the incremental near-dup ingest vs
+    REGISTRY size — the empirical check of the bucket-pruned store's
+    O(touched buckets) claim (``streaming/ingest.py``): a fixed 2,000-doc
+    micro-batch is decided against registries grown from 5k to 40k docs
+    (up to ~10x sf0.1, sourced from the token-namespaced .scale_data
+    corpus so registry growth adds NO new true near-dups of the probe
+    batch); if pruning works the decision wall stays ~flat while the
+    registry grows 8x. Writes a section into BENCH_scale.md."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.session import get_spark
+    from near_event_streams_spark.streaming import ingest
+
+    if not os.path.isdir(SCALE_DIR):
+        raise SystemExit("no .scale_data — run `python bench_scale.py --gen` first")
+    spark = get_spark(app_name="bench_neardup_latency")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(SCALE_DIR, "documents.parquet"))
+    # fixed probe batch: 2,000 docs from the LAST copy, re-id'd so they
+    # never collide with registry ids
+    probe = (
+        docs.orderBy(F.col("doc_id").desc())
+        .limit(2000)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .persist()
+    )
+    probe.count()
+    sizes = [5_000, 10_000, 20_000, 40_000]
+    rows = []
+    for n in sizes:
+        reg_path = os.path.join(NEARDUP_LAT_DIR, f"reg_{n}")
+        shutil.rmtree(reg_path, ignore_errors=True)
+        os.makedirs(reg_path, exist_ok=True)
+        reg_docs = docs.filter(F.col("doc_id") < n)
+        accepted = ingest.neardup_batch_against_registry(
+            reg_docs, reg_path, cache=[]
+        )
+        ingest.register_batch_neardup(
+            accepted, reg_path, batch_id=0, n_buckets=64
+        )
+        reg_rows = spark.read.parquet(os.path.join(reg_path, "state")).count() \
+            if os.path.isdir(os.path.join(reg_path, "state")) else None
+        times = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            ingest.neardup_batch_against_registry(
+                probe, reg_path, cache=[]
+            ).count()
+            times.append(time.time() - t0)
+        lat = statistics.median(times)
+        rows.append((n, reg_rows, lat))
+        print(f"registry={n} docs ({reg_rows} state rows): "
+              f"probe batch latency {lat:.2f}s (median of 3)")
+    report = {
+        "metric": "neardup_probe_latency_vs_registry",
+        "probe_batch_docs": 2000,
+        "points": [
+            {"registry_docs": n, "state_rows": r, "batch_sec": round(t, 3)}
+            for n, r, t in rows
+        ],
+    }
+    print(json.dumps(report))
+    flat = rows[-1][2] <= rows[0][2] * 2.0
+    lines = [
+        "",
+        "## Incremental near-dup probe: batch latency vs registry size",
+        "",
+        "Fixed 2,000-doc probe batch decided against growing registries",
+        "(`streaming/ingest.neardup_batch_against_registry`, bucket-pruned",
+        "merge-upsert store, 64 buckets). O(touched buckets) claim holds if",
+        "latency stays ~flat while the registry grows 8x.",
+        "",
+        "| registry docs | state rows | probe batch sec |",
+        "|---|---|---|",
+    ]
+    for n, r, t in rows:
+        lines.append(f"| {n} | {r} | {t:.2f} |")
+    lines.append("")
+    lines.append(
+        f"Verdict: {'FLAT (<=2x across 8x registry growth)' if flat else 'NOT FLAT - investigate'}"
+    )
+    lines.append("")
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"),
+        "a",
+    ) as f:
+        f.write("\n".join(lines))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -510,5 +610,7 @@ if __name__ == "__main__":
         gen()
     elif "--skew" in sys.argv:
         run_skew()
+    elif "--neardup-latency" in sys.argv:
+        run_neardup_latency()
     else:
         run()

@@ -40,6 +40,10 @@ class BlockStatsListener(StreamingQueryListener):
         # structured per-batch record for throughput benches: the same
         # numbers the log line renders, kept machine-readable
         self.progress: list[dict] = []
+        # QueryIdleEvent count — since Spark 3.4 an exhausted source
+        # under a continuous trigger raises idle events instead of
+        # zero-row progress; benches use this as the drain signal
+        self.idle_events: int = 0
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         self.emit(f"stream started id={event.id}")
@@ -71,4 +75,4 @@ class BlockStatsListener(StreamingQueryListener):
         self.emit(f"stream terminated id={event.id}")
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
-        pass
+        self.idle_events += 1

@@ -68,3 +68,146 @@ def test_rotation_prefers_stalest_cohort():
     rest = [q for q in qs if q not in ever_bad]
     rounds = [last_round.get(q, 0) for q in rest]
     assert rounds == sorted(rounds), "non-red queries not stalest-first"
+
+
+# ---------------------------------------------------------------------------
+# ROUND-on-double-quotient hygiene (the r6 rfm_customer_segments class)
+# ---------------------------------------------------------------------------
+
+# Queries with a KNOWN, reviewed ROUND(<expr with float division>, n)
+# site in their oracle SQL, mapped to site count. Every entry is one of:
+#   * invariant-gated — the compared columns are exact counts/booleans
+#     computed engine-locally, so the ROUND never reaches the hash
+#     (dedup_*_docs gates, ingest_neardup_incremental, quality/knn/ann
+#     recall gates);
+#   * sqrt/ln/exp-domain — the quotient involves an irrational factor,
+#     so a 6dp half-tie is measure-zero (stats_corr_regression,
+#     ts_lag_correlation precedent; docstrings carry the residual-risk
+#     note);
+#   * small-integer ratio, empirically driver-green across rounds and
+#     structurally tie-poor (jaccard/containment pair lists, histogram
+#     bucket edges, token ratios).
+# A NEW query must NOT add a site: either round in the exact-integer /
+# decimal domain (functions/rounding.half_up*; F.round(dec, n)) or
+# consciously extend this map with a reviewed entry.
+ACCEPTED_ROUND_ON_DOUBLE = {
+    "ann_cosine_topk": 1,
+    "ann_ivf_topk": 1,
+    "ann_lsh_topk": 1,
+    "dedup_clusters": 2,
+    "dedup_containment_docs": 2,
+    "dedup_containment_lsh_docs": 1,
+    "dedup_embedding_cosine": 2,
+    "dedup_keep_best_quality": 2,
+    "dedup_minhash_lsh_docs": 2,
+    "dedup_ngram_jaccard_docs": 2,
+    "dedup_semantic_clusters": 1,
+    "dedup_simhash_docs": 2,
+    "emb_dimension_profile": 1,
+    "emb_quantize_int8": 1,
+    "emb_source_similarity": 1,
+    "feature_zscore_winsorize": 1,
+    "hist_doc_tokens": 1,
+    "hist_order_totals": 1,
+    "ingest_neardup_incremental": 2,
+    "knn_label_audit": 1,
+    "knn_label_audit_ivf": 1,
+    "mixture_temperature_sources": 3,
+    "multimodal_decode_rasters": 1,
+    "multimodal_frame_sample": 1,
+    "multimodal_resize_rasters": 1,
+    "quality_pr_curve": 4,
+    "stats_corr_regression": 3,
+    "string_fuzzy_levenshtein": 1,
+    "text_kl_source_drift": 1,
+    "text_pmi_collocations": 1,
+    "text_quality_distill": 4,
+    "text_quality_docs": 2,
+    "text_quality_gopher": 3,
+    "text_source_entropy": 2,
+    "text_tfidf_topterms": 1,
+    "ts_lag_correlation": 1,
+}
+
+
+def _round_arg1(sql: str, i: int) -> str:
+    """First top-level argument of the call whose '(' is at sql[i]."""
+    depth = 0
+    j = i
+    while j < len(sql):
+        c = sql[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[i + 1 : j]
+        elif c == "," and depth == 1:
+            return sql[i + 1 : j]
+        j += 1
+    return sql[i + 1 :]
+
+
+def _round_on_double_sites(sql: str) -> list[str]:
+    """ROUND( sites whose first argument contains a float division and
+    — ``//`` (DuckDB integer floor division) excluded. There is NO
+    decimal exemption: DuckDB promotes DECIMAL division to DOUBLE, so
+    ``ROUND(decimal_expr / x, n)`` is exactly as risky as the raw
+    double form; only division-free decimal rounding is safe (and that
+    contains no '/', so it never reaches this check)."""
+    out = []
+    up = sql.upper()
+    k = 0
+    while True:
+        k = up.find("ROUND(", k)
+        if k < 0:
+            break
+        a = _round_arg1(sql, k + 5)
+        if "/" in a.replace("//", " "):
+            out.append(" ".join(a.split())[:60])
+        k += 6
+    return out
+
+
+def test_no_unreviewed_round_on_double_quotient():
+    """Mechanical guard for the r6 ``rfm_customer_segments`` failure
+    class: Spark HALF_UPs the shortest-decimal RENDERING of a double
+    while DuckDB rounds the BINARY value, so ``ROUND(double_quotient,
+    n)`` can hash-diverge on an exact half-tie. Every such site in the
+    oracle registry must be a consciously reviewed entry in
+    ``ACCEPTED_ROUND_ON_DOUBLE`` — a new query that rounds a raw double
+    quotient fails here and must either use the exact-integer helpers
+    (``functions/rounding``) / decimal-domain rounding, or extend the
+    allowlist with a reviewed justification."""
+    found = {}
+    for name, sql in entry.oracle_sql().items():
+        sites = _round_on_double_sites(sql)
+        if sites:
+            found[name] = len(sites)
+    unexpected = {
+        n: c
+        for n, c in found.items()
+        if ACCEPTED_ROUND_ON_DOUBLE.get(n) != c
+    }
+    stale = {
+        n: c
+        for n, c in ACCEPTED_ROUND_ON_DOUBLE.items()
+        if found.get(n) != c
+    }
+    assert not unexpected, (
+        f"unreviewed ROUND-on-double sites: {unexpected}; "
+        "use functions/rounding.half_up* or decimal-domain rounding, "
+        "or review + extend ACCEPTED_ROUND_ON_DOUBLE"
+    )
+    assert not stale, f"allowlist entries no longer matching: {stale}"
+
+
+def test_round_on_double_detector_catches_a_plant():
+    """The detector itself must fire on the canonical bad pattern and
+    stay quiet on the two sanctioned alternatives."""
+    bad = "SELECT ROUND(CAST(s AS DOUBLE) / n, 6) AS avg FROM t"
+    good_decimal = "SELECT CAST(ROUND(CAST(s AS DECIMAL(12,2)), 6) AS DOUBLE) FROM t"
+    good_intdiv = "SELECT CAST((s*2000000 + n) // (2*n) AS BIGINT) FROM t"
+    assert len(_round_on_double_sites(bad)) == 1
+    assert _round_on_double_sites(good_decimal) == []
+    assert _round_on_double_sites(good_intdiv) == []

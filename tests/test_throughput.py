@@ -64,3 +64,39 @@ def test_parity_pipeline_beats_reference_block_rate(spark, tmp_path):
     # reference bar: ~1 block/s sustained (NEAR mainnet rate, BASELINE.md);
     # require two orders of magnitude headroom on one node
     assert bps > 100, f"only {bps:.0f} blocks/s"
+
+
+def test_streaming_mode_drains_sf01_within_budget(spark, tmp_path):
+    """STREAMING-mode parity throughput (the batch test above cannot
+    see trigger scheduling, checkpoint writes, or foreachBatch sink
+    costs): re-encode the full sf0.1 events table as StreamerMessage
+    blocks, drain it through ``start_to_parquet`` under
+    ``trigger(availableNow)``, and assert (a) every event arrives —
+    exact routed row count, 2 topics per event — and (b) the drain
+    clears the reference's ~1 block/s bar by >=2 orders of magnitude
+    within a hard wall budget."""
+    from near_event_streams_spark.sources.streamer import (
+        events_to_streamer_messages,
+        stream_messages_json,
+    )
+    from near_event_streams_spark.streaming.job import start_to_parquet
+
+    sf_dir = "/root/testdata/sf0.1"
+    corpus = str(tmp_path / "corpus")
+    n_blocks = events_to_streamer_messages(
+        spark, sf_dir, corpus, events_per_block=50, n_files=40
+    )
+    assert n_blocks == 2000
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    msgs = stream_messages_json(spark, corpus)
+    t0 = time.perf_counter()
+    q = start_to_parquet(msgs, NesConfig(), out, ckpt, available_now=True)
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # every event routed to the all-topic AND its per-type topic
+    assert spark.read.parquet(out).count() == 2 * n_events
+    bps = n_blocks / wall
+    print(f"\nstreaming drain: {bps:,.0f} blocks/s ({wall:.2f}s)")
+    assert bps > 100, f"only {bps:.0f} blocks/s ({wall:.1f}s for {n_blocks})"
