@@ -551,8 +551,8 @@ def run_neardup_latency() -> None:
         ingest.register_batch_neardup(
             accepted, reg_path, batch_id=0, n_buckets=64
         )
-        reg_rows = spark.read.parquet(os.path.join(reg_path, "state")).count() \
-            if os.path.isdir(os.path.join(reg_path, "state")) else None
+        _state = ingest.upsert.read_state(spark, reg_path)
+        reg_rows = _state.count() if _state is not None else 0
         times = []
         for _ in range(3):
             spark.catalog.clearCache()

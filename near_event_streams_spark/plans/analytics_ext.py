@@ -4552,6 +4552,101 @@ FROM both_v GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def pruned_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-PRUNED point-lookup probe through the versioned store
+    (``streaming/upsert.read_state_pruned``), driver-gated: the same
+    two-commit MERGE store as ``merge_upsert_orders`` (64 buckets),
+    probed for a bounded key set (the 20 smallest keys divisible by
+    1000 — a total order, so deterministic at EVERY sf) the way the
+    incremental near-dup ingest probes its registry — derive the probe
+    keys' bucket ids (``bucket_ids_for``), read ONLY those buckets,
+    semi-join to the probe keys, and aggregate. The oracle recomputes
+    the merged rows for the probed keys relationally, so a pruning bug
+    that DROPS a bucket (missing rows) or breaks latest-per-key within
+    a pruned read flips the hash. ``pruned_ok`` pins that the read
+    touched fewer buckets than the store holds — guaranteed by
+    pigeonhole (≤ 20 probe keys < 64 buckets at any sf) — so a
+    regression that silently falls back to a full scan also fails the
+    gate.
+
+    Store dir wiped and rebuilt per call (stable md5 digest path)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from near_event_streams_spark.streaming import upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "seq", F.lit(1).cast("long")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "seq", F.lit(2).cast("long")
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"nes_pruned_probe_gate_{digest}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    n_buckets = 64
+    upsert.merge_upsert(
+        base, path, key_cols=["o_orderkey"], seq_col="seq",
+        n_buckets=n_buckets,
+    )
+    upsert.merge_upsert(
+        updates.unionByName(inserts),
+        path,
+        key_cols=["o_orderkey"],
+        seq_col="seq",
+        n_buckets=n_buckets,
+    )
+    probe_keys = (
+        orders.filter(F.col("o_orderkey") % 1000 == 0)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+    meta = upsert.store_meta(path)
+    dirty = upsert.bucket_ids_for(
+        probe_keys, meta["bucket_cols"], meta["n_buckets"]
+    )
+    state = upsert.read_state_pruned(spark, path, dirty)
+    hit = state.join(probe_keys, "o_orderkey", "left_semi")
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_found"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.sum("seq").alias("sum_seq"),
+        F.lit(len(dirty) < meta["n_buckets"]).alias("pruned_ok"),
+    )
+
+
+PRUNED_PROBE_SQL = """
+WITH probe AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 0
+  ORDER BY o_orderkey LIMIT 20
+), merged AS (
+  SELECT o_orderkey, o_totalprice, 1 AS seq
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 != 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 100.0, 2 AS seq
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 2 AS seq
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_found,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(SUM(seq) AS BIGINT) AS sum_seq,
+       TRUE AS pruned_ok
+FROM merged SEMI JOIN probe USING (o_orderkey)
+"""
+
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles)
     rolled up to segment-combination counts. Quartile boundaries come
@@ -5259,6 +5354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_gaps_islands": seq_gaps_islands,
     "rfm_customer_segments": rfm_customer_segments,
     "merge_upsert_orders": merge_upsert_orders,
+    "pruned_probe_orders": pruned_probe_orders,
     "time_travel_orders": time_travel_orders,
     "unpivot_stack_metrics": unpivot_stack_metrics,
     "trend_per_event_type": trend_per_event_type,
@@ -5354,6 +5450,7 @@ ORACLE_SQL: dict[str, str] = {
     "seq_gaps_islands": SEQ_ISLANDS_SQL,
     "rfm_customer_segments": RFM_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
+    "pruned_probe_orders": PRUNED_PROBE_SQL,
     "time_travel_orders": TIME_TRAVEL_SQL,
     "unpivot_stack_metrics": UNPIVOT_SQL,
     "trend_per_event_type": TREND_SQL,
