@@ -1136,6 +1136,61 @@ FROM events
 """
 
 
+def variant_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType THROUGH the storage layer (the ``variant_functions``
+    row exercises only in-memory parse/extract): ``parse_json(props)``
+    is written as a parquet VARIANT column (Spark 4's binary
+    metadata/value encoding — the layout the shredded-read optimization
+    targets), read back from disk, and typed-extracted with
+    ``variant_get`` into a per-event-type rollup. Gates the full
+    write→scan→extract roundtrip: an encoding regression, a reader that
+    loses the variant logical type, or an extraction that changes
+    null-semantics on re-read all flip the hash. Scratch dir is wiped
+    and rebuilt per call (stable md5 digest path)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"nes_variant_rt_{digest}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    ev.select(
+        "event_id", "event_type", F.parse_json(F.col("props")).alias("pv")
+    ).write.parquet(path)
+    back = spark.read.parquet(path)
+    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    return (
+        back.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_k_present"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_ROUNDTRIP_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_k_present
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def array_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array algebra: union/intersect/except/position/remove/zip over
     deterministic integer arrays derived from each row.
@@ -5310,6 +5365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_part_share_suppliers": q20_part_share_suppliers,
     "try_functions": try_functions,
     "variant_functions": variant_functions,
+    "variant_parquet_roundtrip": variant_parquet_roundtrip,
     "window_range_frame": window_range_frame,
     "higher_order_functions": higher_order_functions,
     "window_ignore_nulls": window_ignore_nulls,
@@ -5406,6 +5462,7 @@ ORACLE_SQL: dict[str, str] = {
     "q20_part_share_suppliers": Q20_SQL,
     "try_functions": TRY_FUNCS_SQL,
     "variant_functions": VARIANT_SQL,
+    "variant_parquet_roundtrip": VARIANT_ROUNDTRIP_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,
     "higher_order_functions": HIGHER_ORDER_SQL,
     "window_ignore_nulls": WINDOW_IGNORE_NULLS_SQL,

@@ -324,3 +324,104 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_timeout_tws(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Timer-driven SESSION TIMEOUT emission on transformWithStateInPandas
+    — the use-case the older applyInPandasWithState expresses only via
+    GroupStateTimeout: each key accumulates an open session; every input
+    batch re-arms a processing-time timer at ``last activity + gap``;
+    when the timer EXPIRES (no activity for a full gap) the closed
+    session is emitted exactly once and the state cleared. Unlike
+    ``sessionize_stateful`` (which emits on the NEXT event after the
+    gap), the timer closes idle sessions with no further traffic — the
+    24/7-ingest shape where the last session of a departed user must
+    still flush.
+
+    Scale: identical to any keyed-state operator — one shuffle on the
+    key, per-key state O(1) (five scalars), timers are state-store
+    entries, not threads. Timer discipline: exactly ONE armed timer per
+    key (the previous one is deleted before re-arming), so the timer
+    count is bounded by live keys.
+
+    Runtime requirement: same protobuf-backed TWS Python worker as
+    :func:`running_totals_tws` (env-skipped where absent;
+    ``sessionize_stateful`` is the dependency-free fallback).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    n = int(gap.strip().split()[0])
+    unit = gap.strip().split()[1].rstrip("s")
+    gap_ms = n * {"millisecond": 1, "second": 1000, "minute": 60_000,
+                  "hour": 3_600_000}[unit]
+
+    class SessionTimeout(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess",
+                "n bigint, total double, start_ms bigint, last_ms bigint",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._sess.exists():
+                n, total, start_ms, last_ms = self._sess.get()
+            else:
+                n, total, start_ms, last_ms = 0, 0.0, None, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                lo = int(pdf["ts_ms"].min())
+                hi = int(pdf["ts_ms"].max())
+                start_ms = lo if start_ms is None else min(start_ms, lo)
+                last_ms = hi if last_ms is None else max(last_ms, hi)
+            self._sess.update((n, total, start_ms, last_ms))
+            # exactly one armed timer per key: drop the stale one, re-arm
+            # a full gap past the batch's processing time
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + gap_ms
+            )
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                n, total, start_ms, last_ms = self._sess.get()
+                self._sess.clear()
+                yield pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "n_events": [n],
+                        "total_value": [total],
+                        "session_start_ms": [start_ms],
+                        "session_end_ms": [last_ms],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=SessionTimeout(),
+        outputStructType=(
+            "key string, n_events bigint, total_value double, "
+            "session_start_ms bigint, session_end_ms bigint"
+        ),
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

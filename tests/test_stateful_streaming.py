@@ -264,3 +264,56 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         final[r["key"]] = (r["n_events"], r["total_value"])
     assert final["u1"] == (3, 7.0), final
     assert final["u2"] == (1, 10.0), final
+
+
+def test_transform_with_state_session_timeout(spark, tmp_path):
+    """Timer-driven session timeout (session_timeout_tws): a key idle
+    for a full gap has its session EMITTED BY THE TIMER on a later
+    micro-batch — no follow-up event needed — and the state cleared.
+
+    Env-skip: same protobuf-backed TWS worker as running_totals_tws."""
+    import time as _time
+
+    import pytest
+    pytest.importorskip("google.protobuf.descriptor")
+    src = tmp_path / "tws_sess"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            ("u1", "click", 1.0, "2024-01-01 00:00:00"),
+            ("u1", "click", 2.0, "2024-01-01 00:01:00"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stateful.session_timeout_tws(stream, gap="1 millisecond")
+        .writeStream.format("memory")
+        .queryName("tws_sess_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # a second batch (new file) gives the expired timer a batch to
+        # fire in; the gap (1 ms) has long elapsed by then
+        _time.sleep(1.5)
+        _write_batch(
+            src, "b2.jsonl", [("u2", "view", 9.0, "2024-01-01 02:00:00")]
+        )
+        deadline = _time.time() + 60
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql("SELECT * FROM tws_sess_out").collect()
+            if rows:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {(r["key"], r["n_events"], r["total_value"]) for r in rows}
+    assert ("u1", 2, 3.0) in got, got
