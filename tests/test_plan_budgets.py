@@ -257,3 +257,32 @@ def test_round7_query_stays_within_shuffle_budget(spark, name):
         f"{name}: {n} shuffle exchanges > budget {ROUND7_BUDGETS[name]}:"
         f"\n{plan[:2000]}"
     )
+
+ROUND8_BUDGETS = {
+    # invariant gate = LSH pipeline AND exact PPJoin ground truth AND
+    # three crossJoined scalar aggregates; the LSH side alone is 6
+    # executing exchanges (dfreq agg, slot agg, vote partial/final,
+    # verify repartition) — the collision join's raw volume is
+    # partially aggregated IN-STAGE, never shuffled
+    "dedup_containment_lsh_docs": 19,
+    # probe aggregate over a pruned bucket-file read: the semi-join
+    # broadcasts the 20-key probe, the final agg is a 1-row fold;
+    # store writes happen eagerly at build, not in the returned plan
+    "pruned_probe_orders": 0,
+    # variant parquet scan -> (event_type) hash agg + presentation sort
+    "variant_parquet_roundtrip": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROUND8_BUDGETS))
+def test_round8_query_stays_within_shuffle_budget(spark, name):
+    import __spark_entry__ as entry
+
+    spark.catalog.clearCache()
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    n = count_exchanges(plan)
+    assert n <= ROUND8_BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges > budget {ROUND8_BUDGETS[name]}:"
+        f"\n{plan[:2000]}"
+    )
