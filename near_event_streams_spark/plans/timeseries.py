@@ -497,8 +497,139 @@ FROM mi ORDER BY event_type, month
 """
 
 
+def ts_trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame — per user, the trailing-1-hour event
+    count and exact-decimal value sum at every event (the "rolling
+    spend in the last hour" feature): ``rangeBetween`` over epoch
+    MICROS, not rows, so bursts widen the frame's row count while the
+    time span stays fixed. This is the frame family the ±500-key
+    numeric range demo does not cover; in a feature pipeline it is the
+    point-in-time-correct aggregation (no future leakage: frame ends
+    at CURRENT ROW).
+
+    One user-key exchange shared by both frames; equal-timestamp ties
+    are inside one range frame on both engines, so tie order cannot
+    change any sum. Bounded presentation: top 200 by (user, ts,
+    event_id) — a total order.
+
+    Scale: one shuffle on user_id; per-partition sort; the frame scan
+    is the classic sliding-window merge, linear per key. Skewed hot
+    users are single-key-partition-bound like any per-key window —
+    the salting escape hatch (operators/skew.py) applies when one user
+    dominates."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    t = ts_us()
+    us_h = 3_600_000_000
+    base = ev.select(
+        "event_id",
+        "user_id",
+        t.alias("t_us"),
+        dec("value").alias("v_dec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-us_h, 0)
+    )
+    return (
+        base.select(
+            "user_id",
+            F.col("t_us"),
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum("v_dec").over(w).cast("double").alias("sum_last_hour"),
+        )
+        .orderBy("user_id", "t_us", "event_id")
+        .limit(200)
+    )
+
+
+TS_TRAILING_SQL = """
+SELECT user_id,
+       epoch_ns(ts) // 1000 AS t_us,
+       event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, t_us, event_id
+LIMIT 200
+"""
+
+
+def ts_anomaly_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline ANOMALY SCORING — the consumer of
+    ``ts_seasonal_hourly``'s calendar profile: bucket events into
+    (event_type, day, hour-of-day) counts, compute each type+hour-of-
+    day's across-days baseline, and score every day-bucket by its
+    ratio to baseline (a 3am spike scores against 3am's own norm, not
+    the global mean). The ratio is exact integer arithmetic —
+    ``cnt·n_day_buckets / total`` through the HALF_UP helper — so both
+    engines agree bit-for-bit. Top 20 by ratio under a total order:
+    the "which hours were most anomalous" report.
+
+    Scale: two bounded hash aggregates (day-buckets, then type×24
+    baselines) + one broadcast-sized join back; no window over the raw
+    stream."""
+    ev = _t(spark, sf_dir, "events")
+    t = ts_us()
+    us_h = F.lit(3_600_000_000).cast("long")
+    us_d = F.lit(86_400_000_000).cast("long")
+    day = F.call_function("div", t - F.pmod(t, us_d), us_d)
+    hod = F.pmod(
+        F.call_function("div", t - F.pmod(t, us_h), us_h), F.lit(24)
+    ).cast("int")
+    buckets = ev.groupBy(
+        F.col("event_type"), day.alias("day"), hod.alias("hour_utc")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    baseline = buckets.groupBy("event_type", "hour_utc").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    scored = buckets.join(
+        F.broadcast(baseline), ["event_type", "hour_utc"]
+    ).select(
+        "event_type",
+        "day",
+        "hour_utc",
+        "cnt",
+        F.expr(half_up6_spark("cnt * n_days", "total")).alias("ratio"),
+    )
+    return scored.orderBy(
+        F.col("ratio").desc(), "event_type", "day", "hour_utc"
+    ).limit(20)
+
+
+TS_ANOMALY_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         epoch_ns(ts) // 1000 // 86400000000 AS day,
+         CAST((((epoch_ns(ts) // 1000 // 3600000000) % 24) + 24) % 24
+              AS INT) AS hour_utc,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), base AS (
+  SELECT event_type, hour_utc,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM b GROUP BY 1, 2
+)
+SELECT b.event_type, CAST(b.day AS BIGINT) AS day, b.hour_utc, b.cnt,
+       {half_up6_duck("b.cnt * base.n_days", "base.total")} AS ratio
+FROM b JOIN base USING (event_type, hour_utc)
+ORDER BY ratio DESC, b.event_type, b.day, b.hour_utc
+LIMIT 20
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_seasonal_hourly": ts_seasonal_hourly,
+    "ts_trailing_window_sum": ts_trailing_window_sum,
+    "ts_anomaly_residuals": ts_anomaly_residuals,
     "ts_lag_correlation": ts_lag_correlation,
     "ts_month_over_month": ts_month_over_month,
     "ts_rollup_cascade": ts_rollup_cascade,
@@ -509,6 +640,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "ts_seasonal_hourly": TS_SEASONAL_SQL,
+    "ts_trailing_window_sum": TS_TRAILING_SQL,
+    "ts_anomaly_residuals": TS_ANOMALY_SQL,
     "ts_lag_correlation": TS_LAG_CORR_SQL,
     "ts_month_over_month": TS_MOM_SQL,
     "ts_rollup_cascade": TS_ROLLUP_CASCADE_SQL,
