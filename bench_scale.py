@@ -594,11 +594,32 @@ def run_neardup_latency() -> None:
         f"Verdict: {'FLAT (<=2x across 8x registry growth)' if flat else 'NOT FLAT - investigate'}"
     )
     lines.append("")
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"),
-        "a",
-    ) as f:
-        f.write("\n".join(lines))
+    md_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
+    )
+    with open(md_path) as f:
+        content = f.read()
+    own_marker = "## Incremental near-dup probe"
+    skew_marker = "## Appendix: skew-adversarial stress"
+    # drop any previous copy of this section
+    if own_marker in content:
+        head, rest = content.split(own_marker, 1)
+        rest = (
+            skew_marker + rest.split(skew_marker, 1)[1]
+            if skew_marker in rest
+            else ""
+        )
+        content = head.rstrip() + "\n\n" + rest
+    block = "\n".join(lines)
+    if skew_marker in content:
+        # keep the skew appendix LAST (its writer truncates at its own
+        # marker, which would otherwise wipe this section)
+        head, tail = content.split(skew_marker, 1)
+        content = head.rstrip() + "\n\n" + block + "\n" + skew_marker + tail
+    else:
+        content = content.rstrip() + "\n\n" + block
+    with open(md_path, "w") as f:
+        f.write(content)
 
 
 if __name__ == "__main__":

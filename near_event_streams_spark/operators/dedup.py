@@ -38,27 +38,36 @@ def words_col(text: Column) -> Column:
 
 
 def word_bigrams(words: Column) -> Column:
-    """Adjacent word pairs, 1-based element_at (matches DuckDB w[i]||' '||w[i+1]);
-    guarded because sequence(1,0) would produce a DESCENDING sequence."""
-    return F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat(
-                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Adjacent word pairs (matches DuckDB ``w[i]||' '||w[i+1]`` over
+    ``i in 1..len-1``), as a ``zip_with`` of the two shifted slices —
+    NOT an index-based ``transform`` + ``element_at``: inside a
+    higher-order-function lambda Spark re-evaluates the captured outer
+    expression per element, so when ``words`` is an unmaterialized
+    ``split(...)`` the index formulation re-runs the regex split for
+    EVERY bigram — O(len²) regex work per doc (measured 9.5 s → 1.1 s
+    on the 80k-doc skew corpus for the full shingle build). ``zip_with``
+    touches each operand array once. Callers should still pass a
+    materialized column (``withColumn``) rather than an inline split —
+    see :func:`shingle_id_sets`. Empty/1-word docs yield an empty
+    array via the empty slices (no guard needed: ``slice(w, 1, 0)``
+    is ``[]``)."""
+    n1 = F.greatest(F.size(words) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(words, 1, n1),
+        F.slice(words, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word-bigram shingles per document."""
+    """Distinct word-bigram shingles per document. The words array is
+    materialized in its own projection first so the generator input
+    never re-evaluates the split."""
     return (
-        docs.select(
+        docs.withColumn("_words", words_col(F.col(text_col)))
+        .select(
             F.col(id_col).alias("doc_id"),
-            F.explode(word_bigrams(words_col(F.col(text_col)))).alias(
-                "shingle"
-            ),
+            F.explode(word_bigrams(F.col("_words"))).alias("shingle"),
         )
         .distinct()
     )
@@ -73,19 +82,24 @@ def doc_shingle_ids(
     intersection and long-key joins are several times cheaper. A 64-bit
     collision between two of the corpus's distinct shingles would be needed
     to change any Jaccard count (P ≈ n_shingles²/2^65 — negligible, and the
-    oracle test would catch it deterministically).
+    oracle test would catch it deterministically). Words are materialized
+    before the bigram/hash chain (see :func:`word_bigrams`).
     """
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(
-                    word_bigrams(words_col(F.col(text_col))),
-                    lambda s: F.xxhash64(s),
+    return (
+        docs.withColumn("_words", words_col(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(
+                        word_bigrams(F.col("_words")),
+                        lambda s: F.xxhash64(s),
+                    )
                 )
-            )
-        ).alias("sid"),
-    ).filter(F.col("sid").isNotNull())
+            ).alias("sid"),
+        )
+        .filter(F.col("sid").isNotNull())
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -128,22 +142,37 @@ def shingle_id_sets(
     The input is round-robin repartitioned first: corpus files are often
     few/large, and the per-row hashing work would otherwise run on as few
     cores as there are input splits.
+
+    The words array and the shingle array are each materialized in
+    their own projection: ``sz`` references the MATERIALIZED ``sh``
+    column instead of repeating the expression tree (which would
+    evaluate the whole split→bigram→hash→distinct→sort chain twice per
+    row), and the bigram ``zip_with`` reads a materialized ``_words``
+    (see :func:`word_bigrams` for the O(len²) re-evaluation trap this
+    avoids — the two fixes together took the 80k-doc skew-corpus
+    shingle build from ~96 s to ~2 s).
     """
     spread = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
-    arr = F.sort_array(
-        F.array_distinct(
-            F.transform(
-                word_bigrams(words_col(F.col(text_col))),
-                lambda s: F.xxhash64(s),
-            )
+    return (
+        spread.withColumn("_words", words_col(F.col(text_col)))
+        .withColumn(
+            "sh",
+            F.sort_array(
+                F.array_distinct(
+                    F.transform(
+                        word_bigrams(F.col("_words")),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ),
         )
-    )
-    return spread.select(
-        F.col(id_col).alias("doc_id"),
-        arr.alias("sh"),
-        F.size(arr).alias("sz"),
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "sh",
+            F.size("sh").alias("sz"),
+        )
     )
 
 
@@ -889,11 +918,16 @@ def duplicated_ngram_stats(
     no pairwise comparisons anywhere, so this scales linearly where a
     pair-join formulation would be quadratic.
     """
-    w = words_col(F.lower(F.col(text_col)))
+    # words materialized first — an inline split captured by the
+    # transform lambda would re-run the regex per gram (see
+    # word_bigrams for the O(len²) trap)
+    w = F.col("_w")
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
+    grams = docs.withColumn(
+        "_w", words_col(F.lower(F.col(text_col)))
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(
             F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
@@ -959,9 +993,11 @@ def remove_duplicate_spans(
     """
     from pyspark.sql.window import Window
 
-    w = words_col(F.col(text_col))
+    # words materialized first (inline split captured by the transform
+    # lambda re-runs the regex per span — the word_bigrams trap)
+    w = F.col("_w")
     n_spans = F.floor((F.size(w) + span_tokens - 1) / F.lit(span_tokens))
-    spans = docs.select(
+    spans = docs.withColumn("_w", words_col(F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.transform(

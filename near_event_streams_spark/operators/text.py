@@ -146,8 +146,15 @@ def repetition_features(docs: DataFrame) -> DataFrame:
     and row-local, the right trade below ~10k tokens; the vocabulary()
     aggregation path is the shuffle alternative for giant docs).
     """
-    toks = F.regexp_extract_all(
-        F.lower(F.col("text")), F.lit(TOKEN_REGEX), 0
+    # the token array is materialized as its own column: an inline
+    # regexp_extract_all captured by the transform/filter lambdas would
+    # be re-evaluated per distinct term — O(terms) regex extractions on
+    # top of the already-quadratic per-term count (the word_bigrams
+    # higher-order-function trap, operators/dedup.py)
+    toks = F.col("_toks")
+    docs = docs.withColumn(
+        "_toks",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_REGEX), 0),
     )
     n_toks = F.size(toks)
     top_count = F.array_max(
@@ -237,7 +244,13 @@ def chunk_documents(
     step = chunk_size - overlap
     if step <= 0:
         raise ValueError("chunk_size must exceed overlap")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # materialized words column — an inline split captured by the chunk
+    # transform's slice would re-run the regex per chunk (the
+    # word_bigrams trap, operators/dedup.py)
+    words = F.col("_chunk_words")
+    docs = docs.withColumn(
+        "_chunk_words", F.split(F.trim(F.col(text_col)), r"\s+")
+    )
     n = F.size(words)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast(
