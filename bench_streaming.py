@@ -105,6 +105,15 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
             )
             if available_now:
                 q.awaitTermination()
+                wall = time.perf_counter() - t0
+                # listener events are delivered asynchronously — give
+                # the bus a moment (outside the timed region) so the
+                # per-batch latency percentiles aren't empty
+                deadline = time.time() + 5
+                while time.time() < deadline and not any(
+                    p["num_input_rows"] > 0 for p in listener.progress
+                ):
+                    time.sleep(0.1)
             else:
                 # continuous trigger: drained once every expected batch
                 # reported, or the source went idle (Spark >= 3.4 raises
@@ -125,7 +134,7 @@ def run(spark, sf_dir: str = SF_DIR) -> dict:
                     time.sleep(0.25)
                 q.stop()
                 q.awaitTermination()
-            wall = time.perf_counter() - t0
+                wall = time.perf_counter() - t0
         finally:
             spark.streams.removeListener(listener)
         import glob
