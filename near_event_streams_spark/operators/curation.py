@@ -43,12 +43,22 @@ def ngrams_col(text: Column, n: int) -> Column:
     indexes).
     """
     w = F.split(F.trim(F.lower(text)), r"\s+")
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
-    )
+    # n-1 pairwise zips of shifted slices, NOT transform+slice(w, i, n):
+    # a lambda that captures the unmaterialized split re-runs the regex
+    # per n-gram — O(len²) regex work per doc (the word_bigrams trap,
+    # operators/dedup.py). Here `w` appears only as a direct argument
+    # (n slices, each evaluated once and CSE-merged), so the cost is
+    # O(n·len). Sub-n-word docs fall out as empty slices — same
+    # behavior as the old sequence guard.
+    m = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    g = F.slice(w, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(w, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(g)
 
 
 def decontaminate(

@@ -376,12 +376,18 @@ def lm_bigram_logprob(
     broadcast; the only shuffle is the bigram-count aggregation. Scores
     round to 6 dp for the cross-engine oracle.
     """
-    norm = F.lower(F.trim(F.col(text_col)))
+    # normalized text materialized as its own column: an inline
+    # lower(trim(...)) captured by the transform lambda would be
+    # re-evaluated (full string copy) once per character — O(len²)
+    # (the word_bigrams trap, operators/dedup.py)
+    norm = F.col("_norm")
     # guarded: sequence(1, 0) would DESCEND for sub-2-char texts
     idx = F.when(
         F.length(norm) >= 2, F.sequence(F.lit(1), F.length(norm) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    bigrams = docs.select(
+    bigrams = docs.withColumn(
+        "_norm", F.lower(F.trim(F.col(text_col)))
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.transform(idx, lambda i: norm.substr(i, F.lit(2)))
