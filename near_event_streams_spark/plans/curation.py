@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from near_event_streams_spark.operators import curation
-from near_event_streams_spark.plans._common import half_up6_duck
+from near_event_streams_spark.plans._common import (
+    half_up6_duck,
+    half_up6_spark,
+    half_up_signed_duck,
+    half_up_signed_spark,
+)
 from near_event_streams_spark.sources.tables import load_table
 
 EVAL_SOURCES = ("src0", "src1")
@@ -598,6 +603,113 @@ FROM d ORDER BY doc_id
 """
 
 
+
+def drift_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-DRIFT report between two corpus cohorts — the data-
+    mixing health check a continuously-ingesting training pipeline runs
+    before each mixture refresh: did the recent slice's value
+    distribution move against the historic baseline? Orders split at
+    1996-01-01; the HISTORIC side's exact price deciles become the bin
+    edges; both cohorts are counted into those 10 bins; per-bin shares
+    come out in exact integer HALF_UP 6dp arithmetic, plus the signed
+    share delta — a PSI-style report with NO logarithms, so every
+    column is engine-exact (the ln-based PSI variant would be a
+    libm-tolerance row; this one hashes).
+
+    Plan shape: one exact-percentile aggregate over the historic side
+    (9 scalars, broadcast), then ONE pass over all orders computing the
+    bin index as a codegen sum of (price > edge) comparisons and ONE
+    (cohort × 10)-key hash aggregate. No window, no join on data keys;
+    at 100 TB it is two scans' worth of work with bounded state."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1996-01-01").cast("timestamp_ntz")
+    hist = orders.filter(F.col("o_orderdate") < split)
+    edges = hist.agg(
+        F.percentile(
+            F.col("o_totalprice").cast("double"),
+            F.lit([i / 10.0 for i in range(1, 10)]),
+        ).alias("e")
+    )
+    price = F.col("o_totalprice").cast("double")
+    bin_idx = sum(
+        (price > F.element_at(F.col("e"), i + 1)).cast("int")
+        for i in range(9)
+    )
+    binned = (
+        orders.crossJoin(F.broadcast(edges))
+        .select(
+            (F.col("o_orderdate") >= split).alias("is_recent"),
+            bin_idx.alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(~F.col("is_recent"), 1)).alias("n_hist"),
+            F.count(F.when(F.col("is_recent"), 1)).alias("n_recent"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_hist").alias("t_hist"),
+        F.sum("n_recent").alias("t_recent"),
+    )
+    share_h = half_up6_spark("n_hist", "t_hist")
+    share_r = half_up6_spark("n_recent", "t_recent")
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_hist",
+            "n_recent",
+            F.expr(share_h).alias("share_hist"),
+            F.expr(share_r).alias("share_recent"),
+            F.expr(
+                half_up_signed_spark(
+                    "n_recent*t_hist - n_hist*t_recent",
+                    "t_hist*t_recent",
+                    6,
+                )
+            ).alias("share_delta"),
+        )
+        .orderBy("bin")
+    )
+
+
+DRIFT_PRICE_SQL = f"""
+WITH edges AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), binned AS (
+  SELECT CAST((CAST(o_totalprice AS DOUBLE) > e[1]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[2]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[3]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[4]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[5]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[6]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[7]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[8]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[9]) AS INT) AS bin,
+       (o_orderdate >= TIMESTAMP '1996-01-01') AS is_recent
+  FROM orders, edges
+), g AS (
+  SELECT bin,
+         CAST(COUNT(*) FILTER (WHERE NOT is_recent) AS BIGINT) AS n_hist,
+         CAST(COUNT(*) FILTER (WHERE is_recent) AS BIGINT) AS n_recent
+  FROM binned GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_hist) AS BIGINT) AS t_hist,
+         CAST(SUM(n_recent) AS BIGINT) AS t_recent
+  FROM g
+)
+SELECT CAST(bin AS INT) AS bin, n_hist, n_recent,
+       {half_up6_duck("n_hist", "t_hist")} AS share_hist,
+       {half_up6_duck("n_recent", "t_recent")} AS share_recent,
+       {half_up_signed_duck(
+           "n_recent*t_hist - n_hist*t_recent", "t_hist*t_recent", 6)}
+         AS share_delta
+FROM g, t ORDER BY bin
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_train_docs": decontaminate_train_docs,
     "decontaminate_bloom_docs": decontaminate_bloom_docs,
@@ -614,6 +726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_shuffle_shards": epoch_shuffle_shards,
     "cap_docs_per_source": cap_docs_per_source,
     "sample_weighted_topk": sample_weighted_topk,
+    "drift_price_deciles": drift_price_deciles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -632,4 +745,5 @@ ORACLE_SQL: dict[str, str] = {
     "epoch_shuffle_shards": EPOCH_SHUFFLE_SQL,
     "cap_docs_per_source": CAP_PER_SOURCE_SQL,
     "sample_weighted_topk": SAMPLE_WEIGHTED_SQL,
+    "drift_price_deciles": DRIFT_PRICE_SQL,
 }
