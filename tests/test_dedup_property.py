@@ -153,3 +153,35 @@ def test_containment_lsh_full_containment_is_deterministic(spark):
         # expectation safe at this corpus size; assert it outright so a
         # slot-independence regression (e.g. reusing one salt) fails loudly
         assert got == want, f"seed={seed}: missing={want - got}"
+
+
+def test_containment_lsh_shuffle_join_branch_matches_broadcast(spark):
+    """The >max_broadcast_docs code path (plain shuffle candidate join +
+    merge-join verify) must be output-identical to the broadcast path —
+    the branch a 1B-doc corpus takes never runs in the oracle gate, so
+    pin it here against both the broadcast variant and brute force."""
+    docs = _random_corpus(55, 40)
+    rng = random.Random(56)
+    base_n = len(docs)
+    for k in range(4):
+        src = docs[rng.randrange(base_n)][1]
+        words = src.split()
+        if len(words) > 8:
+            docs.append((2000 + k, " ".join(words[: rng.randint(6, len(words) - 1)])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(threshold=0.9, min_shingles=3)
+    bcast = {
+        (r["a_doc_id"], r["b_doc_id"], r["containment"])
+        for r in dedup.containment_lsh_pairs(
+            df, broadcast_sets=True, **kw
+        ).collect()
+    }
+    shuffled = {
+        (r["a_doc_id"], r["b_doc_id"], r["containment"])
+        for r in dedup.containment_lsh_pairs(
+            df, broadcast_sets=False, **kw
+        ).collect()
+    }
+    assert bcast == shuffled
+    want = _brute_force_containment(docs, threshold=0.9, min_shingles=3)
+    assert {(a, b) for a, b, _ in shuffled} == want
