@@ -121,7 +121,8 @@ def main() -> None:
     total = 0.0
     cold_total = 0.0
     # Queries whose single run is ~20s at sf0.1 get 1 cold + 2 steady
-    # instead of 1+3 — the regression guard stands (median of 2 = mean)
+    # instead of 1+3 — the regression guard stands (the reported
+    # "median" of 2 steady runs is the LARGER one — conservative)
     # while the bench wall stays bounded.
     heavy = {"graph_triangle_census"}
     for name, fn in HEADLINE:

@@ -514,6 +514,12 @@ def containment_lsh_pairs(
     by AQE). Returns verified ORDERED
     ``(a_doc_id, b_doc_id, containment)``. ``sets`` persist handle is
     caller-owned (clearCache)."""
+    if not 1 <= min_slot_hits <= num_probe_slots:
+        raise ValueError(
+            f"containment_lsh_pairs: min_slot_hits={min_slot_hits} must "
+            f"be in [1, num_probe_slots={num_probe_slots}] — a larger "
+            "vote threshold than slots silently yields ZERO recall"
+        )
     num = int(round(threshold * 10000))
     den = 10000
     k = num_probe_slots
