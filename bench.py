@@ -161,21 +161,65 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
+    # Full per-query detail (dispersion bands, per-query steady-run
+    # counts — the heavy tier runs 2 steady instead of 3 — cold totals,
+    # and the streaming section) goes to a side file committed with the
+    # round. The FINAL stdout line must stay under the driver's
+    # 2,000-byte tail capture (it parses only the last JSON line of
+    # stdout; rounds 7-8 outgrew it → "parsed": null), so it carries
+    # just metric/value/unit/sf + 2-decimal per-query medians.
+    detail = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "dispersion": dispersion,
+        "steady_runs": {
+            name: (2 if name in heavy else 3) for name, _ in HEADLINE
+        },
+        "cold_total": round(cold_total, 3),
+        "streaming": streaming,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"# full detail written to {detail_path}", file=sys.stderr)
+
+    compact = json.dumps(
+        {
+            "metric": "headline_query_wall_time_total",
+            "value": round(total, 2),
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+        },
+        separators=(",", ":"),
+    )
+    # Hard guard: the driver tails 2,000 bytes of stdout. If the
+    # compact line ever outgrows ~1,900 bytes (headroom for a trailing
+    # newline and any stray stdout), drop per-query medians rather than
+    # go dark again — the detail file always has everything.
+    if len(compact) > 1900:
+        compact = json.dumps(
             {
                 "metric": "headline_query_wall_time_total",
-                "value": round(total, 3),
+                "value": round(total, 2),
                 "unit": "sec",
-                "queries": timings,
-                "dispersion": dispersion,
-                "steady_runs_per_query": 3,
-                "cold_total": round(cold_total, 3),
-                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": {
+                    k: round(v, 2)
+                    for k, v in sorted(
+                        timings.items(), key=lambda kv: -kv[1]
+                    )[:20]
+                },
+                "queries_truncated_see": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
-    )
+    print(compact)
     spark.stop()
 
 

@@ -501,10 +501,14 @@ def containment_lsh_pairs(
       precision.
 
     Recall: a true pair is missed only when fewer than m of k
-    independent slots land in B — ``P(Bin(k, C_pool) < m)`` ≤ 0.0012
-    at the defaults, and FULL containment (C=1, the excerpt-in-
-    superset class this detector exists for) is caught
-    DETERMINISTICALLY: pool ⊆ A ⊆ B, so every slot collides.
+    independent slots land in B — ``P(Bin(k, C_pool) < m)``, which at
+    the defaults (k=8, m=5) is ≈ 5.0×10⁻³ at C_pool = τ = 0.9 and
+    ≈ 0.056 at the C_pool = 0.8 worst-case pool degradation (the two
+    numbers the 0.995 / 0.94 survive probabilities above complement;
+    pinned by ``tests/test_dedup_property.py::test_recall_bound_math``).
+    FULL containment (C=1, the excerpt-in-superset class this detector
+    exists for) is caught DETERMINISTICALLY: pool ⊆ A ⊆ B, so every
+    slot collides.
 
     Cost shape vs the exact PPJoin: probe k rows per doc (vs
     ~(1−τ)·|A|+1 prefix rows), no per-doc rank window (the dfreq

@@ -661,10 +661,16 @@ def drift_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_recent",
             F.expr(share_h).alias("share_hist"),
             F.expr(share_r).alias("share_recent"),
+            # operands cast BEFORE the cross-products: the rounding
+            # helper casts only the finished num/den expressions, so a
+            # raw bigint n_recent*t_hist would overflow once cohort
+            # counts pass ~3e9 rows — the 100 TB regime this report
+            # exists for
             F.expr(
                 half_up_signed_spark(
-                    "n_recent*t_hist - n_hist*t_recent",
-                    "t_hist*t_recent",
+                    "CAST(n_recent AS DECIMAL(38,0))*t_hist"
+                    " - CAST(n_hist AS DECIMAL(38,0))*t_recent",
+                    "CAST(t_hist AS DECIMAL(38,0))*t_recent",
                     6,
                 )
             ).alias("share_delta"),
@@ -704,7 +710,9 @@ SELECT CAST(bin AS INT) AS bin, n_hist, n_recent,
        {half_up6_duck("n_hist", "t_hist")} AS share_hist,
        {half_up6_duck("n_recent", "t_recent")} AS share_recent,
        {half_up_signed_duck(
-           "n_recent*t_hist - n_hist*t_recent", "t_hist*t_recent", 6)}
+           "CAST(n_recent AS HUGEINT)*t_hist"
+           " - CAST(n_hist AS HUGEINT)*t_recent",
+           "CAST(t_hist AS HUGEINT)*t_recent", 6)}
          AS share_delta
 FROM g, t ORDER BY bin
 """

@@ -163,9 +163,12 @@ def dedup_containment_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact ``containment_pairs`` ground truth, emits the exact-pair
     count plus recall/precision booleans; DuckDB recomputes the exact
     count and pins the booleans TRUE. Recall bound is analytic —
-    miss probability (1−C)^4 ≤ 1e-4 per true pair at τ=0.9, and
-    C=1 pairs (the excerpt-in-superset class) collide
-    deterministically — so the 0.9-recall invariant has slack."""
+    a true pair misses only when fewer than 5 of 8 independent probe
+    slots land in the superset: P(Bin(8, C_pool) < 5) ≈ 5.0e-3 at
+    C_pool = τ = 0.9 (≈ 0.056 at the 0.8 worst-case pool
+    degradation), and C=1 pairs (the excerpt-in-superset class)
+    collide deterministically — so the 0.9-recall invariant has
+    slack."""
     docs = load_table(spark, sf_dir, "documents")
     found = dedup.containment_lsh_pairs(
         docs, threshold=0.9, min_shingles=5

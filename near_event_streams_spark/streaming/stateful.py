@@ -354,15 +354,29 @@ def session_timeout_tws(
     :func:`running_totals_tws` (env-skipped where absent;
     ``sessionize_stateful`` is the dependency-free fallback).
     """
+    # validate the gap BEFORE the stateful-processor import so bad
+    # arguments fail with a clear message even in environments where
+    # the protobuf-backed TWS worker is absent
+    _units = {"millisecond": 1, "second": 1000, "minute": 60_000,
+              "hour": 3_600_000, "day": 86_400_000}
+    parts = gap.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise ValueError(
+            f"session_timeout_tws: gap must be '<n> <unit>' with unit in "
+            f"{sorted(_units)} (optionally plural), got {gap!r}"
+        )
+    unit = parts[1].rstrip("s")
+    if unit not in _units:
+        raise ValueError(
+            f"session_timeout_tws: unsupported gap unit {parts[1]!r} — "
+            f"supported: {sorted(_units)} (optionally plural)"
+        )
+    gap_ms = int(parts[0]) * _units[unit]
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-
-    n = int(gap.strip().split()[0])
-    unit = gap.strip().split()[1].rstrip("s")
-    gap_ms = n * {"millisecond": 1, "second": 1000, "minute": 60_000,
-                  "hour": 3_600_000}[unit]
 
     class SessionTimeout(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -317,3 +317,28 @@ def test_transform_with_state_session_timeout(spark, tmp_path):
         q.stop()
     got = {(r["key"], r["n_events"], r["total_value"]) for r in rows}
     assert ("u1", 2, 3.0) in got, got
+
+
+def test_session_timeout_gap_validation(spark):
+    """The gap parser must reject malformed strings with a clear
+    ValueError (not a bare KeyError/IndexError) and accept 'day' —
+    validated BEFORE the protobuf-backed worker import, so this runs
+    in every environment."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("u1", 1.0)], "user_id string, value double"
+    )
+    for bad in ("10min", "2 fortnights", "soon", "1.5 hours", ""):
+        with pytest.raises(ValueError, match="session_timeout_tws"):
+            stateful.session_timeout_tws(df, gap=bad)
+    # 'day'/'days' and plural forms parse (plan construction may still
+    # env-skip later — the parse itself must not raise)
+    try:
+        stateful.session_timeout_tws(df, gap="2 days")
+    except ValueError as e:  # pragma: no cover
+        raise AssertionError(f"'2 days' should parse: {e}") from e
+    except Exception:
+        # non-streaming input / missing protobuf raise other errors
+        # downstream of the parse — not this test's concern
+        pass
