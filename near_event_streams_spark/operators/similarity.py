@@ -396,6 +396,245 @@ def ivf_topk(
     )
 
 
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, ks: int, seed: int, n_iter: int = 12
+) -> np.ndarray:
+    """Lloyd's k-means per subspace over a residual sample → PQ
+    codebooks, shape (m, ks, dsub). Pure numpy on the driver: PQ
+    codebooks are trained on a FIXED-SIZE sample at any corpus scale
+    (the FAISS recipe — a few thousand residuals saturate 256-entry
+    codebooks), so this is a bounded O(sample) driver computation, not
+    a collect-the-corpus anti-pattern. Deterministic: seeded greedy
+    kmeans++-style init (farthest-point on the sample), stable argmin
+    ties, fixed iteration count."""
+    n, dim = sample.shape
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        k_eff = min(ks, len(np.unique(x, axis=0)))
+        # init: first center seeded-random, rest farthest-first
+        cents = np.empty((ks, dsub))
+        cents[0] = x[rng.integers(0, n)]
+        d2 = ((x - cents[0]) ** 2).sum(axis=1)
+        for c in range(1, k_eff):
+            cents[c] = x[int(np.argmax(d2))]
+            d2 = np.minimum(d2, ((x - cents[c]) ** 2).sum(axis=1))
+        cents[k_eff:] = cents[0]  # degenerate slots collapse harmlessly
+        for _ in range(n_iter):
+            d = ((x[:, None, :] - cents[None, :k_eff, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], np.ndarray]:
+    """IVF-PQ index: coarse cluster id + product-quantized RESIDUAL
+    codes (m bytes) + the true vector norm per corpus vector — the
+    memory path for a 100 TB vector corpus, where IVF-Flat's full-width
+    float32 scan is the binding constraint (a 64-dim float32 vector is
+    256 B; its PQ row is m=8 code bytes + one norm — a ~16× candidate-
+    scan byte reduction at this dim, larger at real 768-3072 dims).
+
+    Layout: ``(vec_id, cluster, codes binary(m), vec_norm double)``.
+    Codes quantize the residual ``x − C[cluster]`` (FAISS IVFPQ):
+    subspace j's byte is the argmin codebook entry over that residual
+    slice. Codebooks are trained once on a ≤``train_sample`` residual
+    sample (bounded driver collect, seeded, deterministic) and shipped
+    as a Spark broadcast; encoding is one Arrow-batched vectorized pass
+    over the corpus — no shuffle beyond :func:`ivf_index`'s own
+    assignment."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    assert 2 <= ks <= 256, ks  # codes must fit one byte each
+    assigned, centroids = ivf_index(
+        corpus, n_clusters, seed, id_col, vec_col
+    )
+    spark = SparkSession.getActiveSession()
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    # bounded, deterministic training sample: smallest vec_ids win —
+    # no RNG in the distributed path, so re-runs build identical codes
+    samp = (
+        assigned.orderBy("vec_id")
+        .limit(train_sample)
+        .select("embedding", "cluster")
+        .toPandas()
+    )
+    xs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in samp["embedding"]]
+    )
+    resid = xs - cmat[samp["cluster"].to_numpy()]
+    books = _train_pq_codebooks(resid, m=m, ks=ks, seed=seed)
+    bc = spark.sparkContext.broadcast((cmat, books))
+    dim = xs.shape[1]
+    dsub = dim // m
+
+    @pandas_udf("struct<codes: binary, vec_norm: double>")
+    def encode(vecs: pd.Series, clusters: pd.Series) -> pd.DataFrame:
+        cents, cb = bc.value
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        r = x - cents[clusters.to_numpy()]
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            rj = r[:, j * dsub : (j + 1) * dsub]
+            # ||r−c||² argmin via the dot identity; ||r||² is row-constant
+            d = (cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (rj @ cb[j].T)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                "codes": [c.tobytes() for c in codes],
+                "vec_norm": np.sqrt((x**2).sum(axis=1)),
+            }
+        )
+
+    enc = assigned.select(
+        "vec_id",
+        "cluster",
+        encode(F.col("embedding"), F.col("cluster")).alias("_e"),
+    ).select("vec_id", "cluster", "_e.codes", "_e.vec_norm")
+    return enc, centroids, books
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    nprobe: int = 4,
+    refine: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-PQ with exact refinement: queries probe
+    their ``nprobe`` nearest coarse centroids; candidate scoring reads
+    ONLY the PQ rows (cluster id, m code bytes, stored norm — never the
+    full vectors), reconstructing the asymmetric inner product
+    ``⟨q, C[cluster]⟩ + Σ_j ⟨q_j, cb_j[code_j]⟩`` in one vectorized
+    Arrow pass; each query's top ``refine·k`` approximate candidates
+    are then re-scored EXACTLY (full-vector fetch by id — a k-bounded
+    semi-join, not a scan) so emitted cosines are exact and
+    approximation affects recall only, never the reported values.
+
+    Scale: the wide float vectors are touched only at (a) index build
+    and (b) the refine fetch of refine·k·|queries| rows; the per-query
+    candidate scan is m+8 bytes/vector. Same output shape as
+    :func:`ivf_topk`: ``(query_id, rank, cand_id, cos_sim)``."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    enc, centroids, books = ivfpq_index(
+        corpus, n_clusters, m, ks, seed, id_col=id_col, vec_col=vec_col
+    )
+    spark = SparkSession.getActiveSession()
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cmat, books))
+    dsub = cmat.shape[1] // m
+
+    probes = _nearest_centroids(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        ),
+        centroids,
+        nprobe,
+        "query",
+    )
+
+    @pandas_udf("double")
+    def adc_score(
+        qvecs: pd.Series,
+        clusters: pd.Series,
+        codes: pd.Series,
+        norms: pd.Series,
+    ) -> pd.Series:
+        cents, cb = bc.value
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in qvecs])
+        c = np.frombuffer(
+            b"".join(codes.tolist()), dtype=np.uint8
+        ).reshape(len(q), -1)
+        ip = np.einsum("ij,ij->i", q, cents[clusters.to_numpy()])
+        for j in range(c.shape[1]):
+            qj = q[:, j * dsub : (j + 1) * dsub]
+            ip += np.einsum("ij,ij->i", qj, cb[j][c[:, j]])
+        qn = np.sqrt((q**2).sum(axis=1))
+        den = qn * norms.to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, ip / den, 0.0)
+        return pd.Series(out)
+
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("cand_id")
+    )
+    shortlist = (
+        probes.join(
+            enc.select(
+                F.col("vec_id").alias("cand_id"),
+                "cluster",
+                "codes",
+                "vec_norm",
+            ),
+            "cluster",
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "query_vec",
+            "cand_id",
+            adc_score(
+                F.col("query_vec"),
+                F.col("cluster"),
+                F.col("codes"),
+                F.col("vec_norm"),
+            ).alias("approx_sim"),
+        )
+        # a candidate reached via several probed clusters scores
+        # identically (same cluster id in its PQ row) — keep one
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("_rk", F.row_number().over(w_approx))
+        .filter(F.col("_rk") <= refine * k)
+        .select("query_id", "query_vec", "cand_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        shortlist.join(full, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                cosine(F.col("query_vec"), F.col("cand_vec")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cos_sim")
+    )
+
+
 def knn_label_agreement(
     corpus: DataFrame,
     k: int = 5,

@@ -162,6 +162,67 @@ def test_ann_ivf_rank_shape(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
 
 
+def test_ann_ivfpq_recall_against_brute_force(spark):
+    """IVF-PQ (8-byte codes + exact refine) must recover >=0.8 of the
+    exact top-5 pairs; measured 0.98 at sf0.001 / 0.94 at sf0.01."""
+    from near_event_streams_spark.plans.llm_ops import ann_ivfpq_topk_detail
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_ivfpq_topk_detail(spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ ANN recall {recall} too low"
+
+
+def test_ann_ivfpq_cosines_exact_and_ranks_contiguous(spark):
+    """The refine stage re-scores on full vectors, so every emitted
+    cosine must BIT-match the brute-force value for the same pair (PQ
+    approximation may drop pairs, never distort scores); ranks are a
+    contiguous 1..n per query."""
+    from near_event_streams_spark.plans.llm_ops import ann_ivfpq_topk_detail
+
+    brute = {
+        (r["query_id"], r["cand_id"]): r["cos_sim"]
+        for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    out = ann_ivfpq_topk_detail(spark, SF_DIR).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+        key = (r["query_id"], r["cand_id"])
+        if key in brute:
+            assert r["cos_sim"] == brute[key], (key, r["cos_sim"], brute[key])
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_ivfpq_index_layout_and_determinism(spark):
+    """PQ rows carry exactly m code bytes + a positive stored norm, and
+    the seeded build is run-to-run deterministic (no RNG in the
+    distributed path; codebooks train on a vec_id-ordered sample)."""
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    enc1, _, books1 = similarity.ivfpq_index(emb, n_clusters=8, m=8)
+    rows1 = {r["vec_id"]: (r["cluster"], bytes(r["codes"]), r["vec_norm"])
+             for r in enc1.collect()}
+    assert rows1, "empty index"
+    for vid, (_, codes, norm) in rows1.items():
+        assert len(codes) == 8, (vid, len(codes))
+        assert norm > 0, (vid, norm)
+    enc2, _, books2 = similarity.ivfpq_index(emb, n_clusters=8, m=8)
+    rows2 = {r["vec_id"]: (r["cluster"], bytes(r["codes"]), r["vec_norm"])
+             for r in enc2.collect()}
+    assert rows1 == rows2
+    assert (books1 == books2).all()
+
+
 def test_binary_file_source_to_features(spark, tmp_path):
     """Real binaryFile-source ingestion: synthetic files with magic bytes
     → typed media table → Arrow-batched feature extraction."""

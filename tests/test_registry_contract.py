@@ -93,6 +93,10 @@ def test_rotation_prefers_stalest_cohort():
 ACCEPTED_ROUND_ON_DOUBLE = {
     "ann_cosine_topk": 1,
     "ann_ivf_topk": 1,
+    # same shared _ANN_INVARIANT_SQL site as ann_ivf/ann_lsh: the ROUND
+    # sits inside the exact-topk CTE and the gate emits only a count +
+    # boolean, so a half-tie cannot hash-diverge the compared output
+    "ann_ivfpq_topk": 1,
     "ann_lsh_topk": 1,
     "dedup_clusters": 2,
     "dedup_containment_docs": 2,
