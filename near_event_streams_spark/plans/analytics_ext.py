@@ -1191,6 +1191,98 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def variant_shredded_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHREDDED VARIANT storage + ``variant_get`` scan pushdown — the
+    Spark-4 layout that makes semi-structured columns behave like typed
+    parquet columns at scale. A 4-field variant object built from
+    events (``to_variant_object`` — no JSON-text roundtrip) is written
+    with ``spark.sql.variant.writeShredding.enabled`` +
+    ``inferShreddingSchema``: the parquet footer then carries a
+    ``typed_value`` group with one typed subcolumn per field. On read,
+    ``spark.sql.variant.pushVariantIntoScan`` (default on) rewrites the
+    ``variant_get`` paths INTO the scan — the plan's ReadSchema becomes
+    ``struct<pv:struct<...>>`` with only the THREE requested fields, so
+    the untouched ``uid`` subcolumn is never decoded and the candidate
+    bytes track the projection, not the object width. That is the
+    100 TB story: schema-on-read flexibility with columnar-scan cost.
+    Plan shape is pinned by ``tests/test_plan_quality.py``; this gate
+    pins the values through the shredded write→scan→extract roundtrip
+    (all aggregates engine-exact: counts, bigint sums, double min/max —
+    no float summation order in play). Session confs are restored after
+    the write; scratch dir wiped per call."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"nes_variant_shred_{digest}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    confs = {
+        "spark.sql.variant.writeShredding.enabled": "true",
+        "spark.sql.variant.inferShreddingSchema": "true",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        ev.select(
+            "event_id",
+            F.to_variant_object(
+                F.struct(
+                    F.col("user_id").alias("uid"),
+                    F.col("value").alias("val"),
+                    F.col("event_type").alias("etype"),
+                    F.get_json_object(F.col("props"), "$.k")
+                    .cast("bigint")
+                    .alias("k"),
+                )
+            ).alias("pv"),
+        ).write.parquet(path)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            F.variant_get(F.col("pv"), "$.etype", "string").alias("etype"),
+            F.variant_get(F.col("pv"), "$.k", "bigint").alias("k"),
+            F.variant_get(F.col("pv"), "$.val", "double").alias("val"),
+        )
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_k_present"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("etype")
+    )
+
+
+VARIANT_SHREDDED_SQL = """
+SELECT event_type AS etype,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_k_present,
+       MIN(value) AS min_val,
+       MAX(value) AS max_val
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def array_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array algebra: union/intersect/except/position/remove/zip over
     deterministic integer arrays derived from each row.
@@ -5366,6 +5458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "try_functions": try_functions,
     "variant_functions": variant_functions,
     "variant_parquet_roundtrip": variant_parquet_roundtrip,
+    "variant_shredded_pushdown": variant_shredded_pushdown,
     "window_range_frame": window_range_frame,
     "higher_order_functions": higher_order_functions,
     "window_ignore_nulls": window_ignore_nulls,
@@ -5463,6 +5556,7 @@ ORACLE_SQL: dict[str, str] = {
     "try_functions": TRY_FUNCS_SQL,
     "variant_functions": VARIANT_SQL,
     "variant_parquet_roundtrip": VARIANT_ROUNDTRIP_SQL,
+    "variant_shredded_pushdown": VARIANT_SHREDDED_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,
     "higher_order_functions": HIGHER_ORDER_SQL,
     "window_ignore_nulls": WINDOW_IGNORE_NULLS_SQL,

@@ -718,6 +718,139 @@ FROM g, t ORDER BY bin
 """
 
 
+def drift_psi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ln-based drift number monitoring
+    stacks actually quote (``drift_price_deciles`` is its exact-
+    arithmetic sibling; this one reports the industry-standard
+    Σ (p−q)·ln(p/q)). Same two-scan plan: historic deciles → one
+    codegen binning pass → one (cohort × 10) hash aggregate. Shares are
+    Laplace-smoothed ((n+1)/(t+10)) so empty bins stay finite, and each
+    per-bin PSI term is rounded at 12 dp INTO the decimal domain before
+    the exact decimal total — the ``text_kl_source_drift`` recipe that
+    makes a libm-dependent number hash bit-for-bit across engines (a
+    12-dp half-tie on a transcendental is measure-zero; eight rounds
+    green on the KL twin). Interpretation gate: PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 action — emitted as the usual banded
+    label so the report is actionable without a lookup."""
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1996-01-01").cast("timestamp_ntz")
+    hist = orders.filter(F.col("o_orderdate") < split)
+    edges = hist.agg(
+        F.percentile(
+            F.col("o_totalprice").cast("double"),
+            F.lit([i / 10.0 for i in range(1, 10)]),
+        ).alias("e")
+    )
+    price = F.col("o_totalprice").cast("double")
+    bin_idx = sum(
+        (price > F.element_at(F.col("e"), i + 1)).cast("int")
+        for i in range(9)
+    )
+    binned = (
+        orders.crossJoin(F.broadcast(edges))
+        .select(
+            (F.col("o_orderdate") >= split).alias("is_recent"),
+            bin_idx.alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(~F.col("is_recent"), 1)).alias("n_hist"),
+            F.count(F.when(F.col("is_recent"), 1)).alias("n_recent"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_hist").alias("t_hist"),
+        F.sum("n_recent").alias("t_recent"),
+    )
+    q = (F.col("n_hist").cast("double") + F.lit(1.0)) / (
+        F.col("t_hist").cast("double") + F.lit(10.0)
+    )
+    p = (F.col("n_recent").cast("double") + F.lit(1.0)) / (
+        F.col("t_recent").cast("double") + F.lit(10.0)
+    )
+    terms = binned.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_hist",
+        "n_recent",
+        F.round((p - q) * F.log(p / q), 12)
+        .cast("decimal(26,12)")
+        .alias("_term"),
+    )
+    total = terms.agg(F.sum("_term").alias("_psi"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_hist",
+            "n_recent",
+            F.col("_term").cast("double").alias("psi_term"),
+            F.round(F.col("_psi"), 6).cast("double").alias("psi_total"),
+            # band thresholds compared in the DECIMAL domain (DuckDB's
+            # 0.1 literal is DECIMAL(2,1); matching that here keeps the
+            # comparison exact on both engines)
+            F.when(
+                F.col("_psi") < F.lit("0.1").cast("decimal(26,12)"),
+                "stable",
+            )
+            .when(
+                F.col("_psi") < F.lit("0.25").cast("decimal(26,12)"),
+                "drifting",
+            )
+            .otherwise("action")
+            .alias("psi_band"),
+        )
+        .orderBy("bin")
+    )
+
+
+DRIFT_PSI_SQL = """
+WITH edges AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), binned AS (
+  SELECT CAST((CAST(o_totalprice AS DOUBLE) > e[1]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[2]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[3]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[4]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[5]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[6]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[7]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[8]) AS INT)
+       + CAST((CAST(o_totalprice AS DOUBLE) > e[9]) AS INT) AS bin,
+       (o_orderdate >= TIMESTAMP '1996-01-01') AS is_recent
+  FROM orders, edges
+), g AS (
+  SELECT bin,
+         CAST(COUNT(*) FILTER (WHERE NOT is_recent) AS BIGINT) AS n_hist,
+         CAST(COUNT(*) FILTER (WHERE is_recent) AS BIGINT) AS n_recent
+  FROM binned GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_hist) AS BIGINT) AS t_hist,
+         CAST(SUM(n_recent) AS BIGINT) AS t_recent
+  FROM g
+), terms AS (
+  SELECT bin, n_hist, n_recent,
+         CAST(ROUND(
+           ((CAST(n_recent AS DOUBLE) + 1.0) / (CAST(t_recent AS DOUBLE) + 10.0)
+            - (CAST(n_hist AS DOUBLE) + 1.0) / (CAST(t_hist AS DOUBLE) + 10.0))
+           * ln(((CAST(n_recent AS DOUBLE) + 1.0) / (CAST(t_recent AS DOUBLE) + 10.0))
+                / ((CAST(n_hist AS DOUBLE) + 1.0) / (CAST(t_hist AS DOUBLE) + 10.0))),
+           12) AS DECIMAL(26,12)) AS _term
+  FROM g, t
+), total AS (
+  SELECT SUM(_term) AS _psi FROM terms
+)
+SELECT CAST(bin AS INT) AS bin, n_hist, n_recent,
+       CAST(_term AS DOUBLE) AS psi_term,
+       CAST(ROUND(_psi, 6) AS DOUBLE) AS psi_total,
+       CASE WHEN _psi < 0.1 THEN 'stable'
+            WHEN _psi < 0.25 THEN 'drifting'
+            ELSE 'action' END AS psi_band
+FROM terms, total ORDER BY bin
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_train_docs": decontaminate_train_docs,
     "decontaminate_bloom_docs": decontaminate_bloom_docs,
@@ -735,6 +868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cap_docs_per_source": cap_docs_per_source,
     "sample_weighted_topk": sample_weighted_topk,
     "drift_price_deciles": drift_price_deciles,
+    "drift_psi_log": drift_psi_log,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -754,4 +888,5 @@ ORACLE_SQL: dict[str, str] = {
     "cap_docs_per_source": CAP_PER_SOURCE_SQL,
     "sample_weighted_topk": SAMPLE_WEIGHTED_SQL,
     "drift_price_deciles": DRIFT_PRICE_SQL,
+    "drift_psi_log": DRIFT_PSI_SQL,
 }

@@ -707,3 +707,43 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_variant_shredded_write_and_pushed_scan(spark):
+    """variant_shredded_pushdown's two 100 TB claims, mechanically:
+    (a) the written parquet file is SHREDDED — its footer carries a
+    ``typed_value`` group with one typed subcolumn per object field
+    (including the un-queried ``uid``); (b) ``pushVariantIntoScan``
+    rewrote the three ``variant_get`` paths INTO the scan, so the
+    ReadSchema is a typed 3-field struct — the full variant binary is
+    never materialized and the untouched ``uid`` subcolumn is never
+    decoded."""
+    import glob
+    import hashlib
+    import tempfile
+
+    df = analytics_ext.QUERIES["variant_shredded_pushdown"](spark, SF_DIR)
+    plan = plan_text(df)
+    scan = plan[plan.index("Scan parquet") :]
+    rs = re.search(r"ReadSchema: struct<pv:struct<([^>]*)>", scan)
+    assert rs, f"variant_get not pushed into scan:\n{scan[:1500]}"
+    fields = rs.group(1)
+    assert fields.count(":") == 3, fields  # exactly the 3 requested
+    assert "bigint" in fields and "string" in fields and "double" in fields
+    assert "variant" not in fields.lower(), fields
+
+    digest = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/nes_variant_shred_{digest}"
+    part = glob.glob(f"{path}/*.parquet")[0]
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(part)
+    footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        spark._jsc.hadoopConfiguration(), hpath
+    )
+    schema = footer.getFileMetaData().getSchema().toString()
+    assert "typed_value" in schema, schema
+    for field in ("uid", "val", "etype", "k"):
+        assert f"group {field} " in schema or f"group {field}\n" in schema, (
+            field,
+            schema,
+        )

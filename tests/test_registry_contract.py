@@ -107,6 +107,10 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     "dedup_ngram_jaccard_docs": 2,
     "dedup_semantic_clusters": 1,
     "dedup_simhash_docs": 2,
+    # 12-dp rounding of a transcendental PSI term into the decimal
+    # domain before the exact decimal total — the text_kl_source_drift
+    # recipe; a 12-dp half-tie on a libm ln product is measure-zero
+    "drift_psi_log": 1,
     "emb_dimension_profile": 1,
     "emb_quantize_int8": 1,
     "emb_source_similarity": 1,
