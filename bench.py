@@ -97,6 +97,14 @@ HEADLINE = [
     # slots, detail-pairs form) benched NEXT TO its exact PPJoin twin
     # above — the headline number that justifies the escape hatch
     ("dedup_containment_lsh_docs", llm_ops.dedup_containment_lsh_pairs),
+    # round-9: IVF-PQ approximate ANN (detail form, benched NEXT TO the
+    # brute-force ann_cosine_topk above — the 16x candidate-scan byte
+    # reduction path), the ln-based PSI drift monitor (two-scan shape),
+    # and the shredded-VARIANT write->pushdown-read roundtrip (the only
+    # headline query that exercises the storage layer both ways)
+    ("ann_ivfpq_topk", llm_ops.ann_ivfpq_topk_detail),
+    ("drift_psi_log", curation.QUERIES["drift_psi_log"]),
+    ("variant_shredded_pushdown", analytics_ext.QUERIES["variant_shredded_pushdown"]),
 ]
 
 

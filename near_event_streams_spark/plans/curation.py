@@ -776,9 +776,16 @@ def drift_psi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(26,12)")
         .alias("_term"),
     )
-    total = terms.agg(F.sum("_term").alias("_psi"))
+    # total via a GLOBAL window, not a crossJoined scalar aggregate:
+    # Catalyst does not dedupe shared subtrees, so the aggregate form
+    # would re-execute the whole binning pipeline for the total; the
+    # window runs over the post-aggregation frame, which is exactly 10
+    # rows by construction — a single-partition window here is free,
+    # not the scale smell it would be pre-aggregation
+    from pyspark.sql.window import Window as _W
+
     return (
-        terms.crossJoin(F.broadcast(total))
+        terms.withColumn("_psi", F.sum("_term").over(_W.partitionBy()))
         .select(
             "bin",
             "n_hist",

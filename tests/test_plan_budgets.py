@@ -286,3 +286,33 @@ def test_round8_query_stays_within_shuffle_budget(spark, name):
         f"{name}: {n} shuffle exchanges > budget {ROUND8_BUDGETS[name]}:"
         f"\n{plan[:2000]}"
     )
+
+
+ROUND9_BUDGETS = {
+    # invariant gate = brute-force ground truth (2) + the PQ pipeline:
+    # probe/candidate windows keyed on query_id + refine fetch join +
+    # the crossJoined recall scalars; the candidate SCAN itself is a
+    # broadcast-codebook map with no exchange of its own
+    "ann_ivfpq_topk": 6,
+    # one (cohort x 10) binning agg + the 10-row global total window +
+    # presentation sort; the scalar-aggregate form would re-execute the
+    # binning subtree (Catalyst does not dedupe shared subtrees)
+    "drift_psi_log": 2,
+    # shredded variant scan (typed 3-field ReadSchema) -> (etype) hash
+    # agg + presentation sort — identical budget to the unshredded twin
+    "variant_shredded_pushdown": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROUND9_BUDGETS))
+def test_round9_query_stays_within_shuffle_budget(spark, name):
+    import __spark_entry__ as entry
+
+    spark.catalog.clearCache()
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    n = count_exchanges(plan)
+    assert n <= ROUND9_BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges > budget {ROUND9_BUDGETS[name]}:"
+        f"\n{plan[:2000]}"
+    )

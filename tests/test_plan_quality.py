@@ -747,3 +747,15 @@ def test_variant_shredded_write_and_pushed_scan(spark):
             field,
             schema,
         )
+
+    # (c) a predicate on variant_get reaches PushedFilters against the
+    # shredded typed subcolumn — semi-structured data with full
+    # predicate pushdown, the property that makes VARIANT viable as a
+    # 100 TB storage format rather than a parse-everything tax
+    pred = spark.read.parquet(path).filter(
+        F.variant_get(F.col("pv"), "$.k", "bigint") > 50
+    ).select(F.variant_get(F.col("pv"), "$.etype", "string").alias("e"))
+    pplan = plan_text(pred)
+    pscan = pplan[pplan.index("Scan parquet") :]
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", pscan)
+    assert m and "GreaterThan" in m.group(1), pscan[:1500]
