@@ -422,7 +422,6 @@ def _train_pq_codebooks(
         for c in range(1, k_eff):
             cents[c] = x[int(np.argmax(d2))]
             d2 = np.minimum(d2, ((x - cents[c]) ** 2).sum(axis=1))
-        cents[k_eff:] = cents[0]  # degenerate slots collapse harmlessly
         for _ in range(n_iter):
             d = ((x[:, None, :] - cents[None, :k_eff, :]) ** 2).sum(axis=2)
             assign = np.argmin(d, axis=1)
@@ -430,6 +429,11 @@ def _train_pq_codebooks(
                 mask = assign == c
                 if mask.any():
                     cents[c] = x[mask].mean(axis=0)
+        # degenerate slots (duplicate-heavy sample → k_eff < ks) are
+        # filled AFTER the Lloyd loop with the TRAINED first center, so
+        # a padding slot encode's argmin happens to select decodes to a
+        # live centroid, never a stale pre-training copy
+        cents[k_eff:] = cents[0]
         books[j] = cents
     return books
 
@@ -489,6 +493,8 @@ def ivfpq_index(
     @pandas_udf("struct<codes: binary, vec_norm: double>")
     def encode(vecs: pd.Series, clusters: pd.Series) -> pd.DataFrame:
         cents, cb = bc.value
+        if len(vecs) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.DataFrame({"codes": [], "vec_norm": []})
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         r = x - cents[clusters.to_numpy()]
         codes = np.empty((len(x), m), dtype=np.uint8)
@@ -568,6 +574,8 @@ def ivfpq_topk(
         norms: pd.Series,
     ) -> pd.Series:
         cents, cb = bc.value
+        if len(qvecs) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="float64")
         q = np.stack([np.asarray(v, dtype=np.float64) for v in qvecs])
         c = np.frombuffer(
             b"".join(codes.tolist()), dtype=np.uint8

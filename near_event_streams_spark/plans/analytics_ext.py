@@ -1145,17 +1145,22 @@ def variant_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``variant_get`` into a per-event-type rollup. Gates the full
     write→scan→extract roundtrip: an encoding regression, a reader that
     loses the variant logical type, or an extraction that changes
-    null-semantics on re-read all flip the hash. Scratch dir is wiped
-    and rebuilt per call (stable md5 digest path)."""
+    null-semantics on re-read all flip the hash. Scratch dir is a
+    per-call mkdtemp with a 3-call grace window (see
+    ``variant_shredded_pushdown``) so held DataFrames and concurrent
+    sessions never read a wiped path."""
     import hashlib
     import shutil
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), f"nes_variant_rt_{digest}"
-    )
+    prefix = f"nes_variant_rt_{digest}_"
+    paths = _VARIANT_SCRATCH.setdefault(prefix, [])
+    while len(paths) > 3:
+        shutil.rmtree(paths.pop(0), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=prefix)
+    paths.append(path)
     shutil.rmtree(path, ignore_errors=True)
     ev.select(
         "event_id", "event_type", F.parse_json(F.col("props")).alias("pv")
@@ -1191,6 +1196,11 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+# per-prefix scratch dirs written by variant_shredded_pushdown in this
+# process, oldest first (see the grace-window comment in the function)
+_VARIANT_SCRATCH: dict[str, list[str]] = {}
+
+
 def variant_shredded_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHREDDED VARIANT storage + ``variant_get`` scan pushdown — the
     Spark-4 layout that makes semi-structured columns behave like typed
@@ -1215,10 +1225,21 @@ def variant_shredded_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = _t(spark, sf_dir, "events")
+    # per-call UNIQUE scratch dir (mkdtemp), never a shared fixed path:
+    # a lazy DataFrame returned by an earlier invocation, or a second
+    # concurrent session on the same sf_dir, must not observe this
+    # call's write. Older scratch dirs from THIS process are kept for a
+    # grace window of 3 calls (a held DataFrame stays readable across a
+    # few re-invocations) and reaped beyond that so repeated bench runs
+    # don't leak /tmp space.
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), f"nes_variant_shred_{digest}"
-    )
+    prefix = f"nes_variant_shred_{digest}_"
+    paths = _VARIANT_SCRATCH.setdefault(prefix, [])
+    while len(paths) > 3:
+        shutil.rmtree(paths.pop(0), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=prefix)
+    paths.append(path)
+    # the parquet writer wants a non-existent target dir
     shutil.rmtree(path, ignore_errors=True)
     confs = {
         "spark.sql.variant.writeShredding.enabled": "true",

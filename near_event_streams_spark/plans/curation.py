@@ -762,6 +762,22 @@ def drift_psi_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hist").alias("t_hist"),
         F.sum("n_recent").alias("t_recent"),
     )
+    # 0..9 bin spine: the Laplace smoothing model is (n+1)/(t+10) over
+    # ALL ten bins, so a bin empty in BOTH cohorts must still contribute
+    # its smoothing term to the summed PSI (unreachable with historic-
+    # decile edges — every bin has hist rows — but the spine keeps the
+    # smoothing denominator and the summed terms structurally in
+    # agreement when this recipe is reused with external bin edges)
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    binned = spine.join(
+        binned.withColumn("bin", F.col("bin").cast("int")), "bin", "left"
+    ).select(
+        "bin",
+        F.coalesce(F.col("n_hist"), F.lit(0)).cast("long").alias("n_hist"),
+        F.coalesce(F.col("n_recent"), F.lit(0))
+        .cast("long")
+        .alias("n_recent"),
+    )
     q = (F.col("n_hist").cast("double") + F.lit(1.0)) / (
         F.col("t_hist").cast("double") + F.lit(10.0)
     )
@@ -836,6 +852,14 @@ WITH edges AS (
   SELECT CAST(SUM(n_hist) AS BIGINT) AS t_hist,
          CAST(SUM(n_recent) AS BIGINT) AS t_recent
   FROM g
+), gs AS (
+  -- 0..9 bin spine: the (n+1)/(t+10) smoothing model covers ALL ten
+  -- bins, so a both-cohort-empty bin still contributes its term
+  SELECT s.bin,
+         CAST(COALESCE(g.n_hist, 0) AS BIGINT) AS n_hist,
+         CAST(COALESCE(g.n_recent, 0) AS BIGINT) AS n_recent
+  FROM (SELECT unnest(range(0, 10)) AS bin) s
+  LEFT JOIN g ON s.bin = g.bin
 ), terms AS (
   SELECT bin, n_hist, n_recent,
          CAST(ROUND(
@@ -844,7 +868,7 @@ WITH edges AS (
            * ln(((CAST(n_recent AS DOUBLE) + 1.0) / (CAST(t_recent AS DOUBLE) + 10.0))
                 / ((CAST(n_hist AS DOUBLE) + 1.0) / (CAST(t_hist AS DOUBLE) + 10.0))),
            12) AS DECIMAL(26,12)) AS _term
-  FROM g, t
+  FROM gs, t
 ), total AS (
   SELECT SUM(_term) AS _psi FROM terms
 )

@@ -357,12 +357,22 @@ def session_timeout_tws(
     # validate the gap BEFORE the stateful-processor import so bad
     # arguments fail with a clear message even in environments where
     # the protobuf-backed TWS worker is absent
+    import re
+
     _units = {"millisecond": 1, "second": 1000, "minute": 60_000,
               "hour": 3_600_000, "day": 86_400_000}
     parts = gap.strip().split()
-    if len(parts) != 2 or not parts[0].isdigit():
+    # ASCII-digit regex, not str.isdigit(): isdigit() accepts Unicode
+    # digit chars (e.g. '²') that int() rejects, and '0 seconds' would
+    # arm a zero-length gap — both must hit the friendly message
+    if (
+        len(parts) != 2
+        or not re.fullmatch(r"[0-9]+", parts[0])
+        or int(parts[0]) == 0
+    ):
         raise ValueError(
-            f"session_timeout_tws: gap must be '<n> <unit>' with unit in "
+            f"session_timeout_tws: gap must be '<n> <unit>' with n a "
+            f"positive integer and unit in "
             f"{sorted(_units)} (optionally plural), got {gap!r}"
         )
     unit = parts[1].rstrip("s")

@@ -329,7 +329,11 @@ def test_session_timeout_gap_validation(spark):
     df = spark.createDataFrame(
         [("u1", 1.0)], "user_id string, value double"
     )
-    for bad in ("10min", "2 fortnights", "soon", "1.5 hours", ""):
+    # '² seconds': Unicode superscript passes str.isdigit() but not
+    # int(); '0 seconds': zero-length gap — both must hit the friendly
+    # ValueError, not a raw int() failure or a silently-armed 0ms timer
+    for bad in ("10min", "2 fortnights", "soon", "1.5 hours", "",
+                "² seconds", "0 seconds"):
         with pytest.raises(ValueError, match="session_timeout_tws"):
             stateful.session_timeout_tws(df, gap=bad)
     # 'day'/'days' and plural forms parse (plan construction may still
