@@ -518,6 +518,70 @@ def ivfpq_index(
     return enc, centroids, books
 
 
+def ivfpq_write(
+    enc: DataFrame,
+    centroids: list[list[float]],
+    books: np.ndarray,
+    path: str,
+) -> None:
+    """Persist an IVF-PQ index built by :func:`ivfpq_index` — at
+    production scale the index is built ONCE and probed for months, so
+    rebuild-per-query (what :func:`ivfpq_topk` does when handed a raw
+    corpus) must not be the only path.
+
+    Layout — everything goes through Spark writers, so the same code
+    targets HDFS/S3 on a cluster:
+
+    * ``<path>/codes`` — the PQ rows, hive-partitioned **by coarse
+      cluster**: a probe touching ``nprobe`` of ``n_clusters`` cells
+      reads only those directories (partition pruning — the on-disk
+      twin of IVF's candidate pruning).
+    * ``<path>/meta`` — one-row parquet sidecar with the coarse
+      centroids and the PQ codebooks (KBs — ``n_clusters·dim`` +
+      ``m·ks·dsub`` doubles — independent of corpus size).
+    """
+    m = int(books.shape[0])
+    enc.write.mode("overwrite").partitionBy("cluster").parquet(
+        path + "/codes"
+    )
+    spark = enc.sparkSession
+    meta_row = [
+        (
+            m,
+            int(books.shape[1]),
+            [[float(x) for x in c] for c in centroids],
+            [
+                [[float(x) for x in cent] for cent in book]
+                for book in books
+            ],
+        )
+    ]
+    spark.createDataFrame(
+        meta_row,
+        "m int, ks int, centroids array<array<double>>, "
+        "books array<array<array<double>>>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def ivfpq_read(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], np.ndarray]:
+    """Load a persisted IVF-PQ index (see :func:`ivfpq_write`) into the
+    ``(enc, centroids, books)`` triple :func:`ivfpq_topk` accepts via
+    ``index=``. The codes frame stays lazy (and hive-partitioned by
+    cluster, so probes prune cells at the scan); only the KB-sized
+    sidecar row is collected."""
+    enc = spark.read.parquet(path + "/codes").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        "codes",
+        "vec_norm",
+    )
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    books = np.asarray(meta["books"], dtype=np.float64)
+    return enc, meta["centroids"], books
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -530,6 +594,7 @@ def ivfpq_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]], np.ndarray] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-PQ with exact refinement: queries probe
     their ``nprobe`` nearest coarse centroids; candidate scoring reads
@@ -544,13 +609,23 @@ def ivfpq_topk(
     Scale: the wide float vectors are touched only at (a) index build
     and (b) the refine fetch of refine·k·|queries| rows; the per-query
     candidate scan is m+8 bytes/vector. Same output shape as
-    :func:`ivf_topk`: ``(query_id, rank, cand_id, cos_sim)``."""
+    :func:`ivf_topk`: ``(query_id, rank, cand_id, cos_sim)``.
+
+    ``index``: a prebuilt ``(enc, centroids, books)`` triple — from
+    :func:`ivfpq_index` or :func:`ivfpq_read` — that makes this call
+    probe-only (the production shape: build once, probe for months).
+    When None, the index is built from ``corpus`` per call; ``corpus``
+    is still required either way for the exact refine fetch."""
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    enc, centroids, books = ivfpq_index(
-        corpus, n_clusters, m, ks, seed, id_col=id_col, vec_col=vec_col
-    )
+    if index is not None:
+        enc, centroids, books = index
+        m = int(books.shape[0])  # codes width is the index's, not the arg
+    else:
+        enc, centroids, books = ivfpq_index(
+            corpus, n_clusters, m, ks, seed, id_col=id_col, vec_col=vec_col
+        )
     spark = SparkSession.getActiveSession()
     cmat = np.asarray(centroids, dtype=np.float64)
     bc = spark.sparkContext.broadcast((cmat, books))

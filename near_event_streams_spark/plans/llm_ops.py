@@ -1007,6 +1007,92 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_invariant(exact, approx, min_recall=0.8)
 
 
+# per-prefix scratch dirs written by ann_ivfpq_persisted in this
+# process, oldest first: per-call mkdtemp + a 3-call grace window, so a
+# lazy DataFrame held across re-invocations never reads a wiped path
+_IVFPQ_SCRATCH: dict[str, list[str]] = {}
+
+
+def _ivfpq_scratch_dir(sf_dir: str) -> str:
+    import hashlib
+    import shutil
+    import tempfile
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"nes_ivfpq_idx_{digest}_"
+    paths = _IVFPQ_SCRATCH.setdefault(prefix, [])
+    while len(paths) > 3:
+        shutil.rmtree(paths.pop(0), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=prefix)
+    paths.append(path)
+    return path
+
+
+def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index persistence roundtrip (``similarity.ivfpq_write`` /
+    ``ivfpq_read``), oracle-gated two ways: (a) the PERSISTED index's
+    top-k meets the same recall@5 ≥ 0.8 bar as ``ann_ivfpq_topk``, and
+    (b) probing the read-back index reproduces the fresh-build top-k
+    EXACTLY (``roundtrip_identical`` — deterministic by construction:
+    seeded bounded training sample, stable argmin ties, so write→read
+    must be lossless for codes, norms, centroids and codebooks alike).
+
+    This is the 100 TB amortization path the per-call build cannot be:
+    a production corpus builds its index once and probes it for months,
+    with the PQ rows hive-partitioned by coarse cluster so a probe's
+    ``nprobe``/``n_clusters`` cell selection becomes parquet partition
+    pruning at the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _ivfpq_scratch_dir(sf_dir)
+
+    enc, cents, books = similarity.ivfpq_index(
+        emb, n_clusters=16, m=8, ks=256, seed=42
+    )
+    similarity.ivfpq_write(enc, cents, books, path)
+    idx = similarity.ivfpq_read(spark, path)
+    pers = similarity.ivfpq_topk(
+        queries, emb, k=5, nprobe=12, refine=4, index=idx
+    )
+    fresh = similarity.ivfpq_topk(
+        queries, emb, k=5, n_clusters=16, nprobe=12, m=8, ks=256, refine=4
+    )
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+
+    gate = _ann_recall_invariant(exact, pers, min_recall=0.8)
+    cols = ["query_id", "rank", "cand_id", "cos_sim"]
+    n_pers = pers.agg(F.count(F.lit(1)).alias("n_pers"))
+    n_fresh = fresh.agg(F.count(F.lit(1)).alias("n_fresh"))
+    n_same = (
+        pers.join(fresh, cols)
+        .agg(F.count(F.lit(1)).alias("n_same"))
+    )
+    return (
+        gate.crossJoin(n_pers)
+        .crossJoin(n_fresh)
+        .crossJoin(n_same)
+        .select(
+            "n_exact_pairs",
+            "recall_ok",
+            (
+                (F.col("n_same") == F.col("n_pers"))
+                & (F.col("n_pers") == F.col("n_fresh"))
+            ).alias("roundtrip_identical"),
+        )
+    )
+
+
+_ANN_PERSISTED_SQL = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS roundtrip_identical
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
 def ann_lsh_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k result list (detail view)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3083,6 +3169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_persisted": ann_ivfpq_persisted,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
     "emb_quantize_int8": emb_quantize_int8,
@@ -3144,6 +3231,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": _ANN_INVARIANT_SQL,
     "ann_ivf_topk": _ANN_INVARIANT_SQL,
     "ann_ivfpq_topk": _ANN_INVARIANT_SQL,
+    "ann_ivfpq_persisted": _ANN_PERSISTED_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

@@ -223,6 +223,49 @@ def test_ivfpq_index_layout_and_determinism(spark):
     assert (books1 == books2).all()
 
 
+def test_ivfpq_persist_roundtrip(spark, tmp_path):
+    """ivfpq_write → ivfpq_read must be lossless: identical PQ rows
+    (codes/norms/cluster), identical centroids+codebooks, and a probe
+    over the read-back index (probe-only, no rebuild) reproducing the
+    fresh-build top-k exactly. Codes land hive-partitioned by coarse
+    cluster — the layout that turns probe cell selection into parquet
+    partition pruning."""
+    import os
+
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "pqidx")
+    enc, cents, books = similarity.ivfpq_index(emb, n_clusters=8, m=8)
+    similarity.ivfpq_write(enc, cents, books, path)
+
+    # hive partitioning by cluster on disk
+    parts = [d for d in os.listdir(path + "/codes")
+             if d.startswith("cluster=")]
+    assert len(parts) > 1, parts
+
+    enc2, cents2, books2 = similarity.ivfpq_read(spark, path)
+    assert cents2 == [[float(x) for x in c] for c in cents]
+    assert (books2 == books).all()
+    rows1 = {r["vec_id"]: (r["cluster"], bytes(r["codes"]), r["vec_norm"])
+             for r in enc.collect()}
+    rows2 = {r["vec_id"]: (r["cluster"], bytes(r["codes"]), r["vec_norm"])
+             for r in enc2.collect()}
+    assert rows1 == rows2
+
+    queries = emb.filter(emb.vec_id < 5)
+    fresh = similarity.ivfpq_topk(
+        queries, emb, k=5, n_clusters=8, m=8, nprobe=4, refine=4
+    )
+    pers = similarity.ivfpq_topk(
+        queries, emb, k=5, nprobe=4, refine=4, index=(enc2, cents2, books2)
+    )
+    f = sorted(tuple(r) for r in fresh.collect())
+    p = sorted(tuple(r) for r in pers.collect())
+    assert f == p and len(f) == 25
+
+
 def test_binary_file_source_to_features(spark, tmp_path):
     """Real binaryFile-source ingestion: synthetic files with magic bytes
     → typed media table → Arrow-batched feature extraction."""
