@@ -105,6 +105,11 @@ HEADLINE = [
     ("ann_ivfpq_topk", llm_ops.ann_ivfpq_topk_detail),
     ("drift_psi_log", curation.QUERIES["drift_psi_log"]),
     ("variant_shredded_pushdown", analytics_ext.QUERIES["variant_shredded_pushdown"]),
+    # round-10: perceptual-hash image near-dedup — the decode (Arrow
+    # mapInPandas) + dHash + band-bucket-join + Hamming-verify shape,
+    # the multimodal twin of the MinHash text path (322k verified pairs
+    # at sf0.1)
+    ("multimodal_neardup_images", llm_ops.QUERIES["multimodal_neardup_images"]),
 ]
 
 

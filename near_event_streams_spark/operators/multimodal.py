@@ -23,6 +23,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -500,3 +501,150 @@ def sample_video_frames(
             )
 
     return media.mapInPandas(_run, schema=FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("decoded", BooleanType()),
+        # the 64-bit dHash as 8 row-bytes (one per luma-grid row) —
+        # band-shaped on purpose: the near-dup join buckets on
+        # (band_idx, band_value), so the hash layout IS the LSH banding
+        StructField("bands", ArrayType(IntegerType())),
+    ]
+)
+
+
+def dhash_images(
+    media: DataFrame,
+    grid_w: int = 8,
+    grid_h: int = 8,
+    decoder=None,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the binary image column —
+    the standard image-near-dedup fingerprint for a multimodal training
+    corpus: decode → nearest-neighbor sample a ``grid_h × (grid_w+1)``
+    luma grid → one bit per adjacent-pixel comparison (is the right
+    neighbor brighter?) → ``grid_h`` bands of ``grid_w`` bits. Robust to
+    uniform brightness shifts and resizes by construction (only
+    DIFFERENCES of luma matter), which is exactly what re-encoded /
+    brightness-tweaked duplicate images change.
+
+    Runs as one Arrow-batched ``mapInPandas`` pass (same plumbing as
+    :func:`extract_features`). ``decoder`` is the pluggable full-sample
+    seam (``bytes -> (w, h, rgb_samples)``, e.g.
+    :func:`pil_decode_samples` for JPEG/PNG corpora); the
+    dependency-free PPM pixel access is the fallback. Luma uses the
+    integer Rec.601 approximation ``(299·R + 587·G + 114·B) // 1000`` so
+    the hash is engine-replayable with no float in sight. Payloads no
+    decoder accepts pass through with ``decoded=False`` and NULL bands.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    def _decode(p: bytes) -> tuple[int, int, list[int]]:
+        if decoder is not None:
+            try:
+                return decoder(p)
+            except ValueError:
+                pass
+        return decode_ppm_samples(p)
+
+    def _one(p) -> tuple:
+        try:
+            w, h, vals = _decode(bytes(p))
+        except ValueError:
+            return None, None, False, None
+        bands: list[int] = []
+        for gy in range(grid_h):
+            sy = gy * h // grid_h
+            row: list[int] = []
+            for gx in range(grid_w + 1):
+                sx = gx * w // (grid_w + 1)
+                base = (sy * w + sx) * 3
+                r, g, b = vals[base : base + 3]
+                row.append((299 * r + 587 * g + 114 * b) // 1000)
+            byte = 0
+            for gx in range(grid_w):
+                if row[gx + 1] > row[gx]:
+                    byte |= 1 << gx
+            bands.append(byte)
+        return w, h, True, bands
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            res = [_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([r[0] for r in res], dtype="Int32"),
+                    "height": pd.Series([r[1] for r in res], dtype="Int32"),
+                    "decoded": [r[2] for r in res],
+                    "bands": [r[3] for r in res],
+                }
+            )
+
+    return media.mapInPandas(_run, schema=DHASH_SCHEMA)
+
+
+def neardup_image_pairs(
+    hashed: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """Image near-duplicate pairs from dHash bands — bucketed, never
+    all-pairs: each hash is ``n_bands`` bytes; two hashes within
+    Hamming distance ``max_hamming < n_bands`` must agree on at least
+    one whole band (pigeonhole — each differing bit corrupts exactly
+    one band), so the band-bucket join is EXACT for this threshold, not
+    probabilistic: recall 1.0 by construction, same guarantee shape as
+    the MinHash banding in ``dedup.py`` but deterministic.
+
+    Plan: posexplode bands → self-join on ``(band_idx, band_value)``
+    (candidates only from shared buckets) → distinct ``a < b`` pairs →
+    Hamming verify via ``zip_with(bit_count(xor))`` on the two band
+    arrays (JVM codegen, no Python). At 100 TB the candidate volume is
+    governed by bucket occupancy, exactly like every banded-LSH family
+    here; a degenerate band value (e.g. all-zero bytes from flat
+    images) is the skew knob to watch — salt or drop saturated buckets
+    when a production corpus shows them.
+
+    Returns ``(a_id, b_id, hamming)`` for verified pairs.
+    """
+    assert 0 <= max_hamming < n_bands, (max_hamming, n_bands)
+    hs = hashed.filter(F.col("decoded")).select("media_id", "bands")
+    ex = hs.select(
+        "media_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = ex.select(
+        F.col("media_id").alias("a_id"), "band_idx", "band_val"
+    )
+    b = ex.select(
+        F.col("media_id").alias("b_id"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ha = hs.select(
+        F.col("media_id").alias("a_id"), F.col("bands").alias("a_bands")
+    )
+    hb = hs.select(
+        F.col("media_id").alias("b_id"), F.col("bands").alias("b_bands")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a_bands"),
+            F.col("b_bands"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

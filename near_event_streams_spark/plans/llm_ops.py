@@ -2819,6 +2819,98 @@ ORDER BY media_id
 """
 
 
+def multimodal_neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dedup (``multimodal.dhash_images`` +
+    ``neardup_image_pairs``) — the pass that joins the multimodal decode
+    machinery to the banded-dedup machinery: every doc-keyed synthetic
+    P3 image is REALLY decoded (pixel access, not metadata echo), dHashed
+    (8×9 luma grid, Rec.601 integer luma, adjacent-pixel bits), and
+    near-dup pairs are found by the band-bucket join — never all-pairs.
+    The 8-byte band layout makes the bucketing EXACT for Hamming ≤ 7
+    (pigeonhole), so the oracle can replay the full construction →
+    decode → hash → threshold pipeline and demand identical pairs.
+
+    Corpus shape: group ``doc_id % 64`` fixes dims and the base pattern
+    (in-group images are brightness-shifted by ``doc_id % 3`` —
+    invisible to dHash by design — plus sparse +12 bumps at ~1% of
+    samples that flip a few bits), so groups yield near-dup pairs at
+    assorted Hamming distances and cross-group pairs verify out."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    g = d % 64
+    w = (g % 5 + 6).cast("int")
+    h = (g % 3 + 6).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), (w * h * 3 - 1).cast("long")),
+        lambda i: (g * 37 + i * 11) % 240
+        + F.when((d * 31 + i * 17) % 97 == 0, F.lit(12)).otherwise(F.lit(0))
+        + d % 3,
+    )
+    ppm = F.concat(
+        F.lit("P3\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+        F.array_join(samples, " "),
+    )
+    media = multimodal.as_media_table(
+        docs.select(d.alias("doc_id"), ppm.alias("img")),
+        id_col="doc_id",
+        payload_col="img",
+    )
+    hashed = multimodal.dhash_images(media)
+    return multimodal.neardup_image_pairs(
+        hashed, max_hamming=6, n_bands=8
+    ).orderBy("a_id", "b_id")
+
+
+MULTIMODAL_NEARDUP_SQL = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 64 AS BIGINT) AS g,
+         CAST((doc_id % 64) % 5 + 6 AS BIGINT) AS w,
+         CAST((doc_id % 64) % 3 + 6 AS BIGINT) AS h
+  FROM documents
+), sampled AS (
+  SELECT doc_id, w, h,
+    list_transform(range(0, w * h * 3), i ->
+      (g * 37 + i * 11) % 240
+      + CASE WHEN (doc_id * 31 + i * 17) % 97 = 0 THEN 12 ELSE 0 END
+      + doc_id % 3) AS vals
+  FROM base
+), luma AS (
+  -- 8x9 luma grid, row-major: gy = gi // 9, gx = gi % 9;
+  -- nearest-neighbor source pixel (gy*h//8, gx*w//9); 1-based list idx
+  SELECT doc_id,
+    list_transform(range(0, 72), gi ->
+      (299 * vals[((((gi // 9) * h // 8) * w + ((gi % 9) * w // 9)) * 3) + 1]
+     + 587 * vals[((((gi // 9) * h // 8) * w + ((gi % 9) * w // 9)) * 3) + 2]
+     + 114 * vals[((((gi // 9) * h // 8) * w + ((gi % 9) * w // 9)) * 3) + 3]
+      ) // 1000) AS lg
+  FROM sampled
+), hashed AS (
+  -- one band byte per grid row: bit gx set iff right neighbor brighter
+  SELECT doc_id,
+    list_transform(range(0, 8), gy ->
+      list_sum(list_transform(range(0, 8), gx ->
+        CASE WHEN lg[gy * 9 + gx + 2] > lg[gy * 9 + gx + 1]
+             THEN 1 << gx ELSE 0 END))) AS bands
+  FROM luma
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(list_sum(list_transform(range(1, 9), j ->
+            bit_count(xor(CAST(a.bands[j] AS INTEGER),
+                          CAST(b.bands[j] AS INTEGER))))) AS INT)
+         AS hamming
+FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+WHERE CAST(list_sum(list_transform(range(1, 9), j ->
+        bit_count(xor(CAST(a.bands[j] AS INTEGER),
+                      CAST(b.bands[j] AS INTEGER))))) AS INT) <= 6
+ORDER BY a_id, b_id
+"""
+
+
 def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant embedding direction by matrix-free power iteration
     (``similarity.power_iteration_pc1``, 3 supersteps in fixed-point
@@ -3212,6 +3304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_decode_rasters": multimodal_decode_rasters,
+    "multimodal_neardup_images": multimodal_neardup_images,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3274,4 +3367,5 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_metadata": MULTIMODAL_META_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_decode_rasters": MULTIMODAL_DECODE_SQL,
+    "multimodal_neardup_images": MULTIMODAL_NEARDUP_SQL,
 }

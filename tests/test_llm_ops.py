@@ -266,6 +266,70 @@ def test_ivfpq_persist_roundtrip(spark, tmp_path):
     assert f == p and len(f) == 25
 
 
+def _ppm_bytes(w, h, vals):
+    return (f"P3\n{w} {h}\n255\n" + " ".join(str(v) for v in vals)).encode()
+
+
+def test_dhash_brightness_invariance_and_undecodable(spark):
+    """dHash must be identical under a uniform brightness shift (only
+    luma DIFFERENCES feed the bits) and must pass undecodable payloads
+    through with decoded=False / NULL bands."""
+    from near_event_streams_spark.operators import multimodal
+
+    base = [(i * 7 + (i % 5) * 3) % 200 for i in range(6 * 6 * 3)]
+    shifted = [v + 40 for v in base]
+    rows = [
+        (1, _ppm_bytes(6, 6, base)),
+        (2, _ppm_bytes(6, 6, shifted)),
+        (3, b"\xff\xd8\xff\xe0not-a-ppm"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.dhash_images(media).collect()}
+    assert out[1]["decoded"] and out[2]["decoded"]
+    assert out[1]["bands"] == out[2]["bands"]
+    assert not out[3]["decoded"] and out[3]["bands"] is None
+
+
+def test_neardup_image_pairs_banding_complete(spark):
+    """The band-bucket join must recover EXACTLY the brute-force
+    Hamming<=6 pair set (pigeonhole: <=7 differing bits over 8 one-byte
+    bands leave at least one band equal) — recall 1.0 by construction,
+    and no false pairs survive the verify."""
+    from near_event_streams_spark.operators import multimodal
+
+    rows = []
+    for did in range(40):
+        g = did % 8
+        vals = [
+            ((g * 37 + i * 11) % 240
+             + (12 if (did * 31 + i * 17) % 97 == 0 else 0)
+             + did % 3)
+            for i in range(7 * 6 * 3)
+        ]
+        rows.append((did, _ppm_bytes(7, 6, vals)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = multimodal.dhash_images(media)
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in multimodal.neardup_image_pairs(
+            hashed, max_hamming=6, n_bands=8
+        ).collect()
+    }
+    bands = {r["media_id"]: r["bands"] for r in hashed.collect()}
+    want = set()
+    for a in sorted(bands):
+        for b in sorted(bands):
+            if a < b:
+                ham = sum(
+                    bin(x ^ y).count("1")
+                    for x, y in zip(bands[a], bands[b])
+                )
+                if ham <= 6:
+                    want.add((a, b, ham))
+    assert got == want and want, (len(got), len(want))
+
+
 def test_binary_file_source_to_features(spark, tmp_path):
     """Real binaryFile-source ingestion: synthetic files with magic bytes
     → typed media table → Arrow-batched feature extraction."""
