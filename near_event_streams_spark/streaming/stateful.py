@@ -15,8 +15,11 @@ Completes SURVEY §2.2's streaming rows:
 
 Scale notes: all three shuffle once on the grouping key; state lives in
 the state store partitioned the same way (RocksDB provider on a real
-cluster). Watermarks bound state size — without them session state grows
-forever at 100 TB/day ingest.
+cluster — no longer just a claim: the sessionizer runs under
+``RocksDBStateStoreProvider`` including a checkpoint restart in
+``tests/test_stateful_streaming.py::
+test_sessionizer_rocksdb_state_store_restart``). Watermarks bound state
+size — without them session state grows forever at 100 TB/day ingest.
 """
 
 from __future__ import annotations

@@ -169,6 +169,101 @@ def test_stateful_sessionizer_gap_close_and_timeout(spark, tmp_path):
     assert ("2024-01-01 02:00:00", 1, 4.0) in u1, u1
 
 
+def test_sessionizer_rocksdb_state_store_restart(spark, tmp_path):
+    """The applyInPandasWithState sessionizer on the RocksDB state-store
+    provider (the cluster deployment claim in ``stateful.py`` — bounded
+    executor memory, changelog checkpointing), including the property
+    that makes the provider worth testing: keyed state written by run 1
+    must survive a query RESTART from the checkpoint and close via
+    timeout in run 2. The expected sessions are the same ones the
+    default in-memory provider produces (pinned by
+    ``test_stateful_sessionizer_gap_close_and_timeout``). Env-skips
+    only if the bundled RocksDB JNI cannot load in this container."""
+    import pytest
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            ("u1", "click", 1.0, "2024-01-01 00:00:00"),
+            ("u1", "click", 2.0, "2024-01-01 00:00:30"),
+        ],
+    )
+    # past the 60s gap -> closes session 1 on arrival, opens session 2
+    _write_batch(src, "b2.jsonl", [("u1", "click", 4.0, "2024-01-01 02:00:00")])
+
+    out_dir = str(tmp_path / "out")
+
+    def start_query():
+        # parquet sink, not memory: the memory sink refuses checkpoint
+        # recovery, and surviving a restart is the point of this test
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        return (
+            stateful.sessionize_stateful(
+                stream, gap_seconds=60, watermark="0 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def read_sessions():
+        return {
+            (r["key"], str(r["session_start"]), r["n_events"],
+             r["session_value"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    try:
+        old = spark.conf.get(conf_key)
+    except Exception:
+        old = None
+    spark.conf.set(conf_key, provider)
+    try:
+        try:
+            q1 = start_query()
+            q1.awaitTermination(120)
+        except Exception as exc:  # pragma: no cover — env-dependent
+            if "RocksDB" in str(exc) or "UnsatisfiedLink" in str(exc):
+                pytest.skip(f"RocksDB JNI unavailable: {exc}")
+            raise
+        run1 = read_sessions()
+        # session 1 closed by the past-gap arrival; session 2 still OPEN
+        # in RocksDB state when run 1 drains
+        assert ("u1", "2024-01-01 00:00:00", 2, 3.0) in run1, run1
+        assert not any(s[1] == "2024-01-01 02:00:00" for s in run1), run1
+
+        # run 2: fresh files advance the watermark; the restarted query
+        # must recover u1's open session FROM THE CHECKPOINTED RocksDB
+        # state and close it via event-time timeout
+        _write_batch(src, "b3.jsonl", [("u2", "view", 8.0, "2024-01-01 05:00:00")])
+        _write_batch(src, "b4.jsonl", [("u2", "view", 16.0, "2024-01-01 05:00:10")])
+        q2 = start_query()
+        q2.awaitTermination(120)
+        run2 = read_sessions()
+        assert ("u1", "2024-01-01 02:00:00", 1, 4.0) in run2, run2
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+
+
 def test_stream_stream_join_attribution(spark, tmp_path):
     """Purchases join clicks from the same user within 30 min; an older
     click outside the window must NOT match."""
