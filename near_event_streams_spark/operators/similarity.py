@@ -718,6 +718,227 @@ def ivfpq_topk(
     )
 
 
+def _train_opq(
+    resid: np.ndarray, m: int, ks: int, seed: int, n_rounds: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ-NP (Ge et al., CVPR 2013 — the non-parametric alternation):
+    learn an orthogonal rotation ``R`` so the rotated residuals
+    quantize better under the SAME byte budget, by alternating (a) PQ
+    codebook training on ``resid @ R`` with (b) the orthogonal
+    Procrustes update ``R = U·Vᵀ`` from ``svd(residᵀ · recon)``. Pure
+    numpy on the bounded driver sample (same contract as
+    :func:`_train_pq_codebooks`: fixed-size input at any corpus scale,
+    seeded, fixed iteration counts — deterministic). Returns
+    ``(R, books)`` with ``R`` dim×dim orthogonal."""
+    n, dim = resid.shape
+    R = np.eye(dim)
+    dsub = dim // m
+    for _ in range(n_rounds):
+        xr = resid @ R
+        books = _train_pq_codebooks(xr, m=m, ks=ks, seed=seed, n_iter=6)
+        recon = np.empty_like(xr)
+        for j in range(m):
+            xj = xr[:, j * dsub : (j + 1) * dsub]
+            d = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                xj @ books[j].T
+            )
+            recon[:, j * dsub : (j + 1) * dsub] = books[j][
+                np.argmin(d, axis=1)
+            ]
+        u, _, vt = np.linalg.svd(resid.T @ recon)
+        R = u @ vt
+    books = _train_pq_codebooks(
+        resid @ R, m=m, ks=ks, seed=seed, n_iter=12
+    )
+    return R, books
+
+
+def opq_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]], np.ndarray, np.ndarray]:
+    """IVF-OPQ index: :func:`ivfpq_index` with a learned orthogonal
+    rotation applied to residuals before product quantization — the
+    classic recall lift at an IDENTICAL byte budget (still m code bytes
+    + one norm per vector), because rotating decorrelates the subspaces
+    PQ quantizes independently. Same bounded-driver-training /
+    broadcast / Arrow-encode shape; the only extra broadcast payload is
+    the dim×dim rotation. Returns ``(enc, centroids, R, books)``."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    assert 2 <= ks <= 256, ks
+    assigned, centroids = ivf_index(
+        corpus, n_clusters, seed, id_col, vec_col
+    )
+    spark = SparkSession.getActiveSession()
+    cmat = np.asarray(centroids, dtype=np.float64)
+    samp = (
+        assigned.orderBy("vec_id")
+        .limit(train_sample)
+        .select("embedding", "cluster")
+        .toPandas()
+    )
+    xs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in samp["embedding"]]
+    )
+    resid = xs - cmat[samp["cluster"].to_numpy()]
+    rot, books = _train_opq(resid, m=m, ks=ks, seed=seed)
+    bc = spark.sparkContext.broadcast((cmat, rot, books))
+    dim = xs.shape[1]
+    dsub = dim // m
+
+    @pandas_udf("struct<codes: binary, vec_norm: double>")
+    def encode(vecs: pd.Series, clusters: pd.Series) -> pd.DataFrame:
+        cents, rmat, cb = bc.value
+        if len(vecs) == 0:
+            return pd.DataFrame({"codes": [], "vec_norm": []})
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        r = (x - cents[clusters.to_numpy()]) @ rmat
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            rj = r[:, j * dsub : (j + 1) * dsub]
+            d = (cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (rj @ cb[j].T)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                "codes": [c.tobytes() for c in codes],
+                "vec_norm": np.sqrt((x**2).sum(axis=1)),
+            }
+        )
+
+    enc = assigned.select(
+        "vec_id",
+        "cluster",
+        encode(F.col("embedding"), F.col("cluster")).alias("_e"),
+    ).select("vec_id", "cluster", "_e.codes", "_e.vec_norm")
+    return enc, centroids, rot, books
+
+
+def opq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    nprobe: int = 4,
+    refine: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivfpq_topk` with the OPQ rotation: candidates are scored
+    asymmetrically against ROTATED-residual codebooks — since the
+    decoded residual is ``r̂ @ Rᵀ``, the query-side fix is one rotate
+    per query (``q @ R``) before the subspace dot products; the
+    candidate scan still reads m+8 bytes per vector and the refine
+    stage still re-scores the shortlist exactly, so approximation
+    affects recall only. Same output shape: ``(query_id, rank,
+    cand_id, cos_sim)``."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    enc, centroids, rot, books = opq_index(
+        corpus, n_clusters, m, ks, seed, id_col=id_col, vec_col=vec_col
+    )
+    spark = SparkSession.getActiveSession()
+    cmat = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cmat, rot, books))
+    dsub = cmat.shape[1] // m
+
+    probes = _nearest_centroids(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        ),
+        centroids,
+        nprobe,
+        "query",
+    )
+
+    @pandas_udf("double")
+    def adc_score(
+        qvecs: pd.Series,
+        clusters: pd.Series,
+        codes: pd.Series,
+        norms: pd.Series,
+    ) -> pd.Series:
+        cents, rmat, cb = bc.value
+        if len(qvecs) == 0:
+            return pd.Series([], dtype="float64")
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in qvecs])
+        c = np.frombuffer(
+            b"".join(codes.tolist()), dtype=np.uint8
+        ).reshape(len(q), -1)
+        ip = np.einsum("ij,ij->i", q, cents[clusters.to_numpy()])
+        qr = q @ rmat  # ⟨q, r̂@Rᵀ⟩ = ⟨q@R, r̂⟩
+        for j in range(c.shape[1]):
+            qj = qr[:, j * dsub : (j + 1) * dsub]
+            ip += np.einsum("ij,ij->i", qj, cb[j][c[:, j]])
+        qn = np.sqrt((q**2).sum(axis=1))
+        den = qn * norms.to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, ip / den, 0.0)
+        return pd.Series(out)
+
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("cand_id")
+    )
+    shortlist = (
+        probes.join(
+            enc.select(
+                F.col("vec_id").alias("cand_id"),
+                "cluster",
+                "codes",
+                "vec_norm",
+            ),
+            "cluster",
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "query_vec",
+            "cand_id",
+            adc_score(
+                F.col("query_vec"),
+                F.col("cluster"),
+                F.col("codes"),
+                F.col("vec_norm"),
+            ).alias("approx_sim"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("_rk", F.row_number().over(w_approx))
+        .filter(F.col("_rk") <= refine * k)
+        .select("query_id", "query_vec", "cand_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        shortlist.join(full, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                cosine(F.col("query_vec"), F.col("cand_vec")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cos_sim")
+    )
+
+
 def knn_label_agreement(
     corpus: DataFrame,
     k: int = 5,

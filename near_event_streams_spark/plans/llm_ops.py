@@ -1093,6 +1093,34 @@ FROM ranked WHERE rank <= 5
 )
 
 
+def ann_opq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-OPQ approximate top-k result list (detail view; cosines are
+    exact because the shortlist is re-scored on full vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.opq_topk(
+        queries, emb, k=5, n_clusters=16, nprobe=12, m=8, ks=256, refine=4
+    ).orderBy("query_id", "rank")
+
+
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-OPQ ANN (``similarity.opq_topk``), oracle-gated: recall@5 vs
+    the in-engine brute-force baseline must reach 0.8 — the same gate as
+    ``ann_ivfpq_topk`` at the IDENTICAL byte budget (m=8 code bytes +
+    norm per candidate). OPQ's learned orthogonal rotation (Ge et al.
+    2013, trained on the same bounded driver sample, one extra dim×dim
+    broadcast) decorrelates the subspaces PQ quantizes independently —
+    the standard recall lift on real embedding manifolds; on these
+    near-isotropic synthetic vectors it must at minimum not hurt."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.opq_topk(
+        queries, emb, k=5, n_clusters=16, nprobe=12, m=8, ks=256, refine=4
+    )
+    return _ann_recall_invariant(exact, approx, min_recall=0.8)
+
+
 def ann_lsh_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k result list (detail view)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3262,6 +3290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_persisted": ann_ivfpq_persisted,
+    "ann_opq_topk": ann_opq_topk,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
     "emb_quantize_int8": emb_quantize_int8,
@@ -3325,6 +3354,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": _ANN_INVARIANT_SQL,
     "ann_ivfpq_topk": _ANN_INVARIANT_SQL,
     "ann_ivfpq_persisted": _ANN_PERSISTED_SQL,
+    "ann_opq_topk": _ANN_INVARIANT_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
