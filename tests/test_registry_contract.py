@@ -97,6 +97,11 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     # sits inside the exact-topk CTE and the gate emits only a count +
     # boolean, so a half-tie cannot hash-diverge the compared output
     "ann_ivfpq_topk": 1,
+    # r10: both reuse the same shared exact-topk CTE; ann_ivfpq_persisted
+    # emits counts + two booleans, ann_opq_topk a count + boolean — no
+    # rounded double ever reaches the compared output
+    "ann_ivfpq_persisted": 1,
+    "ann_opq_topk": 1,
     "ann_lsh_topk": 1,
     "dedup_clusters": 2,
     "dedup_containment_docs": 2,
