@@ -53,6 +53,11 @@ SHUFFLE_BUDGETS = {
     # r6: same PPJoin family as jaccard (7): ranked-prefix window,
     # candidate join on shingle id, distinct, verify re-join
     "dedup_containment_docs": 7,
+    # r10: band-bucket self-join (statistics keep the hash side
+    # broadcast at test scale) + candidate distinct + presentation
+    # sort; the Hamming verify is a codegen map over the joined band
+    # arrays, not an exchange
+    "multimodal_neardup_images": 4,
 }
 
 _FNS = dict(bench.HEADLINE)
