@@ -486,9 +486,27 @@ def ivfpq_index(
     )
     resid = xs - cmat[samp["cluster"].to_numpy()]
     books = _train_pq_codebooks(resid, m=m, ks=ks, seed=seed)
+    enc = _encode_pq(assigned, cmat, books)
+    return enc, centroids, books
+
+
+def _encode_pq(
+    assigned: DataFrame, cmat: np.ndarray, books: np.ndarray
+) -> DataFrame:
+    """One Arrow-batched vectorized PQ-encode pass over an assigned
+    frame ``(vec_id, embedding, cluster)`` with FIXED centroids and
+    codebooks (broadcast once): residual → per-subspace argmin byte.
+    Shared by :func:`ivfpq_index` (fresh build) and
+    :func:`ivfpq_encode` (append path — new vectors against an
+    existing index's codebooks). Returns
+    ``(vec_id, cluster, codes, vec_norm)``."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = SparkSession.getActiveSession()
+    m = int(books.shape[0])
+    dsub = cmat.shape[1] // m
     bc = spark.sparkContext.broadcast((cmat, books))
-    dim = xs.shape[1]
-    dsub = dim // m
 
     @pandas_udf("struct<codes: binary, vec_norm: double>")
     def encode(vecs: pd.Series, clusters: pd.Series) -> pd.DataFrame:
@@ -510,12 +528,57 @@ def ivfpq_index(
             }
         )
 
-    enc = assigned.select(
+    return assigned.select(
         "vec_id",
         "cluster",
         encode(F.col("embedding"), F.col("cluster")).alias("_e"),
     ).select("vec_id", "cluster", "_e.codes", "_e.vec_norm")
-    return enc, centroids, books
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode NEW vectors against an EXISTING index's coarse centroids
+    and PQ codebooks — the incremental-ingest path: a production corpus
+    appends millions of vectors a day without retraining (FAISS
+    ``add``); centroids/codebooks only retrain on drift, as a deliberate
+    rebuild. One broadcast-assign pass (nearest centroid) + the shared
+    encode pass; no shuffle, no driver collect."""
+    assigned = _nearest_centroids(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.col(vec_col).alias("new_vec"),
+        ),
+        centroids,
+        1,
+        "new",
+    ).select("vec_id", "embedding", "cluster")
+    return _encode_pq(assigned, np.asarray(centroids, float), books)
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a PERSISTED IVF-PQ index (see
+    :func:`ivfpq_write`): reads the KB-sized sidecar, encodes the new
+    vectors with the EXISTING centroids/codebooks, and appends their PQ
+    rows into the hive-partitioned codes layout. Existing rows are
+    never touched (append-mode parquet into per-cluster directories) —
+    the index stays probe-consistent throughout."""
+    _, centroids, books = ivfpq_read(spark, path)
+    enc_new = ivfpq_encode(vectors, centroids, books, id_col, vec_col)
+    enc_new.write.mode("append").partitionBy("cluster").parquet(
+        path + "/codes"
+    )
 
 
 def ivfpq_write(

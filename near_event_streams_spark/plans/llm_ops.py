@@ -1093,6 +1093,81 @@ FROM ranked WHERE rank <= 5
 )
 
 
+def ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index ingest (``similarity.ivfpq_append``): half the
+    corpus builds a persisted index; the other half is APPENDED —
+    encoded against the existing centroids/codebooks (no retrain, the
+    FAISS ``add`` shape) and written append-mode into the per-cluster
+    parquet layout. Gated three ways: (a) probing the appended index
+    over the FULL corpus meets the shared recall ≥ 0.8 bar, (b) the
+    original half's PQ rows survive the append byte-for-byte
+    (``append_preserves_rows`` — appends must never rewrite existing
+    cells), (c) the appended index holds exactly |old|+|new| rows. At
+    100 TB this is the daily-ingest path: millions of new vectors a day
+    amortize onto a standing index; codebooks retrain only on drift as
+    a deliberate rebuild."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    path = _ivfpq_scratch_dir(sf_dir)
+
+    enc_old, cents, books = similarity.ivfpq_index(
+        old, n_clusters=16, m=8, ks=256, seed=42
+    )
+    similarity.ivfpq_write(enc_old, cents, books, path)
+    similarity.ivfpq_append(spark, path, new)
+    idx = similarity.ivfpq_read(spark, path)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    # generous probe/refine (nprobe=16, refine=8): the appended half is
+    # routed by centroids trained on the OLD half only, so on these
+    # near-isotropic synthetic embeddings coarse routing loses more
+    # than on a fresh index (measured 0.88 sf0.001 / 0.90 sf0.01 at
+    # these settings vs 0.80 at nprobe=12/refine=4 — quantization, not
+    # a bug; a production append-heavy index re-trains on drift)
+    approx = similarity.ivfpq_topk(
+        queries, emb, k=5, nprobe=16, refine=8, index=idx
+    )
+    gate = _ann_recall_invariant(exact, approx, min_recall=0.8)
+
+    back = idx[0]
+    cols = ["vec_id", "cluster", "codes", "vec_norm"]
+    n_old = enc_old.agg(F.count(F.lit(1)).alias("n_old"))
+    n_new = new.agg(F.count(F.lit(1)).alias("n_new"))
+    n_back = back.agg(F.count(F.lit(1)).alias("n_back"))
+    n_kept = (
+        back.filter(F.col("vec_id") % 2 == 0)
+        .join(enc_old, cols)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        gate.crossJoin(n_old)
+        .crossJoin(n_new)
+        .crossJoin(n_back)
+        .crossJoin(n_kept)
+        .select(
+            "n_exact_pairs",
+            "recall_ok",
+            (
+                (F.col("n_kept") == F.col("n_old"))
+                & (F.col("n_back") == F.col("n_old") + F.col("n_new"))
+            ).alias("append_preserves_rows"),
+        )
+    )
+
+
+_ANN_APPEND_SQL = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS append_preserves_rows
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
 def ann_opq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-OPQ approximate top-k result list (detail view; cosines are
     exact because the shortlist is re-scored on full vectors)."""
@@ -3291,6 +3366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_persisted": ann_ivfpq_persisted,
     "ann_opq_topk": ann_opq_topk,
+    "ann_ivfpq_append": ann_ivfpq_append,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
     "emb_quantize_int8": emb_quantize_int8,
@@ -3355,6 +3431,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivfpq_topk": _ANN_INVARIANT_SQL,
     "ann_ivfpq_persisted": _ANN_PERSISTED_SQL,
     "ann_opq_topk": _ANN_INVARIANT_SQL,
+    "ann_ivfpq_append": _ANN_APPEND_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

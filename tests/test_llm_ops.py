@@ -364,6 +364,36 @@ def test_neardup_image_pairs_banding_complete(spark):
     assert got == want and want, (len(got), len(want))
 
 
+def test_ivfpq_append_preserves_and_extends(spark, tmp_path):
+    """ivfpq_append: appended rows are encoded with the EXISTING
+    centroids/codebooks (byte-identical to encoding them via
+    ivfpq_encode directly), existing rows survive untouched, and the
+    read-back index holds exactly |old|+|new| rows."""
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(emb.vec_id % 2 == 0)
+    new = emb.filter(emb.vec_id % 2 == 1)
+    path = str(tmp_path / "pqidx")
+    enc, cents, books = similarity.ivfpq_index(old, n_clusters=8, m=8)
+    similarity.ivfpq_write(enc, cents, books, path)
+    similarity.ivfpq_append(spark, path, new)
+    back, cents2, books2 = similarity.ivfpq_read(spark, path)
+
+    rows_old = {r["vec_id"]: (r["cluster"], bytes(r["codes"]), r["vec_norm"])
+                for r in enc.collect()}
+    rows_back = {r["vec_id"]: (r["cluster"], bytes(r["codes"]), r["vec_norm"])
+                 for r in back.collect()}
+    assert len(rows_back) == old.count() + new.count()
+    for vid, row in rows_old.items():
+        assert rows_back[vid] == row, vid
+    direct = {r["vec_id"]: (r["cluster"], bytes(r["codes"]), r["vec_norm"])
+              for r in similarity.ivfpq_encode(new, cents2, books2).collect()}
+    for vid, row in direct.items():
+        assert rows_back[vid] == row, vid
+
+
 def test_binary_file_source_to_features(spark, tmp_path):
     """Real binaryFile-source ingestion: synthetic files with magic bytes
     → typed media table → Arrow-batched feature extraction."""

@@ -101,6 +101,7 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     # emits counts + two booleans, ann_opq_topk a count + boolean — no
     # rounded double ever reaches the compared output
     "ann_ivfpq_persisted": 1,
+    "ann_ivfpq_append": 1,
     "ann_opq_topk": 1,
     "ann_lsh_topk": 1,
     "dedup_clusters": 2,
