@@ -2922,7 +2922,7 @@ ORDER BY media_id
 """
 
 
-def multimodal_neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dedup (``multimodal.dhash_images`` +
     ``neardup_image_pairs``) — the pass that joins the multimodal decode
     machinery to the banded-dedup machinery: every doc-keyed synthetic
@@ -2963,12 +2963,40 @@ def multimodal_neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_col="img",
     )
     hashed = multimodal.dhash_images(media)
-    return multimodal.neardup_image_pairs(
-        hashed, max_hamming=6, n_bands=8
-    ).orderBy("a_id", "b_id")
+    return multimodal.neardup_image_pairs(hashed, max_hamming=6, n_bands=8)
 
 
-MULTIMODAL_NEARDUP_SQL = """
+def multimodal_neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated pair-list view of :func:`_image_neardup_pairs` (see its
+    docstring for the full design)."""
+    return _image_neardup_pairs(spark, sf_dir).orderBy("a_id", "b_id")
+
+
+def multimodal_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup RESOLUTION: the dHash near-dup pairs collapsed to
+    transitive clusters (iterative min-label propagation — the same
+    ``dedup.connected_components`` the text family uses; pairs form
+    chains A~B~C where A~C may exceed the Hamming threshold, so
+    keep-one-per-cluster needs the closure, not the pair list) with the
+    lowest media_id as cluster representative. The oracle replays
+    construction → decode → dHash → banded threshold → a DuckDB
+    recursive-CTE closure — the full image-dedup pipeline end-to-end,
+    mirroring ``dedup_clusters`` on the text side."""
+    pairs = _image_neardup_pairs(spark, sf_dir)
+    return (
+        dedup.connected_components(pairs, a_col="a_id", b_col="b_id")
+        .select(
+            F.col("node").alias("media_id"),
+            "component",
+            (F.col("node") == F.col("component")).alias(
+                "is_representative"
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
+_IMG_DHASH_CTE = """
 WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          CAST(doc_id % 64 AS BIGINT) AS g,
@@ -3001,6 +3029,9 @@ WITH base AS (
              THEN 1 << gx ELSE 0 END))) AS bands
   FROM luma
 )
+"""
+
+_IMG_PAIRS_SELECT = """
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(list_sum(list_transform(range(1, 9), j ->
             bit_count(xor(CAST(a.bands[j] AS INTEGER),
@@ -3010,8 +3041,39 @@ FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
 WHERE CAST(list_sum(list_transform(range(1, 9), j ->
         bit_count(xor(CAST(a.bands[j] AS INTEGER),
                       CAST(b.bands[j] AS INTEGER))))) AS INT) <= 6
-ORDER BY a_id, b_id
 """
+
+MULTIMODAL_NEARDUP_SQL = (
+    _IMG_DHASH_CTE.rstrip() + _IMG_PAIRS_SELECT + "ORDER BY a_id, b_id\n"
+)
+
+# recursive min-label closure over the pair graph — same lab(node, comp)
+# pattern as DEDUP_CLUSTERS_SQL (DuckDB recursion is <base> UNION <rec>)
+MULTIMODAL_CLUSTERS_SQL = (
+    _IMG_DHASH_CTE.rstrip().replace("WITH base", "WITH RECURSIVE base", 1)
+    + ", pairs AS ("
+    + _IMG_PAIRS_SELECT
+    + """),
+sym_edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+lab(node, comp) AS (
+  SELECT src, LEAST(src, dst) FROM sym_edges
+  UNION
+  SELECT e.dst, l.comp
+  FROM lab l JOIN sym_edges e ON l.node = e.src
+  WHERE l.comp < e.dst
+)
+SELECT node AS media_id,
+       CAST(MIN(comp) AS BIGINT) AS component,
+       (node = MIN(comp)) AS is_representative
+FROM lab
+GROUP BY node
+ORDER BY media_id
+"""
+)
 
 
 def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3410,6 +3472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "multimodal_decode_rasters": multimodal_decode_rasters,
     "multimodal_neardup_images": multimodal_neardup_images,
+    "multimodal_neardup_clusters": multimodal_neardup_clusters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3475,4 +3538,5 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_decode_rasters": MULTIMODAL_DECODE_SQL,
     "multimodal_neardup_images": MULTIMODAL_NEARDUP_SQL,
+    "multimodal_neardup_clusters": MULTIMODAL_CLUSTERS_SQL,
 }
