@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -589,7 +590,10 @@ def dhash_images(
 
 
 def neardup_image_pairs(
-    hashed: DataFrame, max_hamming: int = 6, n_bands: int = 8
+    hashed: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs from dHash bands — bucketed, never
     all-pairs: each hash is ``n_bands`` bytes; two hashes within
@@ -605,8 +609,17 @@ def neardup_image_pairs(
     arrays (JVM codegen, no Python). At 100 TB the candidate volume is
     governed by bucket occupancy, exactly like every banded-LSH family
     here; a degenerate band value (e.g. all-zero bytes from flat
-    images) is the skew knob to watch — salt or drop saturated buckets
-    when a production corpus shows them.
+    images) is the skew knob to watch.
+
+    ``max_bucket`` is that knob: buckets holding more than ``max_bucket``
+    hashes are DROPPED from candidate generation (one count aggregate +
+    window over the exploded bands — no skewed join ever runs). This
+    trades the completeness guarantee for bounded per-bucket work: a
+    pair is missed only if EVERY band it agrees on is saturated, which
+    for near-dup content means a monoculture bucket (millions of flat/
+    black frames) whose pairs are degenerate anyway — the standard
+    banded-LSH production mitigation. Default None keeps the exact
+    guarantee.
 
     Returns ``(a_id, b_id, hamming)`` for verified pairs.
     """
@@ -615,6 +628,13 @@ def neardup_image_pairs(
     ex = hs.select(
         "media_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        ex = (
+            ex.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a = ex.select(
         F.col("media_id").alias("a_id"), "band_idx", "band_val"
     )

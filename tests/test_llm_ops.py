@@ -364,6 +364,36 @@ def test_neardup_image_pairs_banding_complete(spark):
     assert got == want and want, (len(got), len(want))
 
 
+def test_neardup_image_pairs_saturated_bucket_drop(spark):
+    """max_bucket: flat images all hash to the all-zero dHash and
+    saturate one bucket per band; with the knob set below their count
+    their candidate pairs are dropped (bounded bucket work), while a
+    structured near-dup pair in small buckets still comes through."""
+    from near_event_streams_spark.operators import multimodal
+
+    rows = []
+    # 12 flat (all-128) images -> identical all-zero dHash bands
+    for i in range(12):
+        rows.append((i, _ppm_bytes(6, 6, [128] * (6 * 6 * 3))))
+    # 2 structured near-identical images (brightness shift)
+    base = [(i * 7 + (i % 5) * 3) % 200 for i in range(6 * 6 * 3)]
+    rows.append((100, _ppm_bytes(6, 6, base)))
+    rows.append((101, _ppm_bytes(6, 6, [v + 20 for v in base])))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = multimodal.dhash_images(media)
+
+    exact = multimodal.neardup_image_pairs(hashed, max_hamming=6)
+    got_exact = {(r["a_id"], r["b_id"]) for r in exact.collect()}
+    assert (100, 101) in got_exact
+    assert sum(1 for a, b in got_exact if a < 100 and b < 100) == 66
+
+    capped = multimodal.neardup_image_pairs(
+        hashed, max_hamming=6, max_bucket=10
+    )
+    got_capped = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    assert got_capped == {(100, 101)}, got_capped
+
+
 def test_ivfpq_append_preserves_and_extends(spark, tmp_path):
     """ivfpq_append: appended rows are encoded with the EXISTING
     centroids/codebooks (byte-identical to encoding them via
