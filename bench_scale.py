@@ -880,6 +880,160 @@ def run_ivfpq_persist() -> None:
         content = f.read()
     own_marker = "## IVF-PQ persisted index"
     next_markers = [
+        "## Image near-dedup",
+        "## Incremental near-dup probe",
+        "## Appendix: skew-adversarial stress",
+    ]
+    if own_marker in content:
+        head, rest = content.split(own_marker, 1)
+        tail = ""
+        for m_ in next_markers:
+            if m_ in rest:
+                tail = m_ + rest.split(m_, 1)[1]
+                break
+        content = head.rstrip() + "\n\n" + tail
+    block = "\n".join(lines)
+    for m_ in next_markers:
+        if m_ in content:
+            head, tail = content.split(m_, 1)
+            content = head.rstrip() + "\n\n" + block + "\n" + m_ + tail
+            break
+    else:
+        content = content.rstrip() + "\n\n" + block
+    with open(md_path, "w") as f:
+        f.write(content)
+    print(f"wrote {md_path}")
+
+
+def run_image_neardup() -> None:
+    """Image near-dedup scaling: the banded dHash join's cost driver is
+    BUCKET OCCUPANCY (true duplicate-group size), not corpus size —
+    candidate pairs grow with Σ n_bucket², so a corpus whose duplicate
+    groups double produces 4× the pair work regardless of total rows.
+    Measured by hashing doc-keyed synthetic images at increasing doc
+    counts (group size grows linearly with count under the fixed 64-
+    group construction — the worst case), plus one max_bucket-capped
+    run showing the skew knob bounding the blow-up. Writes a section
+    into BENCH_scale.md."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators import multimodal
+    from near_event_streams_spark.session import get_spark
+
+    if not os.path.isdir(SCALE_DIR):
+        raise SystemExit("no .scale_data — run `python bench_scale.py --gen` first")
+    spark = get_spark(app_name="bench_image_neardup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs_all = spark.read.parquet(
+        os.path.join(SCALE_DIR, "documents.parquet")
+    )
+
+    def build_media(n_docs):
+        docs = docs_all.filter(F.col("doc_id") < n_docs)
+        d = F.col("doc_id").cast("long")
+        g = d % 64
+        w = (g % 5 + 6).cast("int")
+        h = (g % 3 + 6).cast("int")
+        samples = F.transform(
+            F.sequence(F.lit(0), (w * h * 3 - 1).cast("long")),
+            lambda i: (g * 37 + i * 11) % 240
+            + F.when((d * 31 + i * 17) % 97 == 0, F.lit(12)).otherwise(
+                F.lit(0)
+            )
+            + d % 3,
+        )
+        ppm = F.concat(
+            F.lit("P3\n"), w.cast("string"), F.lit(" "),
+            h.cast("string"), F.lit("\n255\n"),
+            F.array_join(samples, " "),
+        )
+        return multimodal.as_media_table(
+            docs.select(d.alias("doc_id"), ppm.alias("img")),
+            id_col="doc_id",
+            payload_col="img",
+        )
+
+    rows = []
+    for n_docs in (5000, 10000, 20000):
+        hashed = multimodal.dhash_images(build_media(n_docs)).persist()
+        hashed.count()
+        occ = (
+            hashed.select(
+                F.posexplode("bands").alias("band_idx", "band_val")
+            )
+            .groupBy("band_idx", "band_val")
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.count(F.lit(1)).alias("n_buckets"),
+            )
+            .first()
+        )
+        t0 = time.perf_counter()
+        n_pairs = multimodal.neardup_image_pairs(hashed).count()
+        wall = time.perf_counter() - t0
+        rows.append(
+            (n_docs, int(occ["n_buckets"]), int(occ["mx"]), n_pairs,
+             round(wall, 2), None)
+        )
+        t0 = time.perf_counter()
+        n_capped = multimodal.neardup_image_pairs(
+            hashed, max_bucket=200
+        ).count()
+        rows.append(
+            (n_docs, int(occ["n_buckets"]), int(occ["mx"]), n_capped,
+             round(time.perf_counter() - t0, 2), 200)
+        )
+        hashed.unpersist()
+        print(f"n_docs={n_docs}: {rows[-2]} capped={rows[-1]}")
+
+    report = {
+        "metric": "image_neardup_pair_scaling",
+        "rows": [
+            {
+                "n_docs": r[0], "n_buckets": r[1],
+                "max_bucket_occupancy": r[2], "pairs": r[3],
+                "wall_sec": r[4], "max_bucket": r[5],
+            }
+            for r in rows
+        ],
+    }
+    print(json.dumps(report))
+    lines = [
+        "",
+        "## Image near-dedup: pair volume tracks bucket occupancy, not corpus size",
+        "",
+        "Doc-keyed synthetic images under the fixed 64-group construction —",
+        "the ADVERSARIAL shape where duplicate-group size grows linearly",
+        "with the corpus, so verified pairs grow quadratically. That",
+        "quadratic lives in the DATA (every in-group pair really is a",
+        "near-dup); the banded join never does all-pairs work across",
+        "groups, and `max_bucket` bounds per-bucket work when monoculture",
+        "buckets appear:",
+        "",
+        "| docs | band buckets | max occupancy | verified pairs | wall s | max_bucket |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | "
+            f"{r[5] if r[5] else '—'} |"
+        )
+    lines += [
+        "",
+        "A real 100 TB corpus has bounded duplicate-group sizes (its",
+        "duplication RATE), so pair volume scales linearly with rows at",
+        "fixed rate; the capped runs show the knob that enforces that",
+        "bound when the data lies about it.",
+        "",
+    ]
+    md_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
+    )
+    with open(md_path) as f:
+        content = f.read()
+    own_marker = "## Image near-dedup"
+    next_markers = [
         "## Incremental near-dup probe",
         "## Appendix: skew-adversarial stress",
     ]
@@ -915,6 +1069,8 @@ if __name__ == "__main__":
         run_skew()
     elif "--neardup-latency" in sys.argv:
         run_neardup_latency()
+    elif "--image-neardup" in sys.argv:
+        run_image_neardup()
     elif "--ivfpq-persist" in sys.argv:
         run_ivfpq_persist()
     elif "--ivfpq" in sys.argv:
