@@ -759,3 +759,37 @@ def test_variant_shredded_write_and_pushed_scan(spark):
     pscan = pplan[pplan.index("Scan parquet") :]
     m = re.search(r"PushedFilters: \[([^\]]*)\]", pscan)
     assert m and "GreaterThan" in m.group(1), pscan[:1500]
+
+
+def test_ivfpq_persisted_probe_partition_prunes(spark, tmp_path):
+    """The persisted IVF-PQ index's 100 TB claim, mechanically: the
+    codes layout is hive-partitioned by coarse cluster, so a probe's
+    cell selection must reach the scan as a PARTITION filter — Spark's
+    dynamic partition pruning injects ``dynamicpruningexpression(
+    cluster IN ...)`` from the probe side of the join, and the probed
+    scan reads only the touched cluster directories (nprobe of
+    n_clusters — at 4,096 production cells with nprobe=32, <1% of the
+    index)."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "pqidx")
+    enc, cents, books = similarity.ivfpq_index(emb, n_clusters=16, m=8)
+    similarity.ivfpq_write(enc, cents, books, path)
+    idx = similarity.ivfpq_read(spark, path)
+    out = similarity.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=5, nprobe=2, refine=4,
+        index=idx,
+    )
+    fmt = plan_text(out, mode="formatted")
+    dpp_lines = [
+        line.strip()
+        for line in fmt.split("\n")
+        if "PartitionFilters" in line
+        and "dynamicpruningexpression" in line
+    ]
+    assert any("cluster" in line for line in dpp_lines), fmt[:3000]
