@@ -653,18 +653,30 @@ def neardup_image_pairs(
     hb = hs.select(
         F.col("media_id").alias("b_id"), F.col("bands").alias("b_bands")
     )
-    hamming = F.aggregate(
+    return (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            hamming_distance(
+                F.col("a_bands"), F.col("b_bands")
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def hamming_distance(a_bands, b_bands):
+    """Hamming distance between two band-array hashes, as a pure JVM
+    codegen expression: ``Σ_j bit_count(a[j] XOR b[j])`` via
+    ``zip_with`` + ``aggregate`` — no Python in the verify path."""
+    return F.aggregate(
         F.zip_with(
-            F.col("a_bands"),
-            F.col("b_bands"),
+            a_bands,
+            b_bands,
             lambda x, y: F.bit_count(x.bitwiseXOR(y)),
         ),
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("int")
-    return (
-        cand.join(ha, "a_id")
-        .join(hb, "b_id")
-        .select("a_id", "b_id", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from near_event_streams_spark.operators import dedup, multimodal, similarity, text
+from near_event_streams_spark.streaming import ingest
 from near_event_streams_spark.plans._common import (
     half_up6_duck,
     half_up6_spark,
@@ -1013,13 +1014,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_SCRATCH: dict[str, list[str]] = {}
 
 
-def _ivfpq_scratch_dir(sf_dir: str) -> str:
+def _ivfpq_scratch_dir(sf_dir: str, tag: str = "ivfpq_idx") -> str:
     import hashlib
     import shutil
     import tempfile
 
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    prefix = f"nes_ivfpq_idx_{digest}_"
+    prefix = f"nes_{tag}_{digest}_"
     paths = _IVFPQ_SCRATCH.setdefault(prefix, [])
     while len(paths) > 3:
         shutil.rmtree(paths.pop(0), ignore_errors=True)
@@ -2938,6 +2939,14 @@ def _image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible to dHash by design — plus sparse +12 bumps at ~1% of
     samples that flip a few bits), so groups yield near-dup pairs at
     assorted Hamming distances and cross-group pairs verify out."""
+    hashed = _doc_image_hashes(spark, sf_dir)
+    return multimodal.neardup_image_pairs(hashed, max_hamming=6, n_bands=8)
+
+
+def _doc_image_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-keyed synthetic image corpus, REALLY decoded and dHashed
+    (see :func:`_image_neardup_pairs` for the construction rationale) —
+    the shared front end of every image-dedup gate."""
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("long")
     g = d % 64
@@ -2962,8 +2971,7 @@ def _image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         payload_col="img",
     )
-    hashed = multimodal.dhash_images(media)
-    return multimodal.neardup_image_pairs(hashed, max_hamming=6, n_bands=8)
+    return multimodal.dhash_images(media)
 
 
 def multimodal_neardup_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3047,6 +3055,33 @@ MULTIMODAL_NEARDUP_SQL = (
     _IMG_DHASH_CTE.rstrip() + _IMG_PAIRS_SELECT + "ORDER BY a_id, b_id\n"
 )
 
+def ingest_image_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch form of the streaming incremental IMAGE ingest
+    (``streaming/ingest.py: image_neardup_batch_against_registry``),
+    driver-gated at FULL VALUE strength: even doc_ids play the
+    already-ingested corpus (their dHash band keys committed to a real
+    bucket-pruned upsert store), odd doc_ids play the arriving
+    micro-batch, and the decision runs through the SAME pruned-probe
+    code path the 24/7 stream uses. Unlike the MinHash text twin
+    (``ingest_neardup_incremental``, invariant-gated because xxhash64
+    minhashing is not DuckDB-expressible), the dHash decision is fully
+    SQL-replayable, so the oracle recomputes the EXACT accepted id set:
+    an odd image is accepted iff no even image and no smaller odd image
+    is within Hamming 6. Scratch store is per-call (mkdtemp + grace
+    window) so driver re-invocations never merge into stale state."""
+    hashed = _doc_image_hashes(spark, sf_dir)
+    evens = hashed.filter(F.col("media_id") % 2 == 0)
+    odds = hashed.filter(F.col("media_id") % 2 == 1)
+    reg = _ivfpq_scratch_dir(sf_dir, tag="img_ingest") + "/registry"
+    ingest.register_batch_image_neardup(evens, reg, batch_id=0)
+    accepted = ingest.image_neardup_batch_against_registry(
+        odds, reg, max_hamming=6
+    )
+    return accepted.select("media_id").orderBy("media_id")
+
+
 # recursive min-label closure over the pair graph — same lab(node, comp)
 # pattern as DEDUP_CLUSTERS_SQL (DuckDB recursion is <base> UNION <rec>)
 MULTIMODAL_CLUSTERS_SQL = (
@@ -3071,6 +3106,42 @@ SELECT node AS media_id,
        (node = MIN(comp)) AS is_representative
 FROM lab
 GROUP BY node
+ORDER BY media_id
+"""
+)
+
+# full-value replay of the incremental image-ingest decision: an odd
+# image is accepted iff no even image and no smaller odd image is
+# within Hamming 6 (the exact semantics of image_neardup_decide: the
+# within-batch pass runs over the FULL batch, so a cross-rejected
+# smaller odd still drops its larger near-copy). The Hamming sum is
+# expanded to 8 explicit terms because DuckDB lambdas cannot capture
+# columns of the other join side.
+def _img_ham_expanded(a: str, b: str) -> str:
+    return "\n       + ".join(
+        f"bit_count(xor(CAST({a}.bands[{j}] AS INTEGER), "
+        f"CAST({b}.bands[{j}] AS INTEGER)))"
+        for j in range(1, 9)
+    )
+
+
+INGEST_IMAGE_NEARDUP_SQL = (
+    _IMG_DHASH_CTE.rstrip()
+    + f""", rej AS (
+  SELECT DISTINCT o.doc_id
+  FROM hashed o JOIN hashed e
+    ON o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+   AND ({_img_ham_expanded("o", "e")}) <= 6
+  UNION
+  SELECT DISTINCT o.doc_id
+  FROM hashed o JOIN hashed a
+    ON o.doc_id % 2 = 1 AND a.doc_id % 2 = 1 AND a.doc_id < o.doc_id
+   AND ({_img_ham_expanded("a", "o")}) <= 6
+)
+SELECT doc_id AS media_id
+FROM hashed
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT doc_id FROM rej)
 ORDER BY media_id
 """
 )
@@ -3473,6 +3544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_rasters": multimodal_decode_rasters,
     "multimodal_neardup_images": multimodal_neardup_images,
     "multimodal_neardup_clusters": multimodal_neardup_clusters,
+    "ingest_image_neardup_incremental": ingest_image_neardup_incremental,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3539,4 +3611,5 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_decode_rasters": MULTIMODAL_DECODE_SQL,
     "multimodal_neardup_images": MULTIMODAL_NEARDUP_SQL,
     "multimodal_neardup_clusters": MULTIMODAL_CLUSTERS_SQL,
+    "ingest_image_neardup_incremental": INGEST_IMAGE_NEARDUP_SQL,
 }

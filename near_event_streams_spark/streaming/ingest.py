@@ -599,3 +599,249 @@ def start_incremental_neardup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Incremental IMAGE ingest: dHash near-dup suppression against the registry
+# ---------------------------------------------------------------------------
+#
+# The multimodal twin of the text pipeline above, with one structural
+# simplification the hash affords: a dHash is 8 band BYTES, and two
+# hashes within Hamming distance <= 7 MUST share a whole band
+# (pigeonhole), so the banded registry probe is EXACT — no separate
+# exact-fingerprint row is needed (an exact duplicate is Hamming 0) and
+# no estimate-threshold false-negative math applies. Registry rows:
+# kind='iband', band=row index, bucket=band value, ukey=str(media_id),
+# sig=the full 8-band hash (for the Hamming verify at probe time).
+# Bucket pruning: probe keys (kind, band, band_value) are computable
+# from the arriving batch alone, so each trigger reads O(touched
+# buckets) of the store, never O(registry) — same contract as the text
+# path.
+
+
+def image_neardup_decide(
+    hashed: DataFrame,
+    reg_bands: DataFrame | None,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """The accept/reject decision over a dHashed batch
+    (``multimodal.dhash_images`` output: ``id_col`` + ``bands``):
+
+    1. cross-registry: drop any image within ``max_hamming`` of a
+       registered hash (candidates from shared (band, value) buckets —
+       exact for ``max_hamming`` < 8 by pigeonhole);
+    2. within-batch: drop ``b`` when a smaller-id ``a`` in the SAME
+       batch is within ``max_hamming`` — evaluated over the full batch
+       (an ``a`` itself rejected by step 1 still drops its ``b``: both
+       duplicate the same registered content, mirroring the text
+       pipeline's superset-universe argument in ``_neardup_decide``).
+
+    Returns the accepted subset of ``hashed`` (all columns kept).
+    """
+    from near_event_streams_spark.operators import multimodal
+
+    hs = hashed.filter(F.col("bands").isNotNull())
+    ex = hs.select(
+        F.col(id_col),
+        F.col("bands"),
+        F.posexplode("bands").alias("band", "band_val"),
+    )
+    surv = hs
+    if reg_bands is not None:
+        cross_hits = (
+            ex.join(
+                reg_bands.select(
+                    "band",
+                    F.col("bucket").alias("band_val"),
+                    F.col("reg_sig"),
+                ),
+                ["band", "band_val"],
+            )
+            .filter(
+                multimodal.hamming_distance(
+                    F.col("bands"),
+                    F.col("reg_sig").cast("array<int>"),
+                )
+                <= max_hamming
+            )
+            .select(id_col)
+            .distinct()
+        )
+        surv = surv.join(cross_hits, id_col, "left_anti")
+    a = ex.select(
+        F.col(id_col).alias("_a_id"),
+        "band",
+        "band_val",
+        F.col("bands").alias("_a_bands"),
+    )
+    b = ex.select(
+        F.col(id_col).alias("_b_id"),
+        "band",
+        "band_val",
+        F.col("bands").alias("_b_bands"),
+    )
+    within_hits = (
+        a.join(b, ["band", "band_val"])
+        .filter(
+            (F.col("_a_id") < F.col("_b_id"))
+            & (
+                multimodal.hamming_distance(
+                    F.col("_a_bands"), F.col("_b_bands")
+                )
+                <= max_hamming
+            )
+        )
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    return surv.join(within_hits, id_col, "left_anti")
+
+
+def image_neardup_batch_against_registry(
+    batch_hashed: DataFrame,
+    registry_path: str,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """:func:`image_neardup_decide` probing the persistent registry
+    with a PRUNED read: only the store buckets the batch's (band,
+    value) keys can live in are scanned."""
+    spark = batch_hashed.sparkSession
+    hs = batch_hashed.filter(F.col("bands").isNotNull())
+    reg_bands = None
+    meta = upsert.store_meta(registry_path)
+    if meta is not None:
+        probe_keys = hs.select(
+            F.posexplode("bands").alias("band", "band_val")
+        ).select(
+            F.lit("iband").alias("kind"),
+            "band",
+            F.col("band_val").cast("long").alias("bucket"),
+        )
+        dirty = upsert.bucket_ids_for(
+            probe_keys, meta["bucket_cols"], meta["n_buckets"]
+        )
+        state = upsert.read_state_pruned(spark, registry_path, dirty)
+        if state is not None:
+            reg_bands = state.filter(F.col("kind") == "iband").select(
+                "band", "bucket", F.col("sig").alias("reg_sig")
+            )
+    return image_neardup_decide(hs, reg_bands, max_hamming, id_col)
+
+
+def register_batch_image_neardup(
+    accepted_hashed: DataFrame,
+    registry_path: str,
+    batch_id: int,
+    id_col: str = "media_id",
+    n_buckets: int = 16,
+) -> int:
+    """Record an accepted batch's dHash band keys in one atomic,
+    replay-idempotent registry commit (deterministic keys, same seq,
+    same winner — the :func:`register_batch_neardup` contract)."""
+    rows = (
+        accepted_hashed.filter(F.col("bands").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("bands"),
+            F.posexplode("bands").alias("band", "band_val"),
+        )
+        .select(
+            F.lit("iband").alias("kind"),
+            F.col("band"),
+            F.col("band_val").cast("long").alias("bucket"),
+            F.col(id_col).cast("string").alias("ukey"),
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col("bands").cast("array<bigint>").alias("sig"),
+            F.lit(batch_id).cast("long").alias("seq"),
+        )
+    )
+    return upsert.merge_upsert(
+        rows,
+        registry_path,
+        key_cols=["kind", "band", "bucket", "ukey"],
+        seq_col="seq",
+        n_buckets=n_buckets,
+        bucket_cols=["kind", "band", "bucket"],
+    )
+
+
+def start_incremental_image_ingest(
+    stream_df: DataFrame,
+    corpus_dir: str,
+    registry_path: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    n_buckets: int = 16,
+    available_now: bool = True,
+    vacuum_retain: int | None = 4,
+) -> StreamingQuery:
+    """24/7 image ingest with perceptual near-dup suppression: per
+    micro-batch (``foreachBatch``), dHash the payload column
+    (``multimodal.dhash_images``), decide against the pruned registry,
+    append only accepted images to the corpus sink (``batch_id=N``
+    dynamic partition overwrite — the same effectively-once contract
+    and crash-window analysis as :func:`start_incremental_dedup_ingest`),
+    and commit the new band keys atomically. Undecodable payloads are
+    accepted unhashed (NULL bands) — suppression applies only to content
+    the decoder understands."""
+    from near_event_streams_spark.operators import multimodal
+
+    os.makedirs(os.path.dirname(registry_path) or ".", exist_ok=True)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        hashed = multimodal.dhash_images(batch).persist()
+        try:
+            accepted = image_neardup_batch_against_registry(
+                hashed, registry_path, max_hamming, id_col
+            ).persist()
+            try:
+                spark = batch.sparkSession
+                keep_ids = (
+                    accepted.select(id_col)
+                    .unionByName(
+                        hashed.filter(F.col("bands").isNull()).select(
+                            id_col
+                        )
+                    )
+                )
+                # corpus rows are the ORIGINAL batch rows (payload and
+                # all), filtered to the accepted + undecodable ids
+                out = batch.join(keep_ids, id_col, "left_semi")
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    (
+                        out.withColumn("batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .partitionBy("batch_id")
+                        .parquet(corpus_dir)
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+                register_batch_image_neardup(
+                    accepted, registry_path, batch_id, id_col, n_buckets
+                )
+                if vacuum_retain is not None:
+                    upsert.vacuum(registry_path, vacuum_retain)
+            finally:
+                accepted.unpersist()
+        finally:
+            hashed.unpersist()
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -502,3 +502,112 @@ def test_ingest_compaction_folds_closed_batches(spark, tmp_path):
     assert files8 <= max(files4, 6), checkpoints
     # and in absolute terms: far fewer dirs than micro-batches ran
     assert dirs8 < n_batches / 2, checkpoints
+
+
+def _ppm(w, h, vals):
+    return (f"P3\n{w} {h}\n255\n" + " ".join(str(v) for v in vals)).encode()
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def _img(seed, shift=0):
+    """Deterministic 6x6 image with a SEED-DEPENDENT difference
+    structure (distinct seeds land >6 Hamming apart: 3↔8=14, 3↔40=19,
+    8↔40=15); `shift` is a uniform brightness shift, dHash-invariant
+    by construction."""
+    return [
+        (seed * 37 + i * (11 + seed % 7) + (i // 3) * (seed % 13)) % 200
+        + shift
+        for i in range(6 * 6 * 3)
+    ]
+
+
+def test_image_neardup_static_cross_and_within_batch(spark, tmp_path):
+    """Batch 1 registers its dHash bands; batch 2 must drop a
+    brightness-shifted near-copy of a registered image AND a
+    within-batch near-copy, keep genuinely new content, and accept
+    undecodable payloads unhashed."""
+    from near_event_streams_spark.operators import multimodal
+
+    reg = str(tmp_path / "ireg")
+    b1 = _media(
+        spark,
+        [(1, _ppm(6, 6, _img(3))), (2, _ppm(6, 6, _img(8)))],
+    )
+    h1 = multimodal.dhash_images(b1)
+    a1 = ingest.image_neardup_batch_against_registry(h1, reg)
+    assert {r["media_id"] for r in a1.collect()} == {1, 2}
+    ingest.register_batch_image_neardup(a1, reg, batch_id=0)
+
+    b2 = _media(
+        spark,
+        [
+            (10, _ppm(6, 6, _img(3, shift=25))),   # near-copy of 1
+            (11, _ppm(6, 6, _img(40))),            # new
+            (12, _ppm(6, 6, _img(40, shift=12))),  # within-batch dup of 11
+            (13, b"\x89PNGnot-decodable"),         # undecodable
+        ],
+    )
+    h2 = multimodal.dhash_images(b2)
+    a2 = ingest.image_neardup_batch_against_registry(h2, reg)
+    got = {r["media_id"] for r in a2.collect()}
+    assert got == {11}, got
+    # the sink-level contract: undecodable ids pass through unhashed
+    undec = {r["media_id"] for r in h2.filter("bands IS NULL").collect()}
+    assert undec == {13}
+
+
+def test_image_ingest_streaming_e2e(spark, tmp_path):
+    """Two availableNow runs through start_incremental_image_ingest:
+    the second batch's near-copy of a first-batch image is suppressed
+    ACROSS the restart (registry, not stream state), new content and
+    undecodable payloads land in the corpus."""
+    import json as _json
+
+    src = tmp_path / "isrc"
+    src.mkdir()
+    corpus = str(tmp_path / "icorpus")
+    reg = str(tmp_path / "ireg2")
+    ckpt = str(tmp_path / "ickpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for mid, payload in rows:
+                f.write(
+                    _json.dumps(
+                        {"media_id": mid, "payload_b64": payload.hex()}
+                    )
+                    + "\n"
+                )
+
+    def stream():
+        raw = (
+            spark.readStream.schema("media_id long, payload_b64 string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        return raw.select("media_id", F.unhex("payload_b64").alias("payload"))
+
+    write_batch("b1.jsonl", [(1, _ppm(6, 6, _img(3))), (2, _ppm(6, 6, _img(8)))])
+    q = ingest.start_incremental_image_ingest(
+        stream(), corpus, reg, ckpt
+    )
+    q.awaitTermination(120)
+
+    write_batch(
+        "b2.jsonl",
+        [
+            (10, _ppm(6, 6, _img(3, shift=25))),  # near-copy of 1
+            (11, _ppm(6, 6, _img(40))),           # new
+            (13, b"\x89PNGnot-decodable"),        # undecodable passthrough
+        ],
+    )
+    q = ingest.start_incremental_image_ingest(
+        stream(), corpus, reg, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {r["media_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 11, 13}, got
