@@ -3055,6 +3055,45 @@ MULTIMODAL_NEARDUP_SQL = (
     _IMG_DHASH_CTE.rstrip() + _IMG_PAIRS_SELECT + "ORDER BY a_id, b_id\n"
 )
 
+def multimodal_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware image-dedup resolution: every image (singletons
+    included — component coalesced to own id) keeps its cluster's
+    HIGHEST-RESOLUTION member (true decoded width×height from the dHash
+    pass; media_id tie-break) instead of the naive lowest-id
+    representative — the standard refinement that stops image dedup
+    from discarding the sharper copy. The image twin of
+    ``dedup_keep_best_quality``; per-component window ranks (bounded
+    groups, no global sort)."""
+    hashed = _doc_image_hashes(spark, sf_dir)
+    pairs = multimodal.neardup_image_pairs(hashed, max_hamming=6, n_bands=8)
+    comp = dedup.connected_components(
+        pairs, a_col="a_id", b_col="b_id"
+    ).select(F.col("node").alias("media_id"), "component")
+    full = (
+        hashed.select(
+            "media_id",
+            (F.col("width") * F.col("height")).alias("resolution"),
+        )
+        .join(comp, "media_id", "left")
+        .withColumn(
+            "component", F.coalesce("component", F.col("media_id"))
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("resolution"), F.asc("media_id")
+    )
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .select(
+            "media_id",
+            "component",
+            "resolution",
+            (F.col("rn") == 1).alias("kept"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def ingest_image_neardup_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3106,6 +3145,54 @@ SELECT node AS media_id,
        (node = MIN(comp)) AS is_representative
 FROM lab
 GROUP BY node
+ORDER BY media_id
+"""
+)
+
+# same closure, resolved to the highest-resolution keeper per component
+# (singletons coalesce to their own id) — the image twin of
+# DEDUP_KEEP_BEST_SQL
+_IMG_CLOSURE_CTES = (
+    _IMG_DHASH_CTE.rstrip().replace("WITH base", "WITH RECURSIVE base", 1)
+    + ", pairs AS ("
+    + _IMG_PAIRS_SELECT
+    + """),
+sym_edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+lab(node, comp) AS (
+  SELECT src, LEAST(src, dst) FROM sym_edges
+  UNION
+  SELECT e.dst, l.comp
+  FROM lab l JOIN sym_edges e ON l.node = e.src
+  WHERE l.comp < e.dst
+)"""
+)
+
+MULTIMODAL_KEEP_SQL = (
+    _IMG_CLOSURE_CTES
+    + """,
+comps AS (
+  SELECT node, CAST(MIN(comp) AS BIGINT) AS component
+  FROM lab GROUP BY node
+),
+resolved AS (
+  SELECT h.doc_id AS media_id,
+         CAST(b.w * b.h AS INT) AS resolution,
+         COALESCE(c.component, h.doc_id) AS component
+  FROM hashed h
+  JOIN base b ON h.doc_id = b.doc_id
+  LEFT JOIN comps c ON h.doc_id = c.node
+)
+SELECT media_id,
+       CAST(component AS BIGINT) AS component,
+       resolution,
+       (ROW_NUMBER() OVER (PARTITION BY component
+                           ORDER BY resolution DESC, media_id) = 1)
+         AS kept
+FROM resolved
 ORDER BY media_id
 """
 )
@@ -3545,6 +3632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_neardup_images": multimodal_neardup_images,
     "multimodal_neardup_clusters": multimodal_neardup_clusters,
     "ingest_image_neardup_incremental": ingest_image_neardup_incremental,
+    "multimodal_neardup_keep": multimodal_neardup_keep,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3612,4 +3700,5 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_neardup_images": MULTIMODAL_NEARDUP_SQL,
     "multimodal_neardup_clusters": MULTIMODAL_CLUSTERS_SQL,
     "ingest_image_neardup_incremental": INGEST_IMAGE_NEARDUP_SQL,
+    "multimodal_neardup_keep": MULTIMODAL_KEEP_SQL,
 }
