@@ -218,3 +218,97 @@ def test_recall_bound_math():
     # incidental overlap (c ~ 0.05) passes the vote at ~1.5e-5 — the
     # ~150x candidate-cut claim's other side
     assert 1 - miss(k, 0.05, m) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# dHash image near-dedup: randomized exactness + invariance
+# ---------------------------------------------------------------------------
+
+
+def _py_dhash(w, h, vals, grid_w=8, grid_h=8):
+    """Pure-Python reference dHash (no Spark involved) over raw RGB
+    samples — the independent second implementation the randomized
+    check compares the operator against."""
+    bands = []
+    for gy in range(grid_h):
+        sy = gy * h // grid_h
+        row = []
+        for gx in range(grid_w + 1):
+            sx = gx * w // (grid_w + 1)
+            base = (sy * w + sx) * 3
+            r, g, b = vals[base : base + 3]
+            row.append((299 * r + 587 * g + 114 * b) // 1000)
+        byte = 0
+        for gx in range(grid_w):
+            if row[gx + 1] > row[gx]:
+                byte |= 1 << gx
+        bands.append(byte)
+    return bands
+
+
+def _random_images(seed: int, n: int):
+    """Random small PPMs: random dims, random pixels, plus injected
+    brightness-shifted twins (the dHash-invariant near-dup class)."""
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        w, h = rng.randint(3, 12), rng.randint(3, 12)
+        vals = [rng.randrange(200) for _ in range(w * h * 3)]
+        out.append((i, w, h, vals))
+    for j in range(0, n, 3):  # shifted twin of a random base image
+        base = out[rng.randrange(n)]
+        shift = rng.randint(1, 55)
+        out.append(
+            (n + j, base[1], base[2], [v + shift for v in base[3]])
+        )
+    return out
+
+
+def test_dhash_matches_pure_python_and_banding_exact_random(spark):
+    """On seeded random corpora: (a) the Spark dHash byte-matches the
+    pure-Python reference for every image; (b) the banded pair join is
+    output-identical to brute-force Hamming<=6 over those hashes —
+    the pigeonhole completeness argument, hunted at random dims/pixels
+    where grid sampling and band boundaries could be off by one."""
+    from near_event_streams_spark.operators import multimodal
+
+    for seed in (7, 23):
+        imgs = _random_images(seed, 24)
+        rows = [
+            (
+                i,
+                (
+                    f"P3\n{w} {h}\n255\n"
+                    + " ".join(str(v) for v in vals)
+                ).encode(),
+            )
+            for i, w, h, vals in imgs
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        )
+        hashed = multimodal.dhash_images(media)
+        got = {r["media_id"]: list(r["bands"]) for r in hashed.collect()}
+        want = {i: _py_dhash(w, h, vals) for i, w, h, vals in imgs}
+        assert got == want, seed
+
+        pairs = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in multimodal.neardup_image_pairs(
+                hashed, max_hamming=6
+            ).collect()
+        }
+        brute = set()
+        ids = sorted(want)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                ham = sum(
+                    bin(p ^ q).count("1")
+                    for p, q in zip(want[a], want[b])
+                )
+                if ham <= 6:
+                    brute.add((a, b, ham))
+        assert pairs == brute, (seed, len(pairs), len(brute))
+        # the injected shifted twins really exercise the invariance
+        assert any(h == 0 for _, _, h in brute), seed
