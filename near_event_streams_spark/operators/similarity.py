@@ -329,6 +329,8 @@ def _nearest_centroids(
     @pandas_udf("array<int>")
     def probe_ids(vecs: pd.Series) -> pd.Series:
         mat, norms = bc.value
+        if len(vecs) == 0:  # empty Arrow batch: np.stack([]) raises
+            return pd.Series([], dtype="object")
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         # squared L2 via the dot-product identity; ||x||^2 is rank-constant
         d = norms[None, :] - 2.0 * (x @ mat.T)
