@@ -1058,6 +1058,137 @@ def run_image_neardup() -> None:
     print(f"wrote {md_path}")
 
 
+def run_image_ingest() -> None:
+    """Streaming image-ingest throughput: N synthetic images through
+    ``start_incremental_image_ingest`` (decode → dHash → pruned
+    registry probe → corpus append → atomic band-key commit) as real
+    micro-batches. Reports images/s sustained and the suppression rate
+    the duplicate-heavy construction implies. Writes a section into
+    BENCH_scale.md."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.session import get_spark
+    from near_event_streams_spark.streaming import ingest as ing
+
+    if not os.path.isdir(SCALE_DIR):
+        raise SystemExit("no .scale_data — run `python bench_scale.py --gen` first")
+    spark = get_spark(app_name="bench_image_ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    N_DOCS, N_BATCHES = 10000, 4
+    docs = (
+        spark.read.parquet(os.path.join(SCALE_DIR, "documents.parquet"))
+        .filter(F.col("doc_id") < N_DOCS)
+    )
+    d = F.col("doc_id").cast("long")
+    g = d % 64
+    w = (g % 5 + 6).cast("int")
+    h = (g % 3 + 6).cast("int")
+    samples = F.transform(
+        F.sequence(F.lit(0), (w * h * 3 - 1).cast("long")),
+        lambda i: (g * 37 + i * 11) % 240
+        + F.when((d * 31 + i * 17) % 97 == 0, F.lit(12)).otherwise(F.lit(0))
+        + d % 3,
+    )
+    ppm = F.concat(
+        F.lit("P3\n"), w.cast("string"), F.lit(" "),
+        h.cast("string"), F.lit("\n255\n"), F.array_join(samples, " "),
+    )
+    media = docs.select(
+        d.alias("media_id"), F.encode(ppm, "UTF-8").alias("payload")
+    )
+
+    base = tempfile.mkdtemp(prefix="nes_scale_imgingest_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        # one parquet file per micro-batch, deterministic mtimes
+        for b in range(N_BATCHES):
+            media.filter(d % N_BATCHES == b).coalesce(1).write.parquet(
+                os.path.join(src, f"b{b}")
+            )
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/b*")
+        )
+        t0 = time.perf_counter()
+        q = ing.start_incremental_image_ingest(
+            stream,
+            os.path.join(base, "corpus"),
+            os.path.join(base, "registry"),
+            os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        accepted = spark.read.parquet(os.path.join(base, "corpus")).count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    rate = N_DOCS / wall
+    report = {
+        "metric": "image_ingest_images_per_sec",
+        "images": N_DOCS,
+        "batches": N_BATCHES,
+        "wall_sec": round(wall, 2),
+        "images_per_sec": round(rate, 1),
+        "accepted": accepted,
+        "suppressed_pct": round(100 * (1 - accepted / N_DOCS), 1),
+    }
+    print(json.dumps(report))
+    lines = [
+        "",
+        "## Streaming image ingest: decode -> dHash -> pruned probe -> commit",
+        "",
+        f"{N_DOCS} synthetic images in {N_BATCHES} micro-batches through",
+        "`start_incremental_image_ingest` (real Structured Streaming",
+        "foreachBatch: Arrow-batched decode+dHash, bucket-pruned registry",
+        "probe, effectively-once corpus append, atomic band-key commit):",
+        "",
+        "| images | batches | wall s | images/s | accepted | suppressed |",
+        "|---|---|---|---|---|---|",
+        f"| {N_DOCS} | {N_BATCHES} | {wall:.1f} | {rate:.0f} | "
+        f"{accepted} | {100 * (1 - accepted / N_DOCS):.1f}% |",
+        "",
+        "The duplicate-heavy 64-group construction makes most arrivals",
+        "near-dups of already-registered content — the suppression-rate",
+        "worst case. Per-trigger cost is O(batch + touched registry",
+        "buckets); the corpus itself is never re-read, so the rate holds",
+        "as the registry grows (same store contract as the text-ingest",
+        "probe-latency curve above).",
+        "",
+    ]
+    md_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
+    )
+    with open(md_path) as f:
+        content = f.read()
+    own_marker = "## Streaming image ingest"
+    next_markers = ["## Appendix: skew-adversarial stress"]
+    if own_marker in content:
+        head, rest = content.split(own_marker, 1)
+        tail = ""
+        for m_ in next_markers:
+            if m_ in rest:
+                tail = m_ + rest.split(m_, 1)[1]
+                break
+        content = head.rstrip() + "\n\n" + tail
+    block = "\n".join(lines)
+    for m_ in next_markers:
+        if m_ in content:
+            head, tail = content.split(m_, 1)
+            content = head.rstrip() + "\n\n" + block + "\n" + m_ + tail
+            break
+    else:
+        content = content.rstrip() + "\n\n" + block
+    with open(md_path, "w") as f:
+        f.write(content)
+    print(f"wrote {md_path}")
+
+
 if __name__ == "__main__":
     import sys
 
@@ -1069,6 +1200,8 @@ if __name__ == "__main__":
         run_skew()
     elif "--neardup-latency" in sys.argv:
         run_neardup_latency()
+    elif "--image-ingest" in sys.argv:
+        run_image_ingest()
     elif "--image-neardup" in sys.argv:
         run_image_neardup()
     elif "--ivfpq-persist" in sys.argv:
