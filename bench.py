@@ -141,6 +141,56 @@ def _read_bands() -> dict[str, list[float]]:
         return {}
 
 
+def solo(name: str) -> None:
+    """Measure ONE headline query in this (fresh) process — the
+    contention guard's out-of-band re-run target. A same-JVM re-run
+    inherits the suite's heap/GC/page-cache state and "confirms"
+    harness inflation as real (r10: graph_triangle_census 25.5 s
+    in-suite vs its 16.4-16.8 s solo band); a fresh SparkSession is
+    the only state-free yardstick. Prints one JSON line."""
+    fns = dict(HEADLINE)
+    fn = fns[name]
+    spark = get_spark(app_name="nes-bench-solo")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    runs = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        runs.append(time.perf_counter() - t0)
+    steady = sorted(runs[1:])
+    print(
+        json.dumps(
+            {
+                "name": name,
+                "median": round(steady[1], 3),
+                "steady": [round(r, 3) for r in steady],
+                "cold": round(runs[0], 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _fresh_process_rerun(name: str) -> float | None:
+    """Run ``bench.py --solo name`` in a subprocess; median or None."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--solo", name]
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900, env=env
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return float(json.loads(line)["median"])
+    except (OSError, subprocess.TimeoutExpired, ValueError, KeyError):
+        pass
+    return None
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="nes-bench")
@@ -191,25 +241,30 @@ def main() -> None:
     # runs (rounds 7-9 each shipped medians 1.4-3.2× above their idle
     # bands on untouched code). Any query whose median lands >1.3×
     # above its committed idle-box band ceiling (BENCH_BANDS.json) is
-    # re-run out-of-band at the END of the suite (3 runs, median —
-    # the plan is already JIT-warm); the reported value is the better
-    # of the two measurements and the query is flagged "contended"
-    # when the re-run confirms the first pass was load, not plan.
+    # re-measured in a FRESH PROCESS (bench.py --solo <name>: cold
+    # SparkSession, 1 discarded cold + 3 steady runs) — an in-JVM
+    # re-run inherits the suite's heap/GC/page-cache state and
+    # "confirms" harness inflation as real (the r10 triangle-census
+    # finding). The reported value is the better of the two
+    # measurements; the query is flagged "contended" when the fresh
+    # process confirms the first pass was suite/box state, not plan.
     sf_num = float(sf) if sf.replace(".", "").isdigit() else None
     bands = _read_bands() if sf_num == 0.1 else {}  # bands measured at sf0.1
     reruns: dict[str, float] = {}
     contended: list[str] = []
-    fns = dict(HEADLINE)
     for name, med in list(timings.items()):
         band = bands.get(name)
         if not band or med <= 1.3 * band[1]:
             continue
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fns[name](spark, SF_DIR).count()
-            runs.append(time.perf_counter() - t0)
-        rr = sorted(runs)[1]
+        rr = _fresh_process_rerun(name)
+        if rr is None:
+            print(
+                f"# contention-guard {name}: first-pass {med:.3f}s vs "
+                f"band [{band[0]:.3f},{band[1]:.3f}] — fresh-process "
+                "re-run FAILED, keeping first-pass value",
+                file=sys.stderr,
+            )
+            continue
         reruns[name] = round(rr, 3)
         if rr < med:
             if rr < med / 1.3:
@@ -218,7 +273,8 @@ def main() -> None:
             timings[name] = round(rr, 3)
         print(
             f"# contention-guard {name}: first-pass {med:.3f}s vs band "
-            f"[{band[0]:.3f},{band[1]:.3f}] → re-run {rr:.3f}s "
+            f"[{band[0]:.3f},{band[1]:.3f}] → fresh-process re-run "
+            f"{rr:.3f}s "
             f"({'contended — re-run value reported' if name in contended else 'elevation confirmed'})",
             file=sys.stderr,
         )
@@ -315,4 +371,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--solo":
+        solo(sys.argv[2])
+    else:
+        main()

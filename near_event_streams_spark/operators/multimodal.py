@@ -377,6 +377,11 @@ def decode_ppm_samples(payload: bytes) -> tuple[int, int, list[int]]:
     width, height, maxval = (int(t) for t in tokens)
     if maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if width < 1 or height < 1:
+        # a syntactically valid 'P3\n0 0\n255\n' header would otherwise
+        # "decode" to an empty raster and crash downstream pixel
+        # samplers mid-task with an uncaught unpack error (r10 advisory)
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
     n_samples = width * height * 3
     if binary:
         raster = payload[i + 1 : i + 1 + n_samples]
@@ -523,6 +528,8 @@ def dhash_images(
     grid_w: int = 8,
     grid_h: int = 8,
     decoder=None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
 ) -> DataFrame:
     """Perceptual difference-hash (dHash) over the binary image column —
     the standard image-near-dedup fingerprint for a multimodal training
@@ -540,7 +547,13 @@ def dhash_images(
     dependency-free PPM pixel access is the fallback. Luma uses the
     integer Rec.601 approximation ``(299·R + 587·G + 114·B) // 1000`` so
     the hash is engine-replayable with no float in sight. Payloads no
-    decoder accepts pass through with ``decoded=False`` and NULL bands.
+    decoder accepts — OR that decode but can't be grid-sampled (e.g. a
+    custom decoder returning degenerate dimensions) — pass through with
+    ``decoded=False`` and NULL bands: one malformed payload must never
+    fail the task and wedge a 24/7 ingest stream (r10 advisory).
+
+    ``id_col``/``payload_col`` name the input columns; the output id
+    column is always ``media_id`` (``DHASH_SCHEMA``).
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
@@ -555,30 +568,30 @@ def dhash_images(
     def _one(p) -> tuple:
         try:
             w, h, vals = _decode(bytes(p))
-        except ValueError:
+            bands: list[int] = []
+            for gy in range(grid_h):
+                sy = gy * h // grid_h
+                row: list[int] = []
+                for gx in range(grid_w + 1):
+                    sx = gx * w // (grid_w + 1)
+                    base = (sy * w + sx) * 3
+                    r, g, b = vals[base : base + 3]
+                    row.append((299 * r + 587 * g + 114 * b) // 1000)
+                byte = 0
+                for gx in range(grid_w):
+                    if row[gx + 1] > row[gx]:
+                        byte |= 1 << gx
+                bands.append(byte)
+        except (ValueError, IndexError):
             return None, None, False, None
-        bands: list[int] = []
-        for gy in range(grid_h):
-            sy = gy * h // grid_h
-            row: list[int] = []
-            for gx in range(grid_w + 1):
-                sx = gx * w // (grid_w + 1)
-                base = (sy * w + sx) * 3
-                r, g, b = vals[base : base + 3]
-                row.append((299 * r + 587 * g + 114 * b) // 1000)
-            byte = 0
-            for gx in range(grid_w):
-                if row[gx + 1] > row[gx]:
-                    byte |= 1 << gx
-            bands.append(byte)
         return w, h, True, bands
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            res = [_one(p) for p in pdf["payload"]]
+            res = [_one(p) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
+                    "media_id": pdf[id_col],
                     "width": pd.Series([r[0] for r in res], dtype="Int32"),
                     "height": pd.Series([r[1] for r in res], dtype="Int32"),
                     "decoded": [r[2] for r in res],
@@ -586,7 +599,9 @@ def dhash_images(
                 }
             )
 
-    return media.mapInPandas(_run, schema=DHASH_SCHEMA)
+    return media.select(id_col, payload_col).mapInPandas(
+        _run, schema=DHASH_SCHEMA
+    )
 
 
 def neardup_image_pairs(

@@ -583,6 +583,86 @@ def ivfpq_append(
     )
 
 
+def ivfpq_compact(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    min_appended_frac: float | None = None,
+    n_clusters: int | None = None,
+    m: int | None = None,
+    ks: int | None = None,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Retrain-and-rewrite maintenance for a persisted IVF-PQ index
+    that has absorbed appends (:func:`ivfpq_append` encodes new vectors
+    against centroids trained BEFORE they existed — measured recall
+    0.88-0.90 vs 0.94-1.0 fresh-build at r10's settings; the FAISS
+    answer is a periodic re-train, and this is it).
+
+    ``corpus`` is the raw vector source (the PQ rows are lossy — at
+    production scale the full-width vectors live in the lake and the
+    index is derived state, so compaction re-reads the source).
+    Coarse centroids re-fit over the FULL corpus (MLlib KMeans — a
+    bounded sample-sized job); PQ codebooks retrain on the same
+    bounded seeded ``train_sample`` residual sample as a fresh build;
+    the per-cluster parquet layout is rewritten in place. ``m``/``ks``/
+    ``n_clusters`` default to the EXISTING index's geometry (same byte
+    budget), read from the KB-sized sidecar.
+
+    When ``min_appended_frac`` is set, compaction is SKIPPED unless
+    the appended fraction — (current codes rows − rows at last
+    write/compact, recorded in the sidecar) / current — reaches it,
+    so a scheduler can call this unconditionally after every ingest
+    window and pay the rebuild only on real drift. Returns
+    ``{"compacted": bool, "appended_frac": float|None, "n_rows": int}``.
+    """
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    if m is None:
+        m = int(meta["m"])
+    if ks is None:
+        ks = int(meta["ks"])
+    if n_clusters is None:
+        n_clusters = len(meta["centroids"])
+    n_cur = spark.read.parquet(path + "/codes").count()
+    n_base = (
+        int(meta["n_rows"])
+        if "n_rows" in meta.__fields__ and meta["n_rows"] is not None
+        else None
+    )
+    appended_frac = (
+        (n_cur - n_base) / n_cur if n_base is not None and n_cur else None
+    )
+    if (
+        min_appended_frac is not None
+        and appended_frac is not None
+        and appended_frac < min_appended_frac
+    ):
+        return {
+            "compacted": False,
+            "appended_frac": appended_frac,
+            "n_rows": n_cur,
+        }
+    enc, cents, books = ivfpq_index(
+        corpus,
+        n_clusters=n_clusters,
+        m=m,
+        ks=ks,
+        seed=seed,
+        train_sample=train_sample,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    ivfpq_write(enc, cents, books, path)
+    return {
+        "compacted": True,
+        "appended_frac": appended_frac,
+        "n_rows": spark.read.parquet(path + "/codes").count(),
+    }
+
+
 def ivfpq_write(
     enc: DataFrame,
     centroids: list[list[float]],
@@ -602,14 +682,18 @@ def ivfpq_write(
       reads only those directories (partition pruning — the on-disk
       twin of IVF's candidate pruning).
     * ``<path>/meta`` — one-row parquet sidecar with the coarse
-      centroids and the PQ codebooks (KBs — ``n_clusters·dim`` +
-      ``m·ks·dsub`` doubles — independent of corpus size).
+      centroids, the PQ codebooks (KBs — ``n_clusters·dim`` +
+      ``m·ks·dsub`` doubles — independent of corpus size), and the
+      codes row count at write time (``n_rows`` — parquet-footer
+      count of the just-written layout, the yardstick
+      :func:`ivfpq_compact` uses to measure the appended fraction).
     """
     m = int(books.shape[0])
     enc.write.mode("overwrite").partitionBy("cluster").parquet(
         path + "/codes"
     )
     spark = enc.sparkSession
+    n_rows = spark.read.parquet(path + "/codes").count()
     meta_row = [
         (
             m,
@@ -619,12 +703,13 @@ def ivfpq_write(
                 [[float(x) for x in cent] for cent in book]
                 for book in books
             ],
+            n_rows,
         )
     ]
     spark.createDataFrame(
         meta_row,
         "m int, ks int, centroids array<array<double>>, "
-        "books array<array<array<double>>>",
+        "books array<array<array<double>>>, n_rows bigint",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 

@@ -624,23 +624,40 @@ def image_neardup_decide(
     reg_bands: DataFrame | None,
     max_hamming: int = 6,
     id_col: str = "media_id",
+    n_bands: int = 8,
 ) -> DataFrame:
     """The accept/reject decision over a dHashed batch
     (``multimodal.dhash_images`` output: ``id_col`` + ``bands``):
 
     1. cross-registry: drop any image within ``max_hamming`` of a
        registered hash (candidates from shared (band, value) buckets —
-       exact for ``max_hamming`` < 8 by pigeonhole);
+       exact for ``max_hamming < n_bands`` by pigeonhole; ``n_bands``
+       must equal the dHash band count, ``grid_h``, and the threshold
+       is VALIDATED against it — a silently over-wide threshold would
+       lose recall, not error). Registry rows whose ``ukey`` equals the
+       probing row's OWN id are ignored: an at-least-once replay after
+       the registry commit re-probes a batch whose keys are already
+       registered, and without self-exclusion every accepted image
+       would match itself at Hamming 0, flip to rejected, and the
+       replayed ``batch_id=N`` partition overwrite would DELETE the
+       originally accepted images from the corpus while leaving them
+       registered (r10 advisory). With self-exclusion the replay
+       recomputes the identical accepted set and rewrites identical
+       files — effectively-once restored;
     2. within-batch: drop ``b`` when a smaller-id ``a`` in the SAME
        batch is within ``max_hamming`` — evaluated over the full batch
        (an ``a`` itself rejected by step 1 still drops its ``b``: both
        duplicate the same registered content, mirroring the text
        pipeline's superset-universe argument in ``_neardup_decide``).
+       Replay-stable: on replay a rejected-within-batch ``b`` instead
+       matches ``a``'s registered row (ukey ``a`` ≠ ``b``, so not
+       self-excluded) — same verdict either way.
 
     Returns the accepted subset of ``hashed`` (all columns kept).
     """
     from near_event_streams_spark.operators import multimodal
 
+    assert 0 <= max_hamming < n_bands, (max_hamming, n_bands)
     hs = hashed.filter(F.col("bands").isNotNull())
     ex = hs.select(
         F.col(id_col),
@@ -655,15 +672,19 @@ def image_neardup_decide(
                     "band",
                     F.col("bucket").alias("band_val"),
                     F.col("reg_sig"),
+                    F.col("reg_ukey"),
                 ),
                 ["band", "band_val"],
             )
             .filter(
-                multimodal.hamming_distance(
-                    F.col("bands"),
-                    F.col("reg_sig").cast("array<int>"),
+                (F.col("reg_ukey") != F.col(id_col).cast("string"))
+                & (
+                    multimodal.hamming_distance(
+                        F.col("bands"),
+                        F.col("reg_sig").cast("array<int>"),
+                    )
+                    <= max_hamming
                 )
-                <= max_hamming
             )
             .select(id_col)
             .distinct()
@@ -703,11 +724,14 @@ def image_neardup_batch_against_registry(
     registry_path: str,
     max_hamming: int = 6,
     id_col: str = "media_id",
+    n_bands: int = 8,
 ) -> DataFrame:
     """:func:`image_neardup_decide` probing the persistent registry
     with a PRUNED read: only the store buckets the batch's (band,
-    value) keys can live in are scanned."""
+    value) keys can live in are scanned. Carries the registry ``ukey``
+    through for the decide step's replay self-exclusion."""
     spark = batch_hashed.sparkSession
+    assert 0 <= max_hamming < n_bands, (max_hamming, n_bands)
     hs = batch_hashed.filter(F.col("bands").isNotNull())
     reg_bands = None
     meta = upsert.store_meta(registry_path)
@@ -725,9 +749,14 @@ def image_neardup_batch_against_registry(
         state = upsert.read_state_pruned(spark, registry_path, dirty)
         if state is not None:
             reg_bands = state.filter(F.col("kind") == "iband").select(
-                "band", "bucket", F.col("sig").alias("reg_sig")
+                "band",
+                "bucket",
+                F.col("sig").alias("reg_sig"),
+                F.col("ukey").alias("reg_ukey"),
             )
-    return image_neardup_decide(hs, reg_bands, max_hamming, id_col)
+    return image_neardup_decide(
+        hs, reg_bands, max_hamming, id_col, n_bands
+    )
 
 
 def register_batch_image_neardup(
@@ -767,6 +796,70 @@ def register_batch_image_neardup(
     )
 
 
+def image_ingest_sink_body(
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    registry_path: str,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    n_buckets: int = 16,
+    vacuum_retain: int | None = 4,
+    payload_col: str = "payload",
+) -> None:
+    """One micro-batch of the image-ingest pipeline — module-level so
+    the crash-window replay tests drive the EXACT production body (the
+    text-path tests replicate their sink inline; after the r10 replay
+    advisory the image body is the one whose drift must be caught)."""
+    from near_event_streams_spark.operators import multimodal
+
+    hashed = (
+        multimodal.dhash_images(
+            batch, id_col=id_col, payload_col=payload_col
+        )
+        .withColumnRenamed("media_id", id_col)
+        .persist()
+    )
+    try:
+        accepted = image_neardup_batch_against_registry(
+            hashed, registry_path, max_hamming, id_col
+        ).persist()
+        try:
+            spark = batch.sparkSession
+            keep_ids = accepted.select(id_col).unionByName(
+                hashed.filter(F.col("bands").isNull()).select(id_col)
+            )
+            # corpus rows are the ORIGINAL batch rows (payload and
+            # all), filtered to the accepted + undecodable ids
+            out = batch.join(keep_ids, id_col, "left_semi")
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    out.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(corpus_dir)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            register_batch_image_neardup(
+                accepted, registry_path, batch_id, id_col, n_buckets
+            )
+            if vacuum_retain is not None:
+                upsert.vacuum(registry_path, vacuum_retain)
+        finally:
+            accepted.unpersist()
+    finally:
+        hashed.unpersist()
+
+
 def start_incremental_image_ingest(
     stream_df: DataFrame,
     corpus_dir: str,
@@ -777,65 +870,36 @@ def start_incremental_image_ingest(
     n_buckets: int = 16,
     available_now: bool = True,
     vacuum_retain: int | None = 4,
+    payload_col: str = "payload",
 ) -> StreamingQuery:
     """24/7 image ingest with perceptual near-dup suppression: per
     micro-batch (``foreachBatch``), dHash the payload column
     (``multimodal.dhash_images``), decide against the pruned registry,
     append only accepted images to the corpus sink (``batch_id=N``
     dynamic partition overwrite — the same effectively-once contract
-    and crash-window analysis as :func:`start_incremental_dedup_ingest`),
-    and commit the new band keys atomically. Undecodable payloads are
-    accepted unhashed (NULL bands) — suppression applies only to content
-    the decoder understands."""
-    from near_event_streams_spark.operators import multimodal
-
+    and crash-window analysis as :func:`start_incremental_dedup_ingest`;
+    the registry probe self-excludes a row's own ``ukey``, so an
+    at-least-once replay after the registry commit re-accepts its own
+    images and rewrites identical files instead of deleting them — see
+    :func:`image_neardup_decide`), and commit the new band keys
+    atomically. Undecodable payloads are accepted unhashed (NULL
+    bands) — suppression applies only to content the decoder
+    understands. ``id_col``/``payload_col`` name the stream's columns;
+    they're aliased through ``dhash_images``'s fixed schema and back."""
     os.makedirs(os.path.dirname(registry_path) or ".", exist_ok=True)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        hashed = multimodal.dhash_images(batch).persist()
-        try:
-            accepted = image_neardup_batch_against_registry(
-                hashed, registry_path, max_hamming, id_col
-            ).persist()
-            try:
-                spark = batch.sparkSession
-                keep_ids = (
-                    accepted.select(id_col)
-                    .unionByName(
-                        hashed.filter(F.col("bands").isNull()).select(
-                            id_col
-                        )
-                    )
-                )
-                # corpus rows are the ORIGINAL batch rows (payload and
-                # all), filtered to the accepted + undecodable ids
-                out = batch.join(keep_ids, id_col, "left_semi")
-                prev = spark.conf.get(
-                    "spark.sql.sources.partitionOverwriteMode"
-                )
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                try:
-                    (
-                        out.withColumn("batch_id", F.lit(batch_id))
-                        .write.mode("overwrite")
-                        .partitionBy("batch_id")
-                        .parquet(corpus_dir)
-                    )
-                finally:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev
-                    )
-                register_batch_image_neardup(
-                    accepted, registry_path, batch_id, id_col, n_buckets
-                )
-                if vacuum_retain is not None:
-                    upsert.vacuum(registry_path, vacuum_retain)
-            finally:
-                accepted.unpersist()
-        finally:
-            hashed.unpersist()
+        image_ingest_sink_body(
+            batch,
+            batch_id,
+            corpus_dir,
+            registry_path,
+            id_col=id_col,
+            max_hamming=max_hamming,
+            n_buckets=n_buckets,
+            vacuum_retain=vacuum_retain,
+            payload_col=payload_col,
+        )
 
     writer = (
         stream_df.writeStream.outputMode("append")

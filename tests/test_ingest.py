@@ -611,3 +611,88 @@ def test_image_ingest_streaming_e2e(spark, tmp_path):
 
     got = {r["media_id"] for r in spark.read.parquet(corpus).collect()}
     assert got == {1, 2, 11, 13}, got
+
+
+def test_image_replayed_batch_is_idempotent(spark, tmp_path):
+    """The r10-advisory crash window, image twin of
+    test_replayed_batch_is_idempotent: crash AFTER the corpus write +
+    registry commit, BEFORE the checkpoint records the batch. The
+    replayed batch probes a registry that already holds its own band
+    keys; without ukey self-exclusion every accepted image matches
+    itself at Hamming 0 and the batch_id=0 partition overwrite would
+    DELETE the decoded images, keeping only the undecodable
+    passthrough rows. Drives the REAL production sink body."""
+    corpus = str(tmp_path / "icorpus_r")
+    reg = str(tmp_path / "ireg_r")
+    batch = _media(
+        spark,
+        [
+            (1, _ppm(6, 6, _img(3))),
+            (2, _ppm(6, 6, _img(8))),
+            (3, _ppm(6, 6, _img(8, shift=20))),  # within-batch dup of 2
+            (4, b"\x89PNGnot-decodable"),        # undecodable passthrough
+        ],
+    )
+    ingest.image_ingest_sink_body(batch, 0, corpus, reg)
+    first = {r["media_id"] for r in spark.read.parquet(corpus).collect()}
+    assert first == {1, 2, 4}, first
+    ingest.image_ingest_sink_body(batch, 0, corpus, reg)  # replay
+    second = {r["media_id"] for r in spark.read.parquet(corpus).collect()}
+    assert second == first, (first, second)
+    # registry unchanged too: same keys, idempotent upsert
+    from near_event_streams_spark.streaming import upsert
+
+    state = upsert.read_state(spark, reg)
+    assert {r["ukey"] for r in state.collect()} == {"1", "2"}
+
+
+def test_image_ingest_id_col_plumbing(spark, tmp_path):
+    """r10 advisory: a non-default id column must flow through
+    dhash_images' fixed schema and back — register/decide/corpus all
+    reference it by the caller's name."""
+    corpus = str(tmp_path / "icorpus_id")
+    reg = str(tmp_path / "ireg_id")
+    rows = [(100, _ppm(6, 6, _img(3))), (101, _ppm(6, 6, _img(3, shift=9)))]
+    batch = spark.createDataFrame(rows, "img_id long, blob binary")
+    ingest.image_ingest_sink_body(
+        batch, 0, corpus, reg, id_col="img_id", payload_col="blob"
+    )
+    got = {r["img_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {100}, got  # 101 is a within-batch near-dup of 100
+
+
+def test_image_decide_rejects_overwide_hamming(spark, tmp_path):
+    """r10 advisory: max_hamming >= n_bands voids the pigeonhole
+    exactness guarantee — it must error, not silently lose recall."""
+    import pytest
+    from near_event_streams_spark.operators import multimodal
+
+    hashed = multimodal.dhash_images(
+        _media(spark, [(1, _ppm(6, 6, _img(3)))])
+    )
+    with pytest.raises(AssertionError):
+        ingest.image_neardup_decide(hashed, None, max_hamming=8)
+    with pytest.raises(AssertionError):
+        ingest.image_neardup_batch_against_registry(
+            hashed, str(tmp_path / "nope"), max_hamming=8
+        )
+
+
+def test_dhash_degenerate_payload_passes_through_undecoded(spark):
+    """r10 advisory: a syntactically valid 'P3\\n0 0\\n255\\n' header
+    (and a 1x1-truncation cousin) must yield decoded=False, not an
+    uncaught unpack error that fails the whole Spark task."""
+    from near_event_streams_spark.operators import multimodal
+
+    batch = _media(
+        spark,
+        [
+            (1, b"P3\n0 0\n255\n"),          # degenerate dims
+            (2, b"P3\n0 5\n255\n1 2 3"),     # zero width only
+            (3, _ppm(6, 6, _img(3))),         # healthy control
+        ],
+    )
+    rows = {r["media_id"]: r for r in multimodal.dhash_images(batch).collect()}
+    assert rows[1]["decoded"] is False and rows[1]["bands"] is None
+    assert rows[2]["decoded"] is False and rows[2]["bands"] is None
+    assert rows[3]["decoded"] is True and len(rows[3]["bands"]) == 8
