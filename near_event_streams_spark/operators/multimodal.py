@@ -553,7 +553,13 @@ def dhash_images(
     fail the task and wedge a 24/7 ingest stream (r10 advisory).
 
     ``id_col``/``payload_col`` name the input columns; the output id
-    column is always ``media_id`` (``DHASH_SCHEMA``).
+    column is always NAMED ``media_id`` but keeps the INPUT column's
+    type (``DHASH_SCHEMA`` pins the long-id default; a string-keyed
+    corpus gets a string ``media_id`` — pinning long here would make
+    the Arrow transfer fail at runtime for non-integral ids). Note the
+    registry-ingest path (``streaming/ingest.register_batch_image_
+    neardup``) stores ids as long ``doc_id`` and so still requires
+    integral ids.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
@@ -599,8 +605,12 @@ def dhash_images(
                 }
             )
 
+    out_schema = StructType(
+        [StructField("media_id", media.schema[id_col].dataType)]
+        + DHASH_SCHEMA.fields[1:]
+    )
     return media.select(id_col, payload_col).mapInPandas(
-        _run, schema=DHASH_SCHEMA
+        _run, schema=out_schema
     )
 
 

@@ -655,7 +655,29 @@ def ivfpq_compact(
         id_col=id_col,
         vec_col=vec_col,
     )
-    ivfpq_write(enc, cents, books, path)
+    # Build the full retrained index in a SIDE directory, then swap it
+    # in with two filesystem renames (Hadoop FileSystem API — same code
+    # path on local FS and HDFS; on S3A rename is a copy but still
+    # directory-atomic per object store semantics). A crash before the
+    # first rename leaves the live index untouched; a crash between the
+    # renames leaves the old index intact at `<path>.compact-old` and
+    # the new one complete at `<path>.compact-tmp` — both recoverable,
+    # and at no point can probes see NEW codes paired with an OLD
+    # sidecar (the in-place overwrite's silent-wrong-distances failure
+    # mode, r11 advisory).
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    ivfpq_write(enc, cents, books, tmp)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(old), True)
+    if fs.exists(hpath(path)):
+        if not fs.rename(hpath(path), hpath(old)):
+            raise IOError(f"compact swap failed: {path} -> {old}")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        raise IOError(f"compact swap failed: {tmp} -> {path}")
+    fs.delete(hpath(old), True)
     return {
         "compacted": True,
         "appended_frac": appended_frac,
@@ -689,10 +711,21 @@ def ivfpq_write(
       :func:`ivfpq_compact` uses to measure the appended fraction).
     """
     m = int(books.shape[0])
-    enc.write.mode("overwrite").partitionBy("cluster").parquet(
-        path + "/codes"
-    )
     spark = enc.sparkSession
+    # Pin STATIC overwrite for the codes rewrite: under a session-level
+    # 'dynamic' partitionOverwriteMode only the clusters PRESENT in
+    # `enc` would be replaced, so cluster directories absent from a
+    # retrained layout would survive with codes encoded against OLD
+    # codebooks under the NEW sidecar — silently wrong search results
+    # (r11 advisory).
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        enc.write.mode("overwrite").partitionBy("cluster").parquet(
+            path + "/codes"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     n_rows = spark.read.parquet(path + "/codes").count()
     meta_row = [
         (

@@ -1169,6 +1169,83 @@ FROM ranked WHERE rank <= 5
 )
 
 
+def ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance (``similarity.ivfpq_compact``): half the corpus
+    builds a persisted index, the other half is APPENDED (encoded
+    against centroids trained before it existed — the recall-eroding
+    state ``ann_ivfpq_append`` tolerates with a widened probe), then the
+    scheduled compact retrains over the FULL corpus and swaps the
+    layout in atomically-enough (side-dir + two renames; codes and
+    sidecar move together). Gated four ways: (a) the compact FIRES at
+    the 50% appended fraction under a ``min_appended_frac=0.25``
+    schedule and (b) resets the sidecar yardstick so an immediate
+    second scheduled compact SKIPS; (c) the compacted index holds
+    exactly the full corpus; (d) probing it at the STANDARD
+    nprobe=12/refine=4 settings meets the recall ≥ 0.8 fresh-build bar
+    — the settings the append state needed nprobe=16/refine=8 to reach.
+    At 100 TB this is the nightly maintenance window: ingest appends
+    all day, the scheduler calls compact unconditionally, and only real
+    drift pays the rebuild."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    path = _ivfpq_scratch_dir(sf_dir, tag="ivfpq_cmp")
+
+    enc_old, cents, books = similarity.ivfpq_index(
+        old, n_clusters=16, m=8, ks=256, seed=42
+    )
+    similarity.ivfpq_write(enc_old, cents, books, path)
+    similarity.ivfpq_append(spark, path, new)
+    res = similarity.ivfpq_compact(
+        spark, path, emb, min_appended_frac=0.25, seed=42
+    )
+    res2 = similarity.ivfpq_compact(
+        spark, path, emb, min_appended_frac=0.25, seed=42
+    )
+    idx = similarity.ivfpq_read(spark, path)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ivfpq_topk(
+        queries, emb, k=5, nprobe=12, refine=4, index=idx
+    )
+    gate = _ann_recall_invariant(exact, approx, min_recall=0.8)
+
+    n_emb = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    n_idx = idx[0].agg(F.count(F.lit(1)).alias("n_idx"))
+    fired = bool(
+        res["compacted"]
+        and res["appended_frac"] is not None
+        and abs(res["appended_frac"] - 0.5) < 0.02
+        and not res2["compacted"]
+        and res2["appended_frac"] == 0.0
+    )
+    return (
+        gate.crossJoin(n_emb)
+        .crossJoin(n_idx)
+        .select(
+            "n_exact_pairs",
+            "recall_ok",
+            F.lit(fired).alias("compact_scheduled_ok"),
+            (F.col("n_idx") == F.col("n_emb")).alias(
+                "compacted_holds_full_corpus"
+            ),
+        )
+    )
+
+
+_ANN_COMPACTED_SQL = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS compact_scheduled_ok,
+       TRUE AS compacted_holds_full_corpus
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
 def ann_opq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-OPQ approximate top-k result list (detail view; cosines are
     exact because the shortlist is re-scored on full vectors)."""
@@ -3587,6 +3664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_persisted": ann_ivfpq_persisted,
     "ann_opq_topk": ann_opq_topk,
     "ann_ivfpq_append": ann_ivfpq_append,
+    "ann_ivfpq_compacted": ann_ivfpq_compacted,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
     "emb_quantize_int8": emb_quantize_int8,
@@ -3655,6 +3733,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivfpq_persisted": _ANN_PERSISTED_SQL,
     "ann_opq_topk": _ANN_INVARIANT_SQL,
     "ann_ivfpq_append": _ANN_APPEND_SQL,
+    "ann_ivfpq_compacted": _ANN_COMPACTED_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

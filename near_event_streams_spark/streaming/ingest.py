@@ -657,7 +657,13 @@ def image_neardup_decide(
     """
     from near_event_streams_spark.operators import multimodal
 
-    assert 0 <= max_hamming < n_bands, (max_hamming, n_bands)
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} must satisfy 0 <= max_hamming < "
+            f"n_bands={n_bands}: the band-bucket join is EXACT only when "
+            "Hamming < n_bands (pigeonhole) — a wider threshold silently "
+            "loses recall"
+        )
     hs = hashed.filter(F.col("bands").isNotNull())
     ex = hs.select(
         F.col(id_col),
@@ -731,7 +737,13 @@ def image_neardup_batch_against_registry(
     value) keys can live in are scanned. Carries the registry ``ukey``
     through for the decide step's replay self-exclusion."""
     spark = batch_hashed.sparkSession
-    assert 0 <= max_hamming < n_bands, (max_hamming, n_bands)
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} must satisfy 0 <= max_hamming < "
+            f"n_bands={n_bands}: the band-bucket join is EXACT only when "
+            "Hamming < n_bands (pigeonhole) — a wider threshold silently "
+            "loses recall"
+        )
     hs = batch_hashed.filter(F.col("bands").isNotNull())
     reg_bands = None
     meta = upsert.store_meta(registry_path)

@@ -663,16 +663,18 @@ def test_image_ingest_id_col_plumbing(spark, tmp_path):
 
 def test_image_decide_rejects_overwide_hamming(spark, tmp_path):
     """r10 advisory: max_hamming >= n_bands voids the pigeonhole
-    exactness guarantee — it must error, not silently lose recall."""
+    exactness guarantee — it must error, not silently lose recall.
+    r11 advisory: the error must be a ValueError, not a bare assert
+    (asserts are stripped under python -O)."""
     import pytest
     from near_event_streams_spark.operators import multimodal
 
     hashed = multimodal.dhash_images(
         _media(spark, [(1, _ppm(6, 6, _img(3)))])
     )
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         ingest.image_neardup_decide(hashed, None, max_hamming=8)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         ingest.image_neardup_batch_against_registry(
             hashed, str(tmp_path / "nope"), max_hamming=8
         )
