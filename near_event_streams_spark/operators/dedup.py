@@ -336,6 +336,7 @@ def containment_pairs(
     text_col: str = "text",
     broadcast_sets: bool | None = None,
     max_broadcast_docs: int = 500_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ORDERED pairs with shingle-set containment
     ``C(A→B) = |A∩B| / |A| ≥ threshold`` — the superset-duplicate
@@ -363,7 +364,23 @@ def containment_pairs(
 
     Survivors verify with exact JVM array intersection (size-adaptive
     join, same contract as ``_verify_pairs``). Persist handles
-    (``sets``, ``ranked``) are caller-owned (clearCache)."""
+    (``sets``, ``ranked``) are caller-owned (clearCache).
+
+    ``max_df`` (default None = exact) is the hot-shingle headroom knob
+    (the text-side analogue of ``neardup_image_pairs(max_bucket=)``):
+    shingles whose document frequency exceeds the ceiling are dropped
+    from candidate GENERATION — both the probe prefixes and, crucially,
+    the full-set inverted index, whose hot rows are this operator's
+    dominant skew cost (a df≈n/2 boilerplate shingle contributes ~n/2
+    index rows per occurrence stream; BENCH_scale's skew appendix
+    plants exactly that). Precision is untouched (survivors still
+    verify on FULL shingle sets); recall loss is confined to pairs
+    whose every probe-prefix witness is hot — and because the global
+    prefix order is df-ASCENDING, hot shingles are the LAST thing a
+    prefix admits, so a pair is lost only when the contained doc has
+    fewer than ``|A| − ⌈τ|A|⌉ + 1`` sub-ceiling shingles. Set it from
+    the corpus' boilerplate df ceiling, not from the wall-time budget.
+    """
     from pyspark.sql import Window
 
     num = int(round(threshold * 10000))
@@ -377,11 +394,14 @@ def containment_pairs(
     dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sid")
     need = F.expr(f"({num}*sz + {den} - 1) div {den}")
-    ranked = (
-        ids.join(dfreq, "sid")
-        .withColumn("r", F.row_number().over(w))
-        .persist()
-    )
+    idf = ids.join(dfreq, "sid")
+    if max_df is not None:
+        # drop hot rows BEFORE the rank window: df-ascending order means
+        # sub-ceiling ranks are unchanged, so probe prefixes keep their
+        # rarest-first witnesses; only the hot tail (and its index fan-
+        # out) disappears
+        idf = idf.filter(F.col("df") <= max_df)
+    ranked = idf.withColumn("r", F.row_number().over(w)).persist()
     probe = ranked.filter(F.col("r") <= F.col("sz") - need + 1).select(
         F.col("doc_id").alias("a_doc_id"),
         F.col("sz").alias("sza"),

@@ -312,3 +312,51 @@ def test_dhash_matches_pure_python_and_banding_exact_random(spark):
         assert pairs == brute, (seed, len(pairs), len(brute))
         # the injected shifted twins really exercise the invariance
         assert any(h == 0 for _, _, h in brute), seed
+
+
+def test_containment_max_df_hot_shingle_cap(spark):
+    """The r11 hot-shingle headroom knob (`containment_pairs(max_df=)`,
+    the text-side twin of `neardup_image_pairs(max_bucket=)`): dropping
+    over-ceiling shingles from candidate generation must (a) keep every
+    pair witnessed by at least one sub-ceiling probe-prefix shingle,
+    (b) lose EXACTLY the pairs whose contained side has no sub-ceiling
+    witnesses (the documented recall trade-off), and (c) never add a
+    pair (precision untouched — verification still runs on full sets).
+    Fixture: 20 filler docs all share one hot 6-word sentence (its 5
+    bigrams reach df=22 > the cap of 10); doc 100 is a rare-shingle
+    excerpt of doc 101; doc 200 is the bare hot sentence, contained in
+    every filler and in doc 201."""
+    hot = "h0 h1 h2 h3 h4 h5"
+    rows = [(int(i), f"f{i}a f{i}b f{i}c " + hot) for i in range(20)]
+    rows += [
+        (100, "a1 a2 a3 a4 a5 a6"),
+        (101, "a1 a2 a3 a4 a5 a6 x1 x2"),
+        (200, hot),
+        (201, "d1 d2 " + hot + " d3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r["a_doc_id"], r["b_doc_id"])
+        for r in dedup.containment_pairs(
+            df, threshold=0.9, min_shingles=5
+        ).collect()
+    }
+    capped = {
+        (r["a_doc_id"], r["b_doc_id"])
+        for r in dedup.containment_pairs(
+            df, threshold=0.9, min_shingles=5, max_df=10
+        ).collect()
+    }
+    spark.catalog.clearCache()
+
+    want = _brute_force_containment(
+        [(i, t) for i, t in rows], threshold=0.9, min_shingles=5
+    )
+    assert exact == want, f"exact path diverged: {exact ^ want}"
+    # the rare-witnessed pair exists and survives the cap
+    assert (100, 101) in exact and (100, 101) in capped
+    # doc 200's shingles are ALL hot -> every 200->* pair is the
+    # documented loss; nothing else may disappear, nothing may appear
+    assert exact - capped == {p for p in exact if p[0] == 200}
+    assert capped <= exact
