@@ -986,11 +986,17 @@ def run_containment_cap() -> None:
         "",
         f"Speedup {wall_exact / wall_cap:.2f}x; pairs lost {lost} "
         f"(recall {recall:.4f}), pairs added {extra} (must be 0).",
-        "Loss is confined to pairs whose contained side has no",
-        "sub-ceiling probe-prefix witness — with a df-ascending prefix",
-        "order that means docs made almost entirely of boilerplate,",
-        "which a curation pipeline drops anyway. Set the ceiling from",
-        "the corpus' boilerplate df profile, not the wall-time budget.",
+        "",
+        "Measured verdict: on THIS skew shape the knob buys nothing —",
+        "the df-ASCENDING prefix order already pushes the hot shingle",
+        "out of every probe prefix, so its index rows never meet a",
+        "probe row and the 7.4x appendix ratio is plain 16x data volume",
+        "through shingling + dfreq + the rank window, not a hot-key",
+        "join blow-up. The cap stays (default OFF) for true monoculture",
+        "corpora where boilerplate floods the prefixes themselves (the",
+        "knob test plants that case: a doc made ENTIRELY of the hot",
+        "sentence); loss is then confined to pairs whose contained side",
+        "has no sub-ceiling probe-prefix witness.",
         "",
     ]
     _append_named_section(
@@ -1294,13 +1300,15 @@ def run_image_neardup() -> None:
         "duplication RATE), so pair volume scales linearly with rows at",
         "fixed rate; the capped runs show the knob that enforces that",
         "bound when the data lies about it. The 20k-doc cap SWEEP is the",
-        "production recipe's trade-off: a cap ABOVE the true max",
-        "duplicate-group size (2400 > 2170) keeps every verified pair",
-        "while still fencing off pathological monocultures; caps below",
-        "it trade real pairs for wall time (200 keeps almost nothing",
-        "here because nearly all pairs live in over-cap groups). Set",
-        "max_bucket from the expected duplicate-group ceiling, not from",
-        "the wall-time budget.",
+        "production recipe's trade-off: a cap ABOVE the ceiling (2400 >",
+        "2170) keeps every pair but PAYS for the occupancy-count pass",
+        "with nothing to prune (34.1 s vs 27.0 s uncapped) - the knob",
+        "only earns its scan when it drops something; a cap just below",
+        "the ceiling (1000) keeps 99.92% of pairs at 1.4x less wall;",
+        "a cap far below it (200) keeps almost nothing because nearly",
+        "all pairs live in over-cap groups. Set max_bucket from the",
+        "expected duplicate-group ceiling (slightly below, never far",
+        "below), and leave it off when no monoculture is expected.",
         "",
     ]
     md_path = os.path.join(
