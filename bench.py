@@ -324,6 +324,12 @@ def main() -> None:
     # finding). The reported value is the better of the two
     # measurements; the query is flagged "contended" when the fresh
     # process confirms the first pass was suite/box state, not plan.
+    # Methodology caveat (r11 advisory): the suite's own SparkSession
+    # stays alive (idle) while the solo child runs, so the re-run still
+    # shares the box with one multi-GB JVM at rest — the bands in
+    # BENCH_BANDS.json are measured WITHOUT that co-resident JVM
+    # (bench.py --bands holds no session), which is the quieter of the
+    # two states; the asymmetry can only make the guard conservative.
     sf_num = float(sf) if sf.replace(".", "").isdigit() else None
     bands = _read_bands() if sf_num == 0.1 else {}  # bands measured at sf0.1
     reruns: dict[str, float] = {}

@@ -595,6 +595,7 @@ def ivfpq_compact(
     train_sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rescale_cells: bool = False,
 ) -> dict:
     """Retrain-and-rewrite maintenance for a persisted IVF-PQ index
     that has absorbed appends (:func:`ivfpq_append` encodes new vectors
@@ -612,20 +613,28 @@ def ivfpq_compact(
     ``n_clusters`` default to the EXISTING index's geometry (same byte
     budget), read from the KB-sized sidecar.
 
+    ``rescale_cells=True`` lets the compact also TRACK CORPUS GROWTH:
+    the cell count is re-derived as ``~√n`` (the standard IVF sizing —
+    cells ∝ √n balances per-cell scan length against probe fan-out)
+    instead of inheriting the sidecar's frozen build-time geometry. An
+    index built at 1M rows that absorbed appends to 100M keeps 1,000
+    cells forever without this — each probe then scans 100× longer
+    cells than the fresh-build equivalent. Ignored when ``n_clusters``
+    is passed explicitly; PQ byte budget (m, ks) never changes here.
+
     When ``min_appended_frac`` is set, compaction is SKIPPED unless
     the appended fraction — (current codes rows − rows at last
     write/compact, recorded in the sidecar) / current — reaches it,
     so a scheduler can call this unconditionally after every ingest
     window and pay the rebuild only on real drift. Returns
-    ``{"compacted": bool, "appended_frac": float|None, "n_rows": int}``.
+    ``{"compacted": bool, "appended_frac": float|None, "n_rows": int,
+    "n_clusters": int}``.
     """
     meta = spark.read.parquet(path + "/meta").collect()[0]
     if m is None:
         m = int(meta["m"])
     if ks is None:
         ks = int(meta["ks"])
-    if n_clusters is None:
-        n_clusters = len(meta["centroids"])
     n_cur = spark.read.parquet(path + "/codes").count()
     n_base = (
         int(meta["n_rows"])
@@ -635,6 +644,13 @@ def ivfpq_compact(
     appended_frac = (
         (n_cur - n_base) / n_cur if n_base is not None and n_cur else None
     )
+    if n_clusters is None:
+        if rescale_cells:
+            # ~sqrt(n) cells, floored at the MLlib minimum of 2 and
+            # capped at n_cur so a near-empty index stays trainable
+            n_clusters = max(2, min(int(round(n_cur**0.5)), max(n_cur, 2)))
+        else:
+            n_clusters = len(meta["centroids"])
     if (
         min_appended_frac is not None
         and appended_frac is not None
@@ -644,6 +660,7 @@ def ivfpq_compact(
             "compacted": False,
             "appended_frac": appended_frac,
             "n_rows": n_cur,
+            "n_clusters": len(meta["centroids"]),
         }
     enc, cents, books = ivfpq_index(
         corpus,
@@ -682,6 +699,7 @@ def ivfpq_compact(
         "compacted": True,
         "appended_frac": appended_frac,
         "n_rows": spark.read.parquet(path + "/codes").count(),
+        "n_clusters": n_clusters,
     }
 
 

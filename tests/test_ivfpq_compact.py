@@ -94,6 +94,7 @@ def test_compact_roundtrip_recall_and_bookkeeping(spark, tmp_path, emb_halves):
         "compacted": False,
         "appended_frac": 0.0,
         "n_rows": n_total,
+        "n_clusters": 16,
     }
 
 
@@ -205,3 +206,56 @@ def test_compact_safe_under_dynamic_overwrite_mode(spark, tmp_path, emb_halves):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev
     )
+
+
+def test_compact_rescale_cells_tracks_corpus_growth(spark, tmp_path, emb_halves):
+    """rescale_cells=True re-derives the cell count as ~sqrt(n) at
+    compact time instead of inheriting the sidecar's frozen build-time
+    geometry — the 100 TB story: an index built small and grown by
+    appends must not keep its original (now undersized) cell count,
+    or probes scan ever-longer cells. 500 rows -> round(sqrt(500)) =
+    22 cells, up from the 8 the index was built with; probe recall at
+    proportionally scaled nprobe must still meet the shared bar, and
+    the PQ byte budget (m, ks) must be untouched."""
+    emb, old, new = emb_halves
+    path = str(tmp_path / "pqidx")
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    similarity.ivfpq_write(enc, cents, books, path)
+    similarity.ivfpq_append(spark, path, new)
+
+    res = similarity.ivfpq_compact(
+        spark, path, emb, seed=42, rescale_cells=True
+    )
+    n_total = emb.count()
+    expect_cells = round(n_total**0.5)
+    assert res["compacted"] is True
+    assert res["n_clusters"] == expect_cells
+    assert res["n_rows"] == n_total
+
+    enc2, cents2, books2 = similarity.ivfpq_read(spark, path)
+    assert len(cents2) == expect_cells
+    assert books2.shape[0] == 8 and books2.shape[1] == 256
+    assert enc2.count() == n_total
+
+    queries = emb.filter(emb.vec_id < 10)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.brute_force_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.ivfpq_topk(
+            queries, emb, k=5, nprobe=16, refine=4,
+            index=(enc2, cents2, books2),
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+
+    # explicit n_clusters always wins over the rescale heuristic
+    res2 = similarity.ivfpq_compact(
+        spark, path, emb, n_clusters=4, seed=42, rescale_cells=True
+    )
+    assert res2["n_clusters"] == 4
+    assert len(similarity.ivfpq_read(spark, path)[1]) == 4
