@@ -678,7 +678,8 @@ def ivfpq_compact(
     # directory-atomic per object store semantics). A crash before the
     # first rename leaves the live index untouched; a crash between the
     # renames leaves the old index intact at `<path>.compact-old` and
-    # the new one complete at `<path>.compact-tmp` — both recoverable,
+    # the new one complete at `<path>.compact-tmp` — both recovered
+    # mechanically by :func:`ivfpq_recover` —
     # and at no point can probes see NEW codes paired with an OLD
     # sidecar (the in-place overwrite's silent-wrong-distances failure
     # mode, r11 advisory).
@@ -701,6 +702,60 @@ def ivfpq_compact(
         "n_rows": spark.read.parquet(path + "/codes").count(),
         "n_clusters": n_clusters,
     }
+
+
+def ivfpq_recover(spark, path: str) -> str:
+    """Crash recovery for :func:`ivfpq_compact`'s swap window. The
+    compact sequence is: build ``<path>.compact-tmp`` fully (codes,
+    then sidecar) → rename live ``<path>`` to ``<path>.compact-old`` →
+    rename tmp to ``<path>`` → delete old. A crash can therefore leave
+    exactly three non-live states, each resolved here:
+
+    * live index present — return ``"ok"`` (stray tmp/old deleted);
+    * live missing, tmp COMPLETE (its sidecar is written last, so a
+      readable ``tmp/meta`` proves the whole build landed) — promote
+      tmp to live, return ``"promoted_tmp"``;
+    * live missing, tmp absent/incomplete — restore the old index,
+      return ``"restored_old"``.
+
+    Raises ``FileNotFoundError`` when no state is recoverable. Call it
+    before :func:`ivfpq_read` in any scheduler that may have died
+    mid-compact; it is idempotent and costs a few namenode RPCs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+
+    def tmp_complete() -> bool:
+        if not fs.exists(hpath(tmp + "/meta")):
+            return False
+        try:
+            spark.read.parquet(tmp + "/meta").collect()
+            return True
+        except Exception:
+            return False
+
+    if fs.exists(hpath(path + "/meta")):
+        fs.delete(hpath(tmp), True)
+        fs.delete(hpath(old), True)
+        return "ok"
+    if tmp_complete():
+        fs.delete(hpath(path), True)
+        if not fs.rename(hpath(tmp), hpath(path)):
+            raise IOError(f"recover failed: {tmp} -> {path}")
+        fs.delete(hpath(old), True)
+        return "promoted_tmp"
+    if fs.exists(hpath(old + "/meta")):
+        fs.delete(hpath(path), True)
+        fs.delete(hpath(tmp), True)
+        if not fs.rename(hpath(old), hpath(path)):
+            raise IOError(f"recover failed: {old} -> {path}")
+        return "restored_old"
+    raise FileNotFoundError(
+        f"no recoverable IVF-PQ index state at {path} "
+        "(no live, complete-tmp, or old layout)"
+    )
 
 
 def ivfpq_write(

@@ -259,3 +259,59 @@ def test_compact_rescale_cells_tracks_corpus_growth(spark, tmp_path, emb_halves)
     )
     assert res2["n_clusters"] == 4
     assert len(similarity.ivfpq_read(spark, path)[1]) == 4
+
+
+def _hfs(spark, p):
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    return hp, hp(p).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def test_recover_every_crash_state(spark, tmp_path, emb_halves):
+    """ivfpq_recover resolves each state the compact swap can strand:
+    healthy (stray dirs cleaned), crash BETWEEN the renames (live gone,
+    complete tmp + old present -> the completed NEW build is promoted),
+    crash DURING the tmp build (incomplete tmp, live renamed away ->
+    the old index is restored), and nothing recoverable (raises)."""
+    emb, old_half, _ = emb_halves
+    path = str(tmp_path / "pqidx")
+    tmp, old = path + ".compact-tmp", path + ".compact-old"
+    enc, cents, books = similarity.ivfpq_index(
+        old_half, n_clusters=8, m=8, ks=256, seed=42
+    )
+    similarity.ivfpq_write(enc, cents, books, path)
+    live_rows = _codes_rows(spark, path)
+    hp, fs = _hfs(spark, path)
+
+    # healthy + stray old dir -> ok, stray removed
+    similarity.ivfpq_write(enc, cents, books, old)
+    assert similarity.ivfpq_recover(spark, path) == "ok"
+    assert not fs.exists(hp(old))
+    assert _codes_rows(spark, path) == live_rows
+
+    # crash between the renames: live renamed to old, NEW build
+    # complete at tmp (here: a 4-cell retrain, distinguishable)
+    enc4, cents4, books4 = similarity.ivfpq_index(
+        emb, n_clusters=4, m=8, ks=256, seed=42
+    )
+    similarity.ivfpq_write(enc4, cents4, books4, tmp)
+    assert fs.rename(hp(path), hp(old))
+    assert similarity.ivfpq_recover(spark, path) == "promoted_tmp"
+    assert not fs.exists(hp(tmp)) and not fs.exists(hp(old))
+    enc_r, cents_r, _ = similarity.ivfpq_read(spark, path)
+    assert len(cents_r) == 4 and enc_r.count() == emb.count()
+
+    # crash during the tmp build: incomplete tmp (codes, no meta),
+    # live already renamed away -> restore old
+    assert fs.rename(hp(path), hp(old))
+    fs.mkdirs(hp(tmp))
+    spark.createDataFrame([(1,)], "x int").write.parquet(tmp + "/codes")
+    assert similarity.ivfpq_recover(spark, path) == "restored_old"
+    assert not fs.exists(hp(tmp)) and not fs.exists(hp(old))
+    assert len(similarity.ivfpq_read(spark, path)[1]) == 4
+
+    # nothing recoverable
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        similarity.ivfpq_recover(spark, str(tmp_path / "nowhere"))
