@@ -493,14 +493,18 @@ def ivfpq_index(
 
 
 def _encode_pq(
-    assigned: DataFrame, cmat: np.ndarray, books: np.ndarray
+    assigned: DataFrame,
+    cmat: np.ndarray,
+    books: np.ndarray,
+    rot: np.ndarray | None = None,
 ) -> DataFrame:
     """One Arrow-batched vectorized PQ-encode pass over an assigned
     frame ``(vec_id, embedding, cluster)`` with FIXED centroids and
     codebooks (broadcast once): residual → per-subspace argmin byte.
-    Shared by :func:`ivfpq_index` (fresh build) and
-    :func:`ivfpq_encode` (append path — new vectors against an
-    existing index's codebooks). Returns
+    Shared by :func:`ivfpq_index` (fresh build), :func:`ivfpq_encode`
+    (append path — new vectors against an existing index's codebooks),
+    and — with ``rot`` — their OPQ twins, whose residuals are rotated
+    (``r @ R``) before quantization. Returns
     ``(vec_id, cluster, codes, vec_norm)``."""
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
@@ -508,15 +512,17 @@ def _encode_pq(
     spark = SparkSession.getActiveSession()
     m = int(books.shape[0])
     dsub = cmat.shape[1] // m
-    bc = spark.sparkContext.broadcast((cmat, books))
+    bc = spark.sparkContext.broadcast((cmat, rot, books))
 
     @pandas_udf("struct<codes: binary, vec_norm: double>")
     def encode(vecs: pd.Series, clusters: pd.Series) -> pd.DataFrame:
-        cents, cb = bc.value
+        cents, rmat, cb = bc.value
         if len(vecs) == 0:  # empty Arrow batch: np.stack([]) raises
             return pd.DataFrame({"codes": [], "vec_norm": []})
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         r = x - cents[clusters.to_numpy()]
+        if rmat is not None:
+            r = r @ rmat
         codes = np.empty((len(x), m), dtype=np.uint8)
         for j in range(m):
             rj = r[:, j * dsub : (j + 1) * dsub]
@@ -596,6 +602,7 @@ def ivfpq_compact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rescale_cells: bool = False,
+    opq: bool = False,
 ) -> dict:
     """Retrain-and-rewrite maintenance for a persisted IVF-PQ index
     that has absorbed appends (:func:`ivfpq_append` encodes new vectors
@@ -662,16 +669,29 @@ def ivfpq_compact(
             "n_rows": n_cur,
             "n_clusters": len(meta["centroids"]),
         }
-    enc, cents, books = ivfpq_index(
-        corpus,
-        n_clusters=n_clusters,
-        m=m,
-        ks=ks,
-        seed=seed,
-        train_sample=train_sample,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    rot = None
+    if opq:
+        enc, cents, rot, books = opq_index(
+            corpus,
+            n_clusters=n_clusters,
+            m=m,
+            ks=ks,
+            seed=seed,
+            train_sample=train_sample,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        enc, cents, books = ivfpq_index(
+            corpus,
+            n_clusters=n_clusters,
+            m=m,
+            ks=ks,
+            seed=seed,
+            train_sample=train_sample,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     # Build the full retrained index in a SIDE directory, then swap it
     # in with two filesystem renames (Hadoop FileSystem API — same code
     # path on local FS and HDFS; on S3A rename is a copy but still
@@ -685,7 +705,7 @@ def ivfpq_compact(
     # mode, r11 advisory).
     tmp = path.rstrip("/") + ".compact-tmp"
     old = path.rstrip("/") + ".compact-old"
-    ivfpq_write(enc, cents, books, tmp)
+    ivfpq_write(enc, cents, books, tmp, rot=rot)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -763,6 +783,7 @@ def ivfpq_write(
     centroids: list[list[float]],
     books: np.ndarray,
     path: str,
+    rot: np.ndarray | None = None,
 ) -> None:
     """Persist an IVF-PQ index built by :func:`ivfpq_index` — at
     production scale the index is built ONCE and probed for months, so
@@ -782,6 +803,10 @@ def ivfpq_write(
       codes row count at write time (``n_rows`` — parquet-footer
       count of the just-written layout, the yardstick
       :func:`ivfpq_compact` uses to measure the appended fraction).
+      When ``rot`` is given (the OPQ path, :func:`opq_write`), the
+      dim×dim rotation rides along as one extra sidecar column; a
+      plain IVF-PQ sidecar stays byte-compatible with pre-r12 readers
+      (no column added).
     """
     m = int(books.shape[0])
     spark = enc.sparkSession
@@ -800,23 +825,26 @@ def ivfpq_write(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     n_rows = spark.read.parquet(path + "/codes").count()
-    meta_row = [
-        (
-            m,
-            int(books.shape[1]),
-            [[float(x) for x in c] for c in centroids],
-            [
-                [[float(x) for x in cent] for cent in book]
-                for book in books
-            ],
-            n_rows,
-        )
-    ]
-    spark.createDataFrame(
-        meta_row,
+    row = (
+        m,
+        int(books.shape[1]),
+        [[float(x) for x in c] for c in centroids],
+        [
+            [[float(x) for x in cent] for cent in book]
+            for book in books
+        ],
+        n_rows,
+    )
+    schema = (
         "m int, ks int, centroids array<array<double>>, "
-        "books array<array<array<double>>>, n_rows bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+        "books array<array<array<double>>>, n_rows bigint"
+    )
+    if rot is not None:
+        row = row + ([[float(x) for x in r] for r in np.asarray(rot)],)
+        schema += ", rot array<array<double>>"
+    spark.createDataFrame([row], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/meta")
 
 
 def ivfpq_read(
@@ -1026,14 +1054,10 @@ def opq_index(
     PQ quantizes independently. Same bounded-driver-training /
     broadcast / Arrow-encode shape; the only extra broadcast payload is
     the dim×dim rotation. Returns ``(enc, centroids, R, books)``."""
-    from pyspark.sql import SparkSession
-    from pyspark.sql.functions import pandas_udf
-
     assert 2 <= ks <= 256, ks
     assigned, centroids = ivf_index(
         corpus, n_clusters, seed, id_col, vec_col
     )
-    spark = SparkSession.getActiveSession()
     cmat = np.asarray(centroids, dtype=np.float64)
     samp = (
         assigned.orderBy("vec_id")
@@ -1046,35 +1070,124 @@ def opq_index(
     )
     resid = xs - cmat[samp["cluster"].to_numpy()]
     rot, books = _train_opq(resid, m=m, ks=ks, seed=seed)
-    bc = spark.sparkContext.broadcast((cmat, rot, books))
-    dim = xs.shape[1]
-    dsub = dim // m
-
-    @pandas_udf("struct<codes: binary, vec_norm: double>")
-    def encode(vecs: pd.Series, clusters: pd.Series) -> pd.DataFrame:
-        cents, rmat, cb = bc.value
-        if len(vecs) == 0:
-            return pd.DataFrame({"codes": [], "vec_norm": []})
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        r = (x - cents[clusters.to_numpy()]) @ rmat
-        codes = np.empty((len(x), m), dtype=np.uint8)
-        for j in range(m):
-            rj = r[:, j * dsub : (j + 1) * dsub]
-            d = (cb[j] ** 2).sum(axis=1)[None, :] - 2.0 * (rj @ cb[j].T)
-            codes[:, j] = np.argmin(d, axis=1)
-        return pd.DataFrame(
-            {
-                "codes": [c.tobytes() for c in codes],
-                "vec_norm": np.sqrt((x**2).sum(axis=1)),
-            }
-        )
-
-    enc = assigned.select(
-        "vec_id",
-        "cluster",
-        encode(F.col("embedding"), F.col("cluster")).alias("_e"),
-    ).select("vec_id", "cluster", "_e.codes", "_e.vec_norm")
+    enc = _encode_pq(assigned, cmat, books, rot)
     return enc, centroids, rot, books
+
+
+def opq_encode(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    rot: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ twin of :func:`ivfpq_encode` — encode NEW vectors against an
+    EXISTING OPQ index's centroids, rotation and codebooks (the
+    incremental-ingest path; no retrain). One broadcast-assign pass +
+    the shared rotated-residual encode pass."""
+    assigned = _nearest_centroids(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.col(vec_col).alias("new_vec"),
+        ),
+        centroids,
+        1,
+        "new",
+    ).select("vec_id", "embedding", "cluster")
+    return _encode_pq(
+        assigned, np.asarray(centroids, float), books, np.asarray(rot)
+    )
+
+
+def opq_write(
+    enc: DataFrame,
+    centroids: list[list[float]],
+    rot: np.ndarray,
+    books: np.ndarray,
+    path: str,
+) -> None:
+    """Persist an OPQ index built by :func:`opq_index` — the same
+    cluster-partitioned codes layout and KB-sized sidecar as
+    :func:`ivfpq_write`, with the dim×dim rotation carried as one extra
+    sidecar column (``rot``); probes read back through
+    :func:`opq_read` and hand the 4-tuple to ``opq_topk(index=...)``."""
+    ivfpq_write(enc, centroids, books, path, rot=rot)
+
+
+def opq_read(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], np.ndarray, np.ndarray]:
+    """Load a persisted OPQ index (see :func:`opq_write`) into the
+    ``(enc, centroids, rot, books)`` 4-tuple ``opq_topk`` accepts via
+    ``index=``. Raises ``ValueError`` when pointed at a plain IVF-PQ
+    layout (no rotation in the sidecar) — probing PQ codes with OPQ
+    math would silently return wrong distances."""
+    enc, centroids, books = ivfpq_read(spark, path)
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    if "rot" not in meta.__fields__ or meta["rot"] is None:
+        raise ValueError(
+            f"{path} holds a plain IVF-PQ index (no rotation sidecar); "
+            "read it with ivfpq_read"
+        )
+    rot = np.asarray(meta["rot"], dtype=np.float64)
+    return enc, centroids, rot, books
+
+
+def opq_append(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a PERSISTED OPQ index — the OPQ twin of
+    :func:`ivfpq_append`: sidecar read, rotated-residual encode with
+    the EXISTING geometry, append-mode parquet into the per-cluster
+    layout; existing rows never touched."""
+    _, centroids, rot, books = opq_read(spark, path)
+    enc_new = opq_encode(vectors, centroids, rot, books, id_col, vec_col)
+    enc_new.write.mode("append").partitionBy("cluster").parquet(
+        path + "/codes"
+    )
+
+
+def opq_compact(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    min_appended_frac: float | None = None,
+    n_clusters: int | None = None,
+    m: int | None = None,
+    ks: int | None = None,
+    seed: int = 42,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rescale_cells: bool = False,
+) -> dict:
+    """OPQ twin of :func:`ivfpq_compact`: retrain (centroids, rotation
+    AND codebooks) over the full corpus, rebuild in a side directory,
+    swap in with the same two-rename protocol (recoverable via
+    :func:`ivfpq_recover` — the layouts are identical apart from the
+    sidecar's rotation column). Same ``min_appended_frac`` scheduling
+    and ``rescale_cells`` geometry tracking."""
+    return ivfpq_compact(
+        spark,
+        path,
+        corpus,
+        min_appended_frac=min_appended_frac,
+        n_clusters=n_clusters,
+        m=m,
+        ks=ks,
+        seed=seed,
+        train_sample=train_sample,
+        id_col=id_col,
+        vec_col=vec_col,
+        rescale_cells=rescale_cells,
+        opq=True,
+    )
 
 
 def opq_topk(
@@ -1089,6 +1202,8 @@ def opq_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]], np.ndarray, np.ndarray]
+    | None = None,
 ) -> DataFrame:
     """:func:`ivfpq_topk` with the OPQ rotation: candidates are scored
     asymmetrically against ROTATED-residual codebooks — since the
@@ -1097,13 +1212,23 @@ def opq_topk(
     candidate scan still reads m+8 bytes per vector and the refine
     stage still re-scores the shortlist exactly, so approximation
     affects recall only. Same output shape: ``(query_id, rank,
-    cand_id, cos_sim)``."""
+    cand_id, cos_sim)``. ``index=`` accepts a persisted index's
+    ``(enc, centroids, rot, books)`` 4-tuple (:func:`opq_read`) and
+    skips the per-call build — the same amortization contract as
+    ``ivfpq_topk(index=...)``."""
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
-    enc, centroids, rot, books = opq_index(
-        corpus, n_clusters, m, ks, seed, id_col=id_col, vec_col=vec_col
-    )
+    if index is not None:
+        enc, centroids, rot, books = index
+        books = np.asarray(books, dtype=np.float64)
+        rot = np.asarray(rot, dtype=np.float64)
+        m = int(books.shape[0])  # geometry comes from the index
+    else:
+        enc, centroids, rot, books = opq_index(
+            corpus, n_clusters, m, ks, seed,
+            id_col=id_col, vec_col=vec_col,
+        )
     spark = SparkSession.getActiveSession()
     cmat = np.asarray(centroids, dtype=np.float64)
     bc = spark.sparkContext.broadcast((cmat, rot, books))

@@ -1246,6 +1246,64 @@ FROM ranked WHERE rank <= 5
 )
 
 
+def ann_opq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ index persistence roundtrip (``similarity.opq_write`` /
+    ``opq_read`` — the rotation-carrying twin of ``ann_ivfpq_persisted``,
+    closing the r12 gap where only plain IVF-PQ had the build-once/
+    probe-for-months path). Oracle-gated two ways: (a) the persisted
+    index's top-k meets the shared recall@5 ≥ 0.8 bar, and (b) probing
+    the read-back 4-tuple reproduces the fresh per-call build EXACTLY
+    (``roundtrip_identical`` — the sidecar must round-trip centroids,
+    codebooks AND the dim×dim rotation losslessly; a dropped or
+    transposed rotation silently shifts every ADC score)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _ivfpq_scratch_dir(sf_dir, tag="opq_idx")
+
+    enc, cents, rot, books = similarity.opq_index(
+        emb, n_clusters=16, m=8, ks=256, seed=42
+    )
+    similarity.opq_write(enc, cents, rot, books, path)
+    idx = similarity.opq_read(spark, path)
+    pers = similarity.opq_topk(
+        queries, emb, k=5, nprobe=12, refine=4, index=idx
+    )
+    fresh = similarity.opq_topk(
+        queries, emb, k=5, n_clusters=16, nprobe=12, m=8, ks=256, refine=4
+    )
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+
+    gate = _ann_recall_invariant(exact, pers, min_recall=0.8)
+    cols = ["query_id", "rank", "cand_id", "cos_sim"]
+    n_pers = pers.agg(F.count(F.lit(1)).alias("n_pers"))
+    n_fresh = fresh.agg(F.count(F.lit(1)).alias("n_fresh"))
+    n_same = pers.join(fresh, cols).agg(F.count(F.lit(1)).alias("n_same"))
+    return (
+        gate.crossJoin(n_pers)
+        .crossJoin(n_fresh)
+        .crossJoin(n_same)
+        .select(
+            "n_exact_pairs",
+            "recall_ok",
+            (
+                (F.col("n_same") == F.col("n_pers"))
+                & (F.col("n_pers") == F.col("n_fresh"))
+            ).alias("roundtrip_identical"),
+        )
+    )
+
+
+_ANN_OPQ_PERSISTED_SQL = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS roundtrip_identical
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
 def ann_opq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-OPQ approximate top-k result list (detail view; cosines are
     exact because the shortlist is re-scored on full vectors)."""
@@ -3665,6 +3723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_opq_topk": ann_opq_topk,
     "ann_ivfpq_append": ann_ivfpq_append,
     "ann_ivfpq_compacted": ann_ivfpq_compacted,
+    "ann_opq_persisted": ann_opq_persisted,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
     "emb_quantize_int8": emb_quantize_int8,
@@ -3734,6 +3793,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_opq_topk": _ANN_INVARIANT_SQL,
     "ann_ivfpq_append": _ANN_APPEND_SQL,
     "ann_ivfpq_compacted": _ANN_COMPACTED_SQL,
+    "ann_opq_persisted": _ANN_OPQ_PERSISTED_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

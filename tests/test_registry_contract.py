@@ -152,9 +152,11 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     # rounded double ever reaches the compared output
     "ann_ivfpq_persisted": 1,
     "ann_ivfpq_append": 1,
-    # r12: same shared exact-topk CTE; the gate emits a count + three
-    # booleans, so the rounded double never reaches the compared output
+    # r12: same shared exact-topk CTE; these gates emit counts +
+    # booleans only, so the rounded double never reaches the compared
+    # output
     "ann_ivfpq_compacted": 1,
+    "ann_opq_persisted": 1,
     "ann_opq_topk": 1,
     "ann_lsh_topk": 1,
     "dedup_clusters": 2,
