@@ -793,3 +793,33 @@ def test_ivfpq_persisted_probe_partition_prunes(spark, tmp_path):
         and "dynamicpruningexpression" in line
     ]
     assert any("cluster" in line for line in dpp_lines), fmt[:3000]
+
+
+def test_opq_persisted_probe_partition_prunes(spark, tmp_path):
+    """The OPQ twin of the pin above: opq_read hands back the same
+    hive-partitioned codes frame, so the persisted-OPQ probe must get
+    the identical dynamic-partition-pruned scan — the rotation changes
+    the scoring math, never the pruning story."""
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "opqidx")
+    enc, cents, rot, books = similarity.opq_index(emb, n_clusters=16, m=8)
+    similarity.opq_write(enc, cents, rot, books, path)
+    idx = similarity.opq_read(spark, path)
+    out = similarity.opq_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=5, nprobe=2, refine=4,
+        index=idx,
+    )
+    fmt = plan_text(out, mode="formatted")
+    dpp_lines = [
+        line.strip()
+        for line in fmt.split("\n")
+        if "PartitionFilters" in line
+        and "dynamicpruningexpression" in line
+    ]
+    assert any("cluster" in line for line in dpp_lines), fmt[:3000]
