@@ -277,14 +277,26 @@ def ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample: int = 32768,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Coarse-quantize the corpus: KMeans (MLlib) fit → every vector
     tagged with its nearest-centroid ``cluster`` id.
 
-    Returns (assigned corpus, centroid list). Scale: the fit runs on a
-    sample-sized job; assignment is a broadcast map over the corpus; the
-    centroid list is tiny (n_clusters × dim floats) and broadcasts to
-    every probe.
+    The fit runs on a BOUNDED, DETERMINISTICALLY-ORDERED sample — the
+    ``fit_sample`` smallest ``vec_id`` rows (the FAISS coarse-training
+    recipe: a few-tens-of-thousands sample saturates the centroids).
+    Two reasons, both load-bearing at scale: (a) fitting the full
+    corpus costs maxIter full passes — 10 reads of a 100 TB table for
+    KB of centroids; (b) k-means|| init samples by RDD partition, so a
+    full-corpus fit inherits the source's FILE LAYOUT — two lakes with
+    identical rows but different part-file names train different
+    centroids, which breaks reproducible index rebuilds (the
+    crash-recovery e2e's probe-identity contract). The sorted
+    ``limit()`` sample is layout-independent by construction.
+
+    Returns (assigned corpus, centroid list). Assignment is a
+    broadcast map over the corpus; the centroid list is tiny
+    (n_clusters × dim floats) and broadcasts to every probe.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -296,7 +308,8 @@ def ivf_index(
             "features"
         ),
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(vecs)
+    fit_df = vecs.orderBy("vec_id").limit(fit_sample)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(fit_df)
     assigned = model.transform(vecs).select(
         "vec_id",
         "embedding",
@@ -575,15 +588,37 @@ def ivfpq_append(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    if_absent: bool = False,
 ) -> None:
     """Append new vectors to a PERSISTED IVF-PQ index (see
     :func:`ivfpq_write`): reads the KB-sized sidecar, encodes the new
     vectors with the EXISTING centroids/codebooks, and appends their PQ
     rows into the hive-partitioned codes layout. Existing rows are
     never touched (append-mode parquet into per-cluster directories) —
-    the index stays probe-consistent throughout."""
+    the index stays probe-consistent throughout.
+
+    ``if_absent=True`` makes the append IDEMPOTENT: rows whose
+    ``vec_id`` already exists in the target cells are dropped before
+    the write, so a replayed streaming micro-batch (foreachBatch
+    redelivery after a crash — the reference's restart semantics,
+    ``configs.rs:101-127``) cannot double-insert candidates. Cost is
+    one anti-join against ONLY the cluster partitions the new rows
+    land in (hive partition pruning keeps it proportional to touched
+    cells, not index size) — the same self-exclusion shape as the text
+    ingest registry."""
     _, centroids, books = ivfpq_read(spark, path)
     enc_new = ivfpq_encode(vectors, centroids, books, id_col, vec_col)
+    if if_absent:
+        touched = [
+            int(r["cluster"])
+            for r in enc_new.select("cluster").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(path + "/codes")
+            .filter(F.col("cluster").isin(touched))
+            .select("vec_id")
+        )
+        enc_new = enc_new.join(existing, "vec_id", "left_anti")
     enc_new.write.mode("append").partitionBy("cluster").parquet(
         path + "/codes"
     )
@@ -603,6 +638,7 @@ def ivfpq_compact(
     vec_col: str = "embedding",
     rescale_cells: bool = False,
     opq: bool = False,
+    _crash_between_renames: bool = False,
 ) -> dict:
     """Retrain-and-rewrite maintenance for a persisted IVF-PQ index
     that has absorbed appends (:func:`ivfpq_append` encodes new vectors
@@ -638,6 +674,14 @@ def ivfpq_compact(
     "n_clusters": int}``.
     """
     meta = spark.read.parquet(path + "/meta").collect()[0]
+    has_rot = "rot" in meta.__fields__ and meta["rot"] is not None
+    if has_rot and not opq:
+        raise ValueError(
+            f"{path} holds an OPQ index (rotation in the sidecar); "
+            "compact it with opq_compact — a plain-PQ retrain would "
+            "silently drop the rotation and strand rotation-aware "
+            "probes (r12 advisory)"
+        )
     if m is None:
         m = int(meta["m"])
     if ks is None:
@@ -652,11 +696,15 @@ def ivfpq_compact(
         (n_cur - n_base) / n_cur if n_base is not None and n_cur else None
     )
     if n_clusters is None:
-        if rescale_cells:
+        if rescale_cells and n_cur >= 2:
             # ~sqrt(n) cells, floored at the MLlib minimum of 2 and
-            # capped at n_cur so a near-empty index stays trainable
-            n_clusters = max(2, min(int(round(n_cur**0.5)), max(n_cur, 2)))
+            # capped at n_cur so KMeans never trains with more centers
+            # than points (r12 advisory: the old clamp let n_cur=1
+            # yield k=2)
+            n_clusters = max(2, min(int(round(n_cur**0.5)), n_cur))
         else:
+            # rescale off, or a 0/1-row index where no sane ~sqrt(n)
+            # geometry exists: inherit the sidecar's build-time cells
             n_clusters = len(meta["centroids"])
     if (
         min_appended_frac is not None
@@ -693,16 +741,21 @@ def ivfpq_compact(
             vec_col=vec_col,
         )
     # Build the full retrained index in a SIDE directory, then swap it
-    # in with two filesystem renames (Hadoop FileSystem API — same code
-    # path on local FS and HDFS; on S3A rename is a copy but still
-    # directory-atomic per object store semantics). A crash before the
-    # first rename leaves the live index untouched; a crash between the
-    # renames leaves the old index intact at `<path>.compact-old` and
-    # the new one complete at `<path>.compact-tmp` — both recovered
-    # mechanically by :func:`ivfpq_recover` —
-    # and at no point can probes see NEW codes paired with an OLD
-    # sidecar (the in-place overwrite's silent-wrong-distances failure
-    # mode, r11 advisory).
+    # in with two filesystem renames (Hadoop FileSystem API). The crash
+    # guarantee holds on filesystems with ATOMIC directory rename —
+    # local FS and HDFS; S3A rename is a non-atomic client-side
+    # copy+delete, so on object stores run compaction to a fresh
+    # versioned prefix and flip a pointer instead (r12 advisory — the
+    # old comment overclaimed S3A atomicity). On atomic-rename
+    # filesystems: a crash before the first rename leaves the live
+    # index untouched; a crash between the renames leaves the old index
+    # intact at `<path>.compact-old` and the new one complete at
+    # `<path>.compact-tmp` — both recovered mechanically by
+    # :func:`ivfpq_recover`, which additionally validates that a live
+    # layout is READABLE before it deletes tmp/old (defense in depth
+    # against a partially-materialized live dir) — and at no point can
+    # probes see NEW codes paired with an OLD sidecar (the in-place
+    # overwrite's silent-wrong-distances failure mode, r11 advisory).
     tmp = path.rstrip("/") + ".compact-tmp"
     old = path.rstrip("/") + ".compact-old"
     ivfpq_write(enc, cents, books, tmp, rot=rot)
@@ -713,6 +766,14 @@ def ivfpq_compact(
     if fs.exists(hpath(path)):
         if not fs.rename(hpath(path), hpath(old)):
             raise IOError(f"compact swap failed: {path} -> {old}")
+    if _crash_between_renames:
+        # fault-injection seam (tests only): die in the swap window —
+        # live renamed away, the COMPLETE new build still at tmp. The
+        # crash-recovery e2e uses this to prove ivfpq_recover promotes
+        # the finished compact instead of losing it.
+        raise IOError(
+            "injected crash between compact renames (test seam)"
+        )
     if not fs.rename(hpath(tmp), hpath(path)):
         raise IOError(f"compact swap failed: {tmp} -> {path}")
     fs.delete(hpath(old), True)
@@ -731,35 +792,56 @@ def ivfpq_recover(spark, path: str) -> str:
     rename tmp to ``<path>`` → delete old. A crash can therefore leave
     exactly three non-live states, each resolved here:
 
-    * live index present — return ``"ok"`` (stray tmp/old deleted);
-    * live missing, tmp COMPLETE (its sidecar is written last, so a
-      readable ``tmp/meta`` proves the whole build landed) — promote
-      tmp to live, return ``"promoted_tmp"``;
-    * live missing, tmp absent/incomplete — restore the old index,
-      return ``"restored_old"``.
+    * live index present and readable — return ``"ok"`` (stray tmp/old
+      deleted). Before DELETING strays the live layout is validated
+      (sidecar collect + a footer-level codes read): on a filesystem
+      whose rename is a non-atomic copy (S3A) a crash mid-rename can
+      leave a PARTIAL live dir whose ``/meta`` exists — deleting
+      tmp/old on that evidence alone would destroy the only complete
+      copies (r12 advisory). An unreadable "live" falls through to the
+      tmp/old resolution below. When no strays exist there is nothing
+      destructive to do, so the meta-exists fast path answers without
+      the validation read;
+    * live missing/unreadable, tmp COMPLETE (its sidecar is written
+      last, so a readable ``tmp/meta`` proves the whole build landed)
+      — promote tmp to live, return ``"promoted_tmp"``;
+    * live missing/unreadable, tmp absent/incomplete — restore the old
+      index, return ``"restored_old"``.
 
     Raises ``FileNotFoundError`` when no state is recoverable. Call it
     before :func:`ivfpq_read` in any scheduler that may have died
-    mid-compact; it is idempotent and costs a few namenode RPCs."""
+    mid-compact; it is idempotent, and away from crash debris it costs
+    one namenode RPC."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     tmp = path.rstrip("/") + ".compact-tmp"
     old = path.rstrip("/") + ".compact-old"
 
-    def tmp_complete() -> bool:
-        if not fs.exists(hpath(tmp + "/meta")):
+    def layout_readable(base: str) -> bool:
+        if not fs.exists(hpath(base + "/meta")):
             return False
         try:
-            spark.read.parquet(tmp + "/meta").collect()
+            spark.read.parquet(base + "/meta").collect()
+            # footer-level read of every codes file — catches a
+            # partially-copied live dir; metadata-only, no row scan
+            spark.read.parquet(base + "/codes").count()
             return True
         except Exception:
             return False
 
+    def tmp_complete() -> bool:
+        return layout_readable(tmp)
+
     if fs.exists(hpath(path + "/meta")):
-        fs.delete(hpath(tmp), True)
-        fs.delete(hpath(old), True)
-        return "ok"
+        if not fs.exists(hpath(tmp)) and not fs.exists(hpath(old)):
+            return "ok"  # no strays: nothing destructive to validate for
+        if layout_readable(path):
+            fs.delete(hpath(tmp), True)
+            fs.delete(hpath(old), True)
+            return "ok"
+        # live has a sidecar but is not fully readable: crash debris —
+        # fall through and resolve from tmp/old like a missing live
     if tmp_complete():
         fs.delete(hpath(path), True)
         if not fs.rename(hpath(tmp), hpath(path)):
@@ -848,13 +930,22 @@ def ivfpq_write(
 
 
 def ivfpq_read(
-    spark, path: str
+    spark, path: str, _allow_rot: bool = False
 ) -> tuple[DataFrame, list[list[float]], np.ndarray]:
     """Load a persisted IVF-PQ index (see :func:`ivfpq_write`) into the
     ``(enc, centroids, books)`` triple :func:`ivfpq_topk` accepts via
     ``index=``. The codes frame stays lazy (and hive-partitioned by
     cluster, so probes prune cells at the scan); only the KB-sized
-    sidecar row is collected."""
+    sidecar row is collected.
+
+    Raises ``ValueError`` when pointed at an OPQ layout (the sidecar
+    carries a rotation): the codes quantize ROTATED residuals, so
+    plain-PQ probes would score them without the rotation and
+    :func:`ivfpq_append` would encode UNROTATED residuals against
+    rotated-residual codebooks — both silently wrong (the mirror of
+    :func:`opq_read`'s refusal of a rotation-less layout, r12
+    advisory). ``_allow_rot`` is the internal escape hatch
+    :func:`opq_read` uses after taking ownership of the rotation."""
     enc = spark.read.parquet(path + "/codes").select(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
@@ -862,6 +953,17 @@ def ivfpq_read(
         "vec_norm",
     )
     meta = spark.read.parquet(path + "/meta").collect()[0]
+    if (
+        not _allow_rot
+        and "rot" in meta.__fields__
+        and meta["rot"] is not None
+    ):
+        raise ValueError(
+            f"{path} holds an OPQ index (rotation in the sidecar); "
+            "read it with opq_read / maintain it with opq_append and "
+            "opq_compact — plain IVF-PQ math on rotated-residual codes "
+            "returns wrong distances"
+        )
     books = np.asarray(meta["books"], dtype=np.float64)
     return enc, meta["centroids"], books
 
@@ -1124,7 +1226,7 @@ def opq_read(
     ``index=``. Raises ``ValueError`` when pointed at a plain IVF-PQ
     layout (no rotation in the sidecar) — probing PQ codes with OPQ
     math would silently return wrong distances."""
-    enc, centroids, books = ivfpq_read(spark, path)
+    enc, centroids, books = ivfpq_read(spark, path, _allow_rot=True)
     meta = spark.read.parquet(path + "/meta").collect()[0]
     if "rot" not in meta.__fields__ or meta["rot"] is None:
         raise ValueError(
@@ -1141,13 +1243,26 @@ def opq_append(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    if_absent: bool = False,
 ) -> None:
     """Append new vectors to a PERSISTED OPQ index — the OPQ twin of
     :func:`ivfpq_append`: sidecar read, rotated-residual encode with
     the EXISTING geometry, append-mode parquet into the per-cluster
-    layout; existing rows never touched."""
+    layout; existing rows never touched. ``if_absent=True`` is the
+    same replay-idempotent anti-join (pruned to touched cells)."""
     _, centroids, rot, books = opq_read(spark, path)
     enc_new = opq_encode(vectors, centroids, rot, books, id_col, vec_col)
+    if if_absent:
+        touched = [
+            int(r["cluster"])
+            for r in enc_new.select("cluster").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(path + "/codes")
+            .filter(F.col("cluster").isin(touched))
+            .select("vec_id")
+        )
+        enc_new = enc_new.join(existing, "vec_id", "left_anti")
     enc_new.write.mode("append").partitionBy("cluster").parquet(
         path + "/codes"
     )
@@ -1166,6 +1281,7 @@ def opq_compact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rescale_cells: bool = False,
+    _crash_between_renames: bool = False,
 ) -> dict:
     """OPQ twin of :func:`ivfpq_compact`: retrain (centroids, rotation
     AND codebooks) over the full corpus, rebuild in a side directory,
@@ -1187,6 +1303,7 @@ def opq_compact(
         vec_col=vec_col,
         rescale_cells=rescale_cells,
         opq=True,
+        _crash_between_renames=_crash_between_renames,
     )
 
 

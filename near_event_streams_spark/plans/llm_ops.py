@@ -1304,6 +1304,101 @@ FROM ranked WHERE rank <= 5
 )
 
 
+def ann_ivfpq_stream_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming index-maintenance loop
+    (``streaming/ann_ingest.py``), driven through the EXACT
+    ``foreachBatch`` sink body a production stream runs (r12 verdict
+    #3; the full readStream + checkpoint kill/restart e2e lives in
+    ``tests/test_ann_stream_ingest.py``): seed index on half the
+    corpus, one micro-batch appended through the sink, the SAME batch
+    REDELIVERED (at-least-once replay must be a no-op — the
+    ``if_absent`` anti-join), a maintenance compact crash-injected
+    mid-swap (live renamed away, complete retrain stranded at tmp),
+    and the NEXT batch's sink healing it mechanically
+    (``ivfpq_recover`` promotes the finished compact) before
+    appending. Gated: (a) probe recall ≥ 0.8 over the full corpus at
+    the append-tolerant nprobe=16/refine=8 settings (the loop's steady
+    state always carries an appended tail routed by pre-tail
+    centroids, same rationale as ``ann_ivfpq_append``); (b) the
+    replayed batch changed nothing and the injected crash actually
+    fired; (c) the healed index holds exactly the full corpus with no
+    crash debris left beside it."""
+    from near_event_streams_spark.streaming import ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 4 <= 1)
+    b1 = emb.filter(F.col("vec_id") % 4 == 2).select("vec_id", "embedding")
+    b2 = emb.filter(F.col("vec_id") % 4 == 3).select("vec_id", "embedding")
+    root = _ivfpq_scratch_dir(sf_dir, tag="ivfpq_stream")
+    idx, lake = root + "/idx", root + "/lake"
+
+    ann_ingest.seed_ann_index(
+        seed, idx, lake, n_clusters=16, m=8, ks=256, seed=42
+    )
+    sink = ann_ingest.ann_index_ingest_sink(idx, lake)
+    sink(b1, 0)
+    n_after_b1 = spark.read.parquet(idx + "/codes").count()
+    sink(b1, 0)  # at-least-once redelivery of the SAME batch
+    replay_idempotent = (
+        spark.read.parquet(idx + "/codes").count() == n_after_b1
+    )
+
+    # nightly maintenance compact dies inside the swap window
+    corpus = spark.read.parquet(lake).select("vec_id", "embedding")
+    crashed = False
+    try:
+        similarity.ivfpq_compact(
+            spark, idx, corpus, seed=42, _crash_between_renames=True
+        )
+    except IOError:
+        crashed = True
+    # the next micro-batch's sink heals the crash (recover promotes the
+    # completed retrain) before appending
+    sink(b2, 1)
+    idx_t = similarity.ivfpq_read(spark, idx)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ivfpq_topk(
+        queries, emb, k=5, nprobe=16, refine=8, index=idx_t
+    )
+    gate = _ann_recall_invariant(exact, approx, min_recall=0.8)
+
+    import os as _os
+
+    no_debris = not _os.path.exists(idx + ".compact-tmp") and (
+        not _os.path.exists(idx + ".compact-old")
+    )
+    n_emb = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    n_idx = idx_t[0].agg(F.count(F.lit(1)).alias("n_idx"))
+    return (
+        gate.crossJoin(n_emb)
+        .crossJoin(n_idx)
+        .select(
+            "n_exact_pairs",
+            "recall_ok",
+            F.lit(
+                bool(replay_idempotent and crashed and no_debris)
+            ).alias("stream_replay_and_crash_ok"),
+            (F.col("n_idx") == F.col("n_emb")).alias(
+                "ingested_holds_full_corpus"
+            ),
+        )
+    )
+
+
+_ANN_STREAM_INGESTED_SQL = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS stream_replay_and_crash_ok,
+       TRUE AS ingested_holds_full_corpus
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
 def ann_opq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-OPQ approximate top-k result list (detail view; cosines are
     exact because the shortlist is re-scored on full vectors)."""
@@ -3723,6 +3818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_opq_topk": ann_opq_topk,
     "ann_ivfpq_append": ann_ivfpq_append,
     "ann_ivfpq_compacted": ann_ivfpq_compacted,
+    "ann_ivfpq_stream_ingested": ann_ivfpq_stream_ingested,
     "ann_opq_persisted": ann_opq_persisted,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
@@ -3793,6 +3889,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_opq_topk": _ANN_INVARIANT_SQL,
     "ann_ivfpq_append": _ANN_APPEND_SQL,
     "ann_ivfpq_compacted": _ANN_COMPACTED_SQL,
+    "ann_ivfpq_stream_ingested": _ANN_STREAM_INGESTED_SQL,
     "ann_opq_persisted": _ANN_OPQ_PERSISTED_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,

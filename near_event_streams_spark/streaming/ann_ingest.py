@@ -1,0 +1,180 @@
+"""Streaming ANN-index maintenance: the production loop that keeps a
+persisted IVF-PQ / OPQ index fresh while embedding batches stream in.
+
+The pieces shipped separately in earlier rounds — ``ivfpq_append``
+(encode-against-standing-geometry ingest), ``ivfpq_compact``
+(scheduled retrain-and-swap), ``ivfpq_recover`` (mechanical crash
+recovery for the swap window) — and this module wires them into the
+shape a 24/7 pipeline actually runs (the reference's restart-resilience
+story, ``configs.rs:101-127``, applied to derived index state):
+
+* per micro-batch (``foreachBatch``): heal any crash debris from a
+  previous run (``ivfpq_recover`` — one namenode RPC when healthy),
+  land the RAW vectors in a lake directory (the index is lossy derived
+  state; compaction re-reads the source), append the batch to the
+  standing index idempotently (``if_absent=True`` — a replayed batch
+  cannot double-insert candidates), then offer the scheduler an
+  unconditional compact that only fires past ``min_appended_frac``.
+
+Replay safety (``foreachBatch`` is at-least-once): the lake write uses
+a ``batch_id=N`` partition with dynamic partition overwrite, so a
+replayed batch rewrites its own partition (effectively-once — the same
+contract as ``start_incremental_dedup_ingest``); the index append
+anti-joins the batch's ``vec_id`` against the touched cells only
+(hive partition pruning keeps the probe proportional to cell size).
+Crash safety: a death inside the compact swap strands tmp/old dirs
+that the NEXT batch's ``ivfpq_recover`` resolves before touching the
+index — a completed-but-unswapped retrain is promoted, an incomplete
+one is discarded in favor of the old index.
+
+Scale: every per-batch step is bounded by batch size or sidecar size
+except the scheduled compact, which is the deliberate retrain the
+``min_appended_frac`` knob amortizes; the lake accumulates one
+partition dir per batch (fold with
+``sinks.parquet_sink.compact_batch_dirs_inplace`` out-of-band, same
+as the text-corpus ingest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from near_event_streams_spark.operators import similarity
+
+
+def seed_ann_index(
+    corpus: DataFrame,
+    index_path: str,
+    lake_dir: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 256,
+    seed: int = 42,
+    opq: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Bootstrap the ingest loop: land the initial corpus in the lake
+    (partition ``batch_id=-1`` — before every stream batch) and build +
+    persist the initial index from it. After this, every new vector
+    flows through :func:`ann_index_ingest_sink`."""
+    spark = corpus.sparkSession
+    (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(lake_dir)
+    )
+    base = spark.read.parquet(lake_dir).select(id_col, vec_col)
+    if opq:
+        enc, cents, rot, books = similarity.opq_index(
+            base, n_clusters=n_clusters, m=m, ks=ks, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        similarity.opq_write(enc, cents, rot, books, index_path)
+    else:
+        enc, cents, books = similarity.ivfpq_index(
+            base, n_clusters=n_clusters, m=m, ks=ks, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        similarity.ivfpq_write(enc, cents, books, index_path)
+
+
+def ann_index_ingest_sink(
+    index_path: str,
+    lake_dir: str,
+    min_appended_frac: float | None = None,
+    opq: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_seed: int = 42,
+    rescale_cells: bool = False,
+):
+    """Return the ``foreachBatch`` sink body for streaming ANN-index
+    ingest: recover → lake-land → idempotent append → scheduled
+    compact. Exposed separately from :func:`start_ann_index_ingest` so
+    gated queries and tests can drive the exact production batch path
+    without a streaming runtime."""
+    append = similarity.opq_append if opq else similarity.ivfpq_append
+    compact = similarity.opq_compact if opq else similarity.ivfpq_compact
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # heal any crash debris from a previous run BEFORE reading or
+        # appending — a died-mid-swap compact must never strand the loop
+        similarity.ivfpq_recover(spark, index_path)
+        vecs = batch.select(F.col(id_col), F.col(vec_col))
+        # raw vectors land in the lake first: the index is derived
+        # state; the scheduled retrain re-reads this source. batch_id
+        # partition + dynamic overwrite = a replayed batch rewrites its
+        # own partition instead of duplicating rows.
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                vecs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(lake_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        append(
+            spark, index_path, vecs, id_col, vec_col, if_absent=True
+        )
+        if min_appended_frac is not None:
+            corpus = spark.read.parquet(lake_dir).select(id_col, vec_col)
+            compact(
+                spark,
+                index_path,
+                corpus,
+                min_appended_frac=min_appended_frac,
+                seed=compact_seed,
+                rescale_cells=rescale_cells,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+
+    return _sink
+
+
+def start_ann_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    lake_dir: str,
+    checkpoint_dir: str,
+    min_appended_frac: float | None = None,
+    opq: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_seed: int = 42,
+    rescale_cells: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the streaming ANN-index ingest loop: each micro-batch of
+    ``(id_col, vec_col)`` rows is landed in the lake, appended to the
+    persisted index, and offered to the compact scheduler — restart
+    from the checkpoint resumes exactly where a kill left off, with
+    :func:`similarity.ivfpq_recover` healing any mid-compact death at
+    the top of the next batch."""
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            ann_index_ingest_sink(
+                index_path,
+                lake_dir,
+                min_appended_frac=min_appended_frac,
+                opq=opq,
+                id_col=id_col,
+                vec_col=vec_col,
+                compact_seed=compact_seed,
+                rescale_cells=rescale_cells,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
