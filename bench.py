@@ -193,7 +193,18 @@ def _solo_subprocess(name: str) -> dict | None:
             continue
         try:
             d = json.loads(line)
+            # validate EVERY key a caller indexes (median for the
+            # guard, steady/cold for regen_bands — r12 advisory: a
+            # line missing steady/cold used to pass here and then
+            # KeyError-abort the whole bands regeneration)
             float(d["median"])
+            float(d["cold"])
+            if not (
+                isinstance(d["steady"], list)
+                and len(d["steady"]) == 3
+                and all(isinstance(x, (int, float)) for x in d["steady"])
+            ):
+                continue
             return d
         except (ValueError, KeyError, TypeError):
             continue
@@ -206,65 +217,169 @@ def _fresh_process_rerun(name: str) -> float | None:
     return float(d["median"]) if d else None
 
 
-def regen_bands() -> None:
-    """Regenerate BENCH_BANDS.json through the SAME fresh-process
-    `--solo` path the contention guard re-runs through (r11 verdict
-    #5): the old bands were measured inside a long warm-suite run, so
-    for sub-second queries they disagree with a cold-JVM solo
-    measurement (cold-process overhead dominates a 0.3 s query) and
-    the guard logged misleading "elevation confirmed" lines every
-    round. Band = [min, max] of the 3 steady runs in a fresh process
-    per query; the displaced bands are kept under `prev_bands` for
-    round-over-round comparison. One caveat carried in _comment: the
-    calling process stays alive while each solo child runs, but holds
-    no SparkSession here (unlike the in-suite guard, where the suite
-    JVM idles co-resident — noted per the r11 advisory)."""
-    prev = _read_bands()
-    out: dict[str, list[float]] = {}
-    t_start = time.perf_counter()
-    load0 = _loadavg1()
-    for name, _ in HEADLINE:
-        d = _solo_subprocess(name)
-        if d is None:
-            print(f"# bands {name}: solo run FAILED, keeping prev", file=sys.stderr)
-            if name in prev:
-                out[name] = prev[name]
-            continue
-        steady = sorted(float(x) for x in d["steady"])
-        out[name] = [round(steady[0], 3), round(steady[-1], 3)]
-        drift = ""
-        if name in prev:
-            lo, hi = prev[name]
-            if steady[0] > 1.3 * hi or steady[-1] < lo / 1.3:
-                drift = "  <-- moved vs prev band"
-        print(
-            f"# bands {name}: [{out[name][0]}, {out[name][1]}] "
-            f"(cold {d['cold']}; prev {prev.get(name)}){drift}",
-            file=sys.stderr,
-        )
+def _band_from_sweeps(sweeps: list[dict]) -> list[float]:
+    """Fold N solo sweeps of one query into its committed band: each
+    sweep contributes its steady [min, max]; the band is the
+    ELEMENT-WISE MIN across sweeps — the quietest box state observed,
+    which is what "idle-box band" means (any sweep may be inflated by
+    co-tenant load; none can be deflated below idle)."""
+    los = [min(float(x) for x in d["steady"]) for d in sweeps]
+    his = [max(float(x) for x in d["steady"]) for d in sweeps]
+    return [round(min(los), 3), round(min(his), 3)]
+
+
+def _bands_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BANDS.json"
+    )
+
+
+def _write_bands(bands, prev, load0, t_start, notes) -> None:
     payload = {
         "_comment": (
             "Idle-box steady-run bands [lo, hi] seconds at sf0.1, "
             "measured via the SAME mechanism the contention guard uses "
             "(bench.py --solo per query: fresh process, cold "
-            "SparkSession, 1 discarded cold run + 3 steady; band = "
-            "steady min/max). No suite JVM is co-resident during "
-            "measurement. Regenerate with `python bench.py --bands` "
-            "when plans change. prev_bands = the displaced "
-            "warm-suite-measured bands, kept for comparison."
+            "SparkSession, 1 discarded cold run + 3 steady). Band = "
+            "ELEMENT-WISE MIN of per-sweep steady [min, max] across N "
+            "sweeps (default 2) — the quietest observed box state; "
+            "r12 advisory: the tool now reproduces the committed "
+            "min-across-sweeps methodology instead of silently "
+            "replacing it with a single sweep. No suite JVM is "
+            "co-resident during measurement. Regenerate all with "
+            "`python bench.py --bands [N_SWEEPS]`, or one query from "
+            "more sweeps with `python bench.py --band-for NAME N`. "
+            "prev_bands = the displaced bands, kept for comparison; "
+            "band_notes records per-query regeneration provenance."
         ),
         "sf": 0.1,
         "loadavg": [load0, _loadavg1()],
         "wall_total_sec": round(time.perf_counter() - t_start, 1),
-        "bands": out,
+        "bands": bands,
         "prev_bands": prev,
+        "band_notes": notes,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_BANDS.json"
-    )
-    with open(path, "w") as f:
+    with open(_bands_path(), "w") as f:
         json.dump(payload, f, indent=1)
-    print(f"wrote {path}")
+    print(f"wrote {_bands_path()}")
+
+
+def _read_band_notes() -> dict:
+    try:
+        with open(_bands_path()) as f:
+            return dict(json.load(f).get("band_notes", {}))
+    except (OSError, ValueError):
+        return {}
+
+
+def regen_bands(n_sweeps: int = 2) -> None:
+    """Regenerate BENCH_BANDS.json through the SAME fresh-process
+    `--solo` path the contention guard re-runs through (r11 verdict
+    #5): a warm-suite measurement disagrees with a cold-JVM solo for
+    sub-second queries, so bands and guard re-runs must share one
+    mechanism. ``n_sweeps`` full passes run over the headline set and
+    each query's band is the element-wise min of its per-sweep steady
+    [min, max] (see :func:`_band_from_sweeps` — the committed-artifact
+    methodology, r12 advisory). A query whose solos ALL fail keeps its
+    previous band. The displaced bands are kept under `prev_bands`.
+    One caveat carried in _comment: the calling process stays alive
+    while each solo child runs, but holds no SparkSession here (unlike
+    the in-suite guard, where the suite JVM idles co-resident)."""
+    prev = _read_bands()
+    sweeps: dict[str, list[dict]] = {name: [] for name, _ in HEADLINE}
+    t_start = time.perf_counter()
+    load0 = _loadavg1()
+    for s in range(n_sweeps):
+        for name, _ in HEADLINE:
+            d = _solo_subprocess(name)
+            if d is None:
+                print(
+                    f"# bands sweep {s + 1}/{n_sweeps} {name}: solo FAILED",
+                    file=sys.stderr,
+                )
+                continue
+            sweeps[name].append(d)
+            print(
+                f"# bands sweep {s + 1}/{n_sweeps} {name}: "
+                f"steady {sorted(d['steady'])} (cold {d['cold']})",
+                file=sys.stderr,
+            )
+    out: dict[str, list[float]] = {}
+    for name, _ in HEADLINE:
+        if not sweeps[name]:
+            print(
+                f"# bands {name}: every solo FAILED, keeping prev",
+                file=sys.stderr,
+            )
+            if name in prev:
+                out[name] = prev[name]
+            continue
+        out[name] = _band_from_sweeps(sweeps[name])
+        drift = ""
+        if name in prev:
+            lo, hi = prev[name]
+            if out[name][0] > 1.3 * hi or out[name][1] < lo / 1.3:
+                drift = "  <-- moved vs prev band"
+        print(
+            f"# bands {name}: {out[name]} from {len(sweeps[name])} "
+            f"sweeps (prev {prev.get(name)}){drift}",
+            file=sys.stderr,
+        )
+    notes = {
+        name: f"min across {len(ds)} sweeps"
+        for name, ds in sweeps.items()
+        if ds
+    }
+    _write_bands(out, prev, load0, t_start, notes)
+
+
+def band_for(name: str, n_solos: int) -> None:
+    """Re-measure ONE query's band from ``n_solos`` fresh-process solo
+    sweeps and merge it into the committed BENCH_BANDS.json (same
+    element-wise-min fold as :func:`regen_bands`) — the tool for
+    noisy heavy queries whose band needs more datapoints than the
+    all-query regeneration affords (r12 verdict #2:
+    graph_triangle_census from >=5 same-day solos)."""
+    assert name in dict(HEADLINE), name
+    t_start = time.perf_counter()
+    load0 = _loadavg1()
+    sweeps: list[dict] = []
+    for s in range(n_solos):
+        d = _solo_subprocess(name)
+        if d is None:
+            print(f"# band-for {name} solo {s + 1}: FAILED", file=sys.stderr)
+            continue
+        sweeps.append(d)
+        print(
+            f"# band-for {name} solo {s + 1}/{n_solos}: "
+            f"steady {sorted(d['steady'])} (cold {d['cold']})",
+            file=sys.stderr,
+        )
+    if not sweeps:
+        raise SystemExit(f"band-for {name}: every solo failed")
+    bands = _read_bands()
+    prev_entry = bands.get(name)
+    bands[name] = _band_from_sweeps(sweeps)
+    notes = _read_band_notes()
+    notes[name] = (
+        f"min across {len(sweeps)} dedicated solos (--band-for); "
+        f"displaced {prev_entry}"
+    )
+    # prev_bands keeps whatever the file already carried (the full-set
+    # history), with this query's displaced entry folded in
+    try:
+        with open(_bands_path()) as f:
+            prev = dict(json.load(f).get("prev_bands", {}))
+    except (OSError, ValueError):
+        prev = {}
+    if prev_entry is not None:
+        prev[name] = prev_entry
+    print(
+        f"# band-for {name}: {bands[name]} from {len(sweeps)} solos "
+        f"(displaced {prev_entry})",
+        file=sys.stderr,
+    )
+    _write_bands(bands, prev, load0, t_start, notes)
 
 
 def main() -> None:
@@ -287,15 +402,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
     total = 0.0
+    heavy_total = 0.0
     cold_total = 0.0
-    # Queries whose single run is ~20s at sf0.1 get 1 cold + 2 steady
-    # instead of 1+3 — the regression guard stands (the reported
-    # "median" of 2 steady runs is the LARGER one — conservative)
-    # while the bench wall stays bounded.
+    # Heavy tier (single run ~20s at sf0.1 with honest fresh-process
+    # dispersion of +/-7s on THIS box): reported on its OWN line
+    # outside the headline sum, so the 36-query total stays comparable
+    # round-over-round instead of inheriting one query's box-state
+    # noise (r12 verdict #2 option b). Heavy queries now also run the
+    # full 1 cold + 3 steady cadence and report the TRUE median — the
+    # old 2-steady larger-value rule biased the reported number up.
     heavy = {"graph_triangle_census"}
     for name, fn in HEADLINE:
         runs = []
-        for _ in range(3 if name in heavy else 4):
+        for _ in range(4):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -304,11 +423,15 @@ def main() -> None:
         dt = steady[len(steady) // 2]
         timings[name] = round(dt, 3)
         dispersion[name] = [round(steady[0], 3), round(steady[-1], 3)]
-        total += dt
+        if name in heavy:
+            heavy_total += dt
+        else:
+            total += dt
         cold_total += runs[0]
         print(
             f"# {name}: {dt:.3f}s median ({steady[0]:.3f}-{steady[-1]:.3f}s "
-            f"steady) / {runs[0]:.3f}s cold ({n} rows)",
+            f"steady) / {runs[0]:.3f}s cold ({n} rows)"
+            f"{'  [heavy tier — outside headline sum]' if name in heavy else ''}",
             file=sys.stderr,
         )
 
@@ -351,7 +474,10 @@ def main() -> None:
         if rr < med:
             if rr < med / 1.3:
                 contended.append(name)
-            total += rr - med
+            if name in heavy:
+                heavy_total += rr - med
+            else:
+                total += rr - med
             timings[name] = round(rr, 3)
         print(
             f"# contention-guard {name}: first-pass {med:.3f}s vs band "
@@ -361,6 +487,7 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(total, 3)
+    heavy_total = round(heavy_total, 3)
 
     # Streaming-mode throughput for the parity layer (extract →
     # validate → route as a real micro-batch stream; bench_streaming.py
@@ -391,6 +518,14 @@ def main() -> None:
         "metric": "headline_query_wall_time_total",
         "value": round(total, 3),
         "unit": "sec",
+        # value = the 36-query headline sum; the heavy tier is its own
+        # line so one ~20s query's box-state noise (honest fresh-process
+        # dispersion 15.6-28.9s recorded r12) cannot masquerade as a
+        # round-over-round plan regression. value_all = old-definition
+        # total for continuity with BENCH_r12 and earlier.
+        "heavy_queries": {n: timings[n] for n in sorted(heavy)},
+        "heavy_total": heavy_total,
+        "value_all": round(total + heavy_total, 3),
         "queries": timings,
         "dispersion": dispersion,
         # contention-guard audit trail: 1-min loadavg at start/end, the
@@ -399,9 +534,7 @@ def main() -> None:
         "loadavg": [load_start, load_end],
         "guard_reruns": reruns,
         "contended": contended,
-        "steady_runs": {
-            name: (2 if name in heavy else 3) for name, _ in HEADLINE
-        },
+        "steady_runs": {name: 3 for name, _ in HEADLINE},
         "cold_total": round(cold_total, 3),
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -421,6 +554,8 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "load1": load_start,
             "n_contended": len(contended),
+            "heavy": {n: round(timings[n], 2) for n in sorted(heavy)},
+            "value_all": round(total + heavy_total, 2),
             "queries": {k: round(v, 2) for k, v in timings.items()},
         },
         separators=(",", ":"),
@@ -438,6 +573,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load1": load_start,
                 "n_contended": len(contended),
+                "heavy": {n: round(timings[n], 2) for n in sorted(heavy)},
+                "value_all": round(total + heavy_total, 2),
                 "queries": {
                     k: round(v, 2)
                     for k, v in sorted(
@@ -456,6 +593,8 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--solo":
         solo(sys.argv[2])
     elif len(sys.argv) >= 2 and sys.argv[1] == "--bands":
-        regen_bands()
+        regen_bands(int(sys.argv[2]) if len(sys.argv) >= 3 else 2)
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--band-for":
+        band_for(sys.argv[2], int(sys.argv[3]))
     else:
         main()

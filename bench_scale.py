@@ -411,6 +411,34 @@ def _append_skew_md(rows, notes) -> None:
     print(f"appended skew section to {path}")
 
 
+def _recall_corpus_distinct(emb, vec_col: str = "embedding") -> bool:
+    """True when every vector in the corpus is distinct. ANN RECALL may
+    only be measured on a distinct-vector corpus: the 32x `.scale_data`
+    table duplicates every vector 32 times, so each query's true top-k
+    are its own copies — co-located in one cell by construction —
+    and recall reads 1.000 in every index state, proving nothing
+    (r12 verdict #4: this was a comment in run_ivfpq_compact; it is
+    now enforced at every recall measurement)."""
+    from pyspark.sql import functions as F
+
+    n = emb.count()
+    nd = emb.select(
+        F.col(vec_col).cast("array<float>").cast("string")
+    ).distinct().count()
+    return nd == n
+
+
+def _require_distinct_recall_corpus(emb, label: str) -> None:
+    """Hard gate for sections whose CLAIM is a recall number."""
+    if not _recall_corpus_distinct(emb):
+        raise SystemExit(
+            f"{label}: recall corpus has duplicate vectors — a "
+            "duplicated corpus cannot show recall erosion (every "
+            "query's top-k are its own copies). Measure recall on the "
+            "distinct base table; measure WALL on the duplicated one."
+        )
+
+
 def _median_time(fn, spark, sf_dir: str, runs: int = 3) -> float:
     times = []
     for _ in range(runs):
@@ -696,6 +724,20 @@ def run_ivfpq() -> None:
         (r["query_id"], r["cand_id"])
         for r in similarity.brute_force_topk(queries, emb, k=K).collect()
     }
+    # this section's CLAIM is the byte reduction; the recall column is
+    # side evidence — but it is measured on the 32x DUPLICATED corpus,
+    # where recall cannot erode (every query's top-k are its own
+    # copies). Flag that loudly in the output and the report rather
+    # than let a future reader cite the column as a recall result
+    # (r12 verdict #4).
+    recall_corpus_ok = _recall_corpus_distinct(emb)
+    if not recall_corpus_ok:
+        print(
+            "WARNING run_ivfpq: recall measured on a DUPLICATED corpus "
+            "(32x .scale_data) — it is an equal-routing sanity check, "
+            "NOT a recall-erosion measurement; see run_ivfpq_compact "
+            "for recall on distinct vectors"
+        )
     walls, recalls = {}, {}
     for name, fn in (("ivf_flat", flat_fn), ("ivf_pq", pq_fn)):
         got = {(r["query_id"], r["cand_id"]) for r in fn(spark, None).collect()}
@@ -708,6 +750,7 @@ def run_ivfpq() -> None:
     report = {
         "metric": "ivfpq_candidate_scan_bytes",
         "corpus_vectors": n_corpus,
+        "recall_corpus_distinct": recall_corpus_ok,
         "queries": nq,
         "candidate_rows": int(n_cand),
         "flat_scan_mb": round(flat_bytes / 1e6, 2),
@@ -1043,6 +1086,9 @@ def run_ivfpq_compact() -> None:
         os.path.join(BASE_DIR, "embeddings.parquet")
     ).persist()
     n_base = emb.count()
+    # hard gate (r12 verdict #4): the recall claim below is only
+    # meaningful on distinct vectors — refuse a duplicated corpus
+    _require_distinct_recall_corpus(emb, "run_ivfpq_compact")
     queries = emb.filter(F.col("vec_id") < 100).persist()
     nq = queries.count()
     exact = {
