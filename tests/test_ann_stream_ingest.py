@@ -172,6 +172,50 @@ def test_stream_ingest_crash_recovery_end_to_end(
     assert len(probes[0]) == 50  # 10 queries x k=5
 
 
+def test_sink_opq_layout_append_and_scheduled_compact(spark, tmp_path, emb):
+    """The sink's OPQ branch: seed a rotation-carrying index, append a
+    batch through the sink (replay-idempotent), and let the sink's OWN
+    scheduled compact fire on the rot layout — the healed/rewritten
+    sidecar must still carry an orthogonal rotation opq_read accepts."""
+    import numpy as np
+
+    idx = str(tmp_path / "idx")
+    lake = str(tmp_path / "lake")
+    seed_corpus = emb.filter(emb.vec_id < 300)
+    ann_ingest.seed_ann_index(
+        seed_corpus, idx, lake, n_clusters=8, m=8, ks=256, seed=42,
+        opq=True,
+    )
+    # the plain-layout guard refuses this index outside the OPQ paths
+    with pytest.raises(ValueError, match="OPQ"):
+        similarity.ivfpq_read(spark, idx)
+
+    # min_appended_frac=0.1: the 50-row batch on a 300-row seed is a
+    # 1/7 appended fraction, so the sink's own scheduled compact FIRES
+    sink = ann_ingest.ann_index_ingest_sink(
+        idx, lake, min_appended_frac=0.1, opq=True
+    )
+    sink(_batch_df(emb, 300, 350), 0)
+    sink(_batch_df(emb, 300, 350), 0)  # redelivery after the compact
+    assert spark.read.parquet(idx + "/codes").count() == 350
+
+    enc, cents, rot, books = similarity.opq_read(spark, idx)
+    assert enc.count() == 350
+    assert np.allclose(
+        rot @ rot.T, np.eye(rot.shape[0]), atol=1e-8
+    )
+    # the fired compact reset the sidecar yardstick: a direct second
+    # scheduled compact at the same threshold reports ~0 appended
+    res = similarity.opq_compact(
+        spark,
+        idx,
+        spark.read.parquet(lake).select("vec_id", "embedding"),
+        min_appended_frac=0.1,
+        seed=42,
+    )
+    assert res["compacted"] is False
+
+
 def test_sink_replay_is_idempotent(spark, tmp_path, emb):
     """foreachBatch is at-least-once: redelivering the SAME batch after
     a mid-batch death must not change the index (if_absent anti-join)
