@@ -609,16 +609,25 @@ def ivfpq_append(
     _, centroids, books = ivfpq_read(spark, path)
     enc_new = ivfpq_encode(vectors, centroids, books, id_col, vec_col)
     if if_absent:
-        touched = [
-            int(r["cluster"])
-            for r in enc_new.select("cluster").distinct().collect()
-        ]
-        existing = (
-            spark.read.parquet(path + "/codes")
-            .filter(F.col("cluster").isin(touched))
-            .select("vec_id")
-        )
-        enc_new = enc_new.join(existing, "vec_id", "left_anti")
+        # persist: the encode pass (Arrow pandas UDF) would otherwise
+        # run twice — once for the touched-cell list, once for the write
+        enc_new = enc_new.persist()
+        try:
+            touched = [
+                int(r["cluster"])
+                for r in enc_new.select("cluster").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(path + "/codes")
+                .filter(F.col("cluster").isin(touched))
+                .select("vec_id")
+            )
+            enc_new.join(existing, "vec_id", "left_anti").write.mode(
+                "append"
+            ).partitionBy("cluster").parquet(path + "/codes")
+        finally:
+            enc_new.unpersist()
+        return
     enc_new.write.mode("append").partitionBy("cluster").parquet(
         path + "/codes"
     )
@@ -811,7 +820,7 @@ def ivfpq_recover(spark, path: str) -> str:
     Raises ``FileNotFoundError`` when no state is recoverable. Call it
     before :func:`ivfpq_read` in any scheduler that may have died
     mid-compact; it is idempotent, and away from crash debris it costs
-    one namenode RPC."""
+    three existence RPCs (live meta, tmp, old) and nothing else."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -1253,16 +1262,23 @@ def opq_append(
     _, centroids, rot, books = opq_read(spark, path)
     enc_new = opq_encode(vectors, centroids, rot, books, id_col, vec_col)
     if if_absent:
-        touched = [
-            int(r["cluster"])
-            for r in enc_new.select("cluster").distinct().collect()
-        ]
-        existing = (
-            spark.read.parquet(path + "/codes")
-            .filter(F.col("cluster").isin(touched))
-            .select("vec_id")
-        )
-        enc_new = enc_new.join(existing, "vec_id", "left_anti")
+        enc_new = enc_new.persist()
+        try:
+            touched = [
+                int(r["cluster"])
+                for r in enc_new.select("cluster").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(path + "/codes")
+                .filter(F.col("cluster").isin(touched))
+                .select("vec_id")
+            )
+            enc_new.join(existing, "vec_id", "left_anti").write.mode(
+                "append"
+            ).partitionBy("cluster").parquet(path + "/codes")
+        finally:
+            enc_new.unpersist()
+        return
     enc_new.write.mode("append").partitionBy("cluster").parquet(
         path + "/codes"
     )
