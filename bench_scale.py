@@ -1226,6 +1226,107 @@ def run_ivfpq_compact() -> None:
     spark.stop()
 
 
+def run_ann_ingest() -> None:
+    """The idempotence tax of the streaming index append (r13): the
+    `foreachBatch` sink appends with ``if_absent=True`` so an
+    at-least-once batch redelivery cannot double-insert candidates —
+    the cost is one anti-join against ONLY the cluster partitions the
+    batch touches. Measure, at the 32x corpus (62k-row index, 2k-row
+    batch): plain append vs first-delivery if_absent append vs the
+    REDELIVERY (all ids already present — the path a crash replay
+    pays), plus the healthy-layout `ivfpq_recover` fast path the sink
+    runs at the top of every batch. Writes a section into
+    BENCH_scale.md."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.session import get_spark
+
+    if not os.path.isdir(SCALE_DIR):
+        raise SystemExit("no .scale_data — run `python bench_scale.py --gen` first")
+    spark = get_spark(app_name="bench_ann_ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(
+        os.path.join(SCALE_DIR, "embeddings.parquet")
+    ).persist()
+    ids = emb.select(F.min("vec_id"), F.max("vec_id")).first()
+    cut = int(ids[0]) + 2000
+    base = emb.filter(F.col("vec_id") >= cut)
+    batch = emb.filter(F.col("vec_id") < cut)
+    n_base, n_batch = base.count(), batch.count()
+
+    enc, cents, books = similarity.ivfpq_index(
+        base, n_clusters=16, m=8, ks=256, seed=42
+    )
+    paths = {
+        k: tempfile.mkdtemp(prefix=f"nes_scale_annin_{k}_")
+        for k in ("plain", "idem")
+    }
+    walls = {}
+    try:
+        for k in paths:
+            similarity.ivfpq_write(enc, cents, books, paths[k])
+        t0 = time.perf_counter()
+        similarity.ivfpq_append(spark, paths["plain"], batch)
+        walls["plain_append"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        similarity.ivfpq_append(spark, paths["idem"], batch, if_absent=True)
+        walls["if_absent_first"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        similarity.ivfpq_append(spark, paths["idem"], batch, if_absent=True)
+        walls["if_absent_replay"] = time.perf_counter() - t0
+        n_after = spark.read.parquet(paths["idem"] + "/codes").count()
+        t0 = time.perf_counter()
+        state = similarity.ivfpq_recover(spark, paths["idem"])
+        walls["recover_healthy"] = time.perf_counter() - t0
+    finally:
+        for p in paths.values():
+            shutil.rmtree(p, ignore_errors=True)
+    emb.unpersist()
+    assert state == "ok" and n_after == n_base + n_batch
+
+    report = {
+        "metric": "ann_ingest_idempotence_tax",
+        "index_rows": n_base,
+        "batch_rows": n_batch,
+        "walls_sec": {k: round(v, 3) for k, v in walls.items()},
+        "tax_first_delivery": round(
+            walls["if_absent_first"] / walls["plain_append"], 2
+        ),
+    }
+    print(json.dumps(report))
+    lines = [
+        "",
+        "## Streaming index append: the idempotence tax (32x embeddings)",
+        "",
+        f"{n_base}-row persisted IVF-PQ index, one {n_batch}-row ingest "
+        "batch. `if_absent=True` (what the streaming sink uses) "
+        "anti-joins the encoded batch's ids against ONLY the cluster "
+        "partitions the batch lands in — partition pruning keeps the "
+        "probe proportional to touched-cell size, not index size.",
+        "",
+        "| path | wall s |",
+        "|---|---|",
+        f"| plain append (not replay-safe) | {walls['plain_append']:.2f} |",
+        f"| if_absent append, first delivery | {walls['if_absent_first']:.2f} |",
+        f"| if_absent append, REDELIVERY (writes 0 rows) | {walls['if_absent_replay']:.2f} |",
+        f"| ivfpq_recover, healthy layout (per-batch hygiene) | {walls['recover_healthy']:.3f} |",
+        "",
+        f"First-delivery tax: {report['tax_first_delivery']}x the plain "
+        "append — the price of surviving at-least-once redelivery "
+        "without a registry. The redelivery itself costs one encode + "
+        "anti-join and writes nothing; the healthy-recover check the "
+        "sink runs every batch is three existence RPCs.",
+        "",
+    ]
+    _append_named_section(
+        lines, "## Streaming index append: the idempotence tax"
+    )
+    spark.stop()
+
+
 def run_image_neardup() -> None:
     """Image near-dedup scaling: the banded dHash join's cost driver is
     BUCKET OCCUPANCY (true duplicate-group size), not corpus size —
@@ -1715,6 +1816,8 @@ if __name__ == "__main__":
         run_graph_powerlaw()
     elif "--ivfpq-compact" in sys.argv:
         run_ivfpq_compact()
+    elif "--ann-ingest" in sys.argv:
+        run_ann_ingest()
     elif "--containment-cap" in sys.argv:
         run_containment_cap()
     elif "--image-neardup" in sys.argv:
