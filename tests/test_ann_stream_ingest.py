@@ -59,10 +59,12 @@ def _start_stream(spark, staging: str, idx: str, lake: str, ckpt: str):
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
     )
-    # min_appended_frac=0.2: batch 2 crosses it (100 appended / 500
-    # total at that point = 0.25 after the first two 50-row batches on
-    # a 300-row seed... exact fractions per run below) — the knob is
-    # sized so at least one compact FIRES inside the stream
+    # min_appended_frac=0.2 makes the sink's own scheduled compact FIRE
+    # inside the stream: on the 300-row seed the appended fraction is
+    # 50/350 after batch 1 (skip) and 100/400 = 0.25 after batch 2
+    # (fire, yardstick resets to 400), then 50/450 (skip) and
+    # 100/500 = 0.2 (fire) across the second stream window — identical
+    # schedule in the clean and crashed runs
     return ann_ingest.start_ann_index_ingest(
         stream_df,
         idx,
