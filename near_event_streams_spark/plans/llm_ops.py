@@ -1399,6 +1399,75 @@ FROM ranked WHERE rank <= 5
 )
 
 
+def ann_index_build_reproducible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible index builds — the property every other index
+    guarantee rides on (the crash-recovery e2e's probe-identity gate,
+    compact determinism, fresh-vs-persisted roundtrips): building from
+    two copies of the SAME corpus with DIFFERENT physical layouts
+    (one parquet file vs seven hash-partitioned files — different row
+    order, different partition boundaries, different part-file names)
+    must produce indexes whose probe results are IDENTICAL. This is
+    exactly what a full-corpus MLlib KMeans fit does NOT give you
+    (k-means|| init samples by RDD partition, so centroids inherit the
+    file layout — found by the r13 streaming e2e); the bounded
+    sorted-sample fit (``ivf_index(fit_sample=)``) restores it by
+    construction. Gated: (a) probes from both layouts identical row
+    sets, (b) the shared recall ≥ 0.8 bar on one of them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    root = _ivfpq_scratch_dir(sf_dir, tag="ivfpq_repro")
+    vecs = emb.select("vec_id", "embedding")
+    vecs.coalesce(1).write.parquet(root + "/one")
+    vecs.repartition(7, "vec_id").write.parquet(root + "/many")
+
+    probes = []
+    for sub in ("one", "many"):
+        corpus = spark.read.parquet(f"{root}/{sub}")
+        enc, cents, books = similarity.ivfpq_index(
+            corpus, n_clusters=16, m=8, ks=256, seed=42
+        )
+        probes.append(
+            similarity.ivfpq_topk(
+                queries, corpus, k=5, nprobe=12, refine=4,
+                index=(enc, cents, books),
+            )
+        )
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    gate = _ann_recall_invariant(exact, probes[0], min_recall=0.8)
+
+    cols = ["query_id", "rank", "cand_id", "cos_sim"]
+    n_a = probes[0].agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = probes[1].agg(F.count(F.lit(1)).alias("n_b"))
+    n_same = (
+        probes[0].join(probes[1], cols)
+        .agg(F.count(F.lit(1)).alias("n_same"))
+    )
+    return (
+        gate.crossJoin(n_a)
+        .crossJoin(n_b)
+        .crossJoin(n_same)
+        .select(
+            "n_exact_pairs",
+            "recall_ok",
+            (
+                (F.col("n_same") == F.col("n_a"))
+                & (F.col("n_a") == F.col("n_b"))
+            ).alias("layout_independent"),
+        )
+    )
+
+
+_ANN_BUILD_REPRO_SQL = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS layout_independent
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
 def ann_opq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-OPQ approximate top-k result list (detail view; cosines are
     exact because the shortlist is re-scored on full vectors)."""
@@ -3819,6 +3888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_append": ann_ivfpq_append,
     "ann_ivfpq_compacted": ann_ivfpq_compacted,
     "ann_ivfpq_stream_ingested": ann_ivfpq_stream_ingested,
+    "ann_index_build_reproducible": ann_index_build_reproducible,
     "ann_opq_persisted": ann_opq_persisted,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
@@ -3890,6 +3960,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivfpq_append": _ANN_APPEND_SQL,
     "ann_ivfpq_compacted": _ANN_COMPACTED_SQL,
     "ann_ivfpq_stream_ingested": _ANN_STREAM_INGESTED_SQL,
+    "ann_index_build_reproducible": _ANN_BUILD_REPRO_SQL,
     "ann_opq_persisted": _ANN_OPQ_PERSISTED_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,

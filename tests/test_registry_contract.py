@@ -156,10 +156,10 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     # booleans only, so the rounded double never reaches the compared
     # output
     "ann_ivfpq_compacted": 1,
-    # r13: same shared exact-topk CTE again; the stream-ingest gate
-    # emits a count + three booleans — the rounded double never reaches
-    # the compared output
+    # r13: same shared exact-topk CTE again; both gates emit a count +
+    # booleans — the rounded double never reaches the compared output
     "ann_ivfpq_stream_ingested": 1,
+    "ann_index_build_reproducible": 1,
     "ann_opq_persisted": 1,
     "ann_opq_topk": 1,
     "ann_lsh_topk": 1,
