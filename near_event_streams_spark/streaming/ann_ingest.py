@@ -91,12 +91,20 @@ def ann_index_ingest_sink(
     vec_col: str = "embedding",
     compact_seed: int = 42,
     rescale_cells: bool = False,
+    lake_compact_every: int | None = None,
 ):
     """Return the ``foreachBatch`` sink body for streaming ANN-index
     ingest: recover → lake-land → idempotent append → scheduled
     compact. Exposed separately from :func:`start_ann_index_ingest` so
     gated queries and tests can drive the exact production batch path
-    without a streaming runtime."""
+    without a streaming runtime.
+
+    ``lake_compact_every`` folds the lake's closed ``batch_id=N`` dirs
+    into size-targeted files every that-many batches (the 24/7
+    small-files countermeasure, same transactional
+    ``compact_batch_dirs_inplace`` machinery and closed-batches-only
+    replay contract as the text-corpus ingest); None = manage
+    out-of-band."""
     append = similarity.opq_append if opq else similarity.ivfpq_append
     compact = similarity.opq_compact if opq else similarity.ivfpq_compact
 
@@ -136,6 +144,11 @@ def ann_index_ingest_sink(
                 id_col=id_col,
                 vec_col=vec_col,
             )
+        from near_event_streams_spark.streaming.ingest import (
+            _maybe_compact_corpus,
+        )
+
+        _maybe_compact_corpus(spark, lake_dir, batch_id, lake_compact_every)
 
     return _sink
 
@@ -151,6 +164,7 @@ def start_ann_index_ingest(
     vec_col: str = "embedding",
     compact_seed: int = 42,
     rescale_cells: bool = False,
+    lake_compact_every: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Run the streaming ANN-index ingest loop: each micro-batch of
@@ -172,6 +186,7 @@ def start_ann_index_ingest(
                 vec_col=vec_col,
                 compact_seed=compact_seed,
                 rescale_cells=rescale_cells,
+                lake_compact_every=lake_compact_every,
             )
         )
     )

@@ -218,6 +218,42 @@ def test_sink_opq_layout_append_and_scheduled_compact(spark, tmp_path, emb):
     assert res["compacted"] is False
 
 
+def test_sink_lake_compaction_folds_closed_batches(spark, tmp_path, emb):
+    """lake_compact_every folds the lake's CLOSED batch dirs into
+    size-targeted files (the 24/7 small-files countermeasure, same
+    machinery as the text-corpus ingest) without losing rows, and the
+    max-present batch — the only one an at-least-once replay can
+    redeliver — stays an intact partition so redelivery is still a
+    partition overwrite, not a duplicate."""
+    import glob
+
+    idx = str(tmp_path / "idx")
+    lake = str(tmp_path / "lake")
+    ann_ingest.seed_ann_index(
+        emb.filter(emb.vec_id < 300), idx, lake,
+        n_clusters=8, m=8, ks=256, seed=42,
+    )
+    sink = ann_ingest.ann_index_ingest_sink(idx, lake, lake_compact_every=2)
+    for i, (lo, hi) in enumerate(SLICES[:3]):
+        sink(_batch_df(emb, lo, hi), i)
+
+    # batches -1 (seed), 0 folded into one dir at the 2nd batch; dirs
+    # 1 and 2 remain (2 = max-present, never folded)
+    dirs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(lake + "/batch_id=*")
+    )
+    assert len(dirs) < 5  # strictly fewer than one-dir-per-write
+    assert spark.read.parquet(lake).count() == 450
+    assert spark.read.parquet(idx + "/codes").count() == 450
+
+    # redelivery of the max-present batch after a fold: still a no-op
+    # for the index and a partition rewrite (not a dup) for the lake
+    sink(_batch_df(emb, *SLICES[2]), 2)
+    assert spark.read.parquet(lake).count() == 450
+    assert spark.read.parquet(idx + "/codes").count() == 450
+
+
 def test_sink_replay_is_idempotent(spark, tmp_path, emb):
     """foreachBatch is at-least-once: redelivering the SAME batch after
     a mid-batch death must not change the index (if_absent anti-join)
