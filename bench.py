@@ -506,8 +506,8 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Full per-query detail (dispersion bands, per-query steady-run
-    # counts — the heavy tier runs 2 steady instead of 3 — cold totals,
+    # Full per-query detail (dispersion bands, steady-run counts — 3
+    # for every query incl. the heavy tier since r13 — cold totals,
     # and the streaming section) goes to a side file committed with the
     # round. The FINAL stdout line must stay under the driver's
     # 2,000-byte tail capture (it parses only the last JSON line of

@@ -271,6 +271,15 @@ def normalize_embeddings_arrow(
 # ---------------------------------------------------------------------------
 
 
+def _sample_order(seed: int) -> list:
+    """Total order for bounded deterministic training samples: a
+    seeded value-hash of the id (uniform over the corpus, independent
+    of file layout and insertion order), with the id itself breaking
+    hash ties. Shared by the coarse-fit, PQ-residual, and OPQ samples
+    so one seed draws one consistent sample."""
+    return [F.xxhash64(F.col("vec_id"), F.lit(seed)), F.col("vec_id")]
+
+
 def ivf_index(
     corpus: DataFrame,
     n_clusters: int = 16,
@@ -282,17 +291,23 @@ def ivf_index(
     """Coarse-quantize the corpus: KMeans (MLlib) fit → every vector
     tagged with its nearest-centroid ``cluster`` id.
 
-    The fit runs on a BOUNDED, DETERMINISTICALLY-ORDERED sample — the
-    ``fit_sample`` smallest ``vec_id`` rows (the FAISS coarse-training
-    recipe: a few-tens-of-thousands sample saturates the centroids).
-    Two reasons, both load-bearing at scale: (a) fitting the full
-    corpus costs maxIter full passes — 10 reads of a 100 TB table for
-    KB of centroids; (b) k-means|| init samples by RDD partition, so a
-    full-corpus fit inherits the source's FILE LAYOUT — two lakes with
-    identical rows but different part-file names train different
-    centroids, which breaks reproducible index rebuilds (the
-    crash-recovery e2e's probe-identity contract). The sorted
-    ``limit()`` sample is layout-independent by construction.
+    The fit runs on a BOUNDED, DETERMINISTICALLY-ORDERED sample: the
+    ``fit_sample`` rows ranked first by a seeded hash of their id
+    (``xxhash64(vec_id, seed)`` — the FAISS coarse-training recipe: a
+    few-tens-of-thousands sample saturates the centroids). Three
+    properties, all load-bearing at scale: (a) BOUNDED — fitting the
+    full corpus costs maxIter full passes, 10 reads of a 100 TB table
+    for KB of centroids; (b) LAYOUT-INDEPENDENT — k-means|| init
+    samples by RDD partition, so a full-corpus fit inherits the
+    source's FILE LAYOUT (two lakes with identical rows but different
+    part-file names train different centroids, breaking reproducible
+    index rebuilds — the crash-recovery e2e's probe-identity
+    contract); a value-hash order depends only on row VALUES; (c)
+    UNIFORM over the corpus — a ``vec_id``-prefix sample would anchor
+    every rebuild to the OLDEST rows of an append-ordered corpus, so
+    :func:`ivfpq_compact` retrains would be blind to drift in appended
+    data once the corpus outgrows the sample (r13 review); a seeded
+    hash ranks every row equally regardless of insertion order.
 
     Returns (assigned corpus, centroid list). Assignment is a
     broadcast map over the corpus; the centroid list is tiny
@@ -308,7 +323,7 @@ def ivf_index(
             "features"
         ),
     )
-    fit_df = vecs.orderBy("vec_id").limit(fit_sample)
+    fit_df = vecs.orderBy(*_sample_order(seed)).limit(fit_sample)
     model = KMeans(k=n_clusters, seed=seed, maxIter=10).fit(fit_df)
     assigned = model.transform(vecs).select(
         "vec_id",
@@ -488,10 +503,12 @@ def ivfpq_index(
     spark = SparkSession.getActiveSession()
     cmat = np.asarray(centroids, dtype=np.float64)
 
-    # bounded, deterministic training sample: smallest vec_ids win —
-    # no RNG in the distributed path, so re-runs build identical codes
+    # bounded, deterministic training sample ranked by seeded value
+    # hash (uniform over the corpus, layout/insertion-order
+    # independent — see _sample_order); no RNG in the distributed
+    # path, so re-runs build identical codes
     samp = (
-        assigned.orderBy("vec_id")
+        assigned.orderBy(*_sample_order(seed))
         .limit(train_sample)
         .select("embedding", "cluster")
         .toPandas()
@@ -582,6 +599,40 @@ def ivfpq_encode(
     return _encode_pq(assigned, np.asarray(centroids, float), books)
 
 
+def _append_codes(
+    spark, path: str, enc_new: DataFrame, if_absent: bool
+) -> None:
+    """Shared append-write for :func:`ivfpq_append` / :func:`opq_append`:
+    plain append-mode parquet into the per-cluster layout, or — with
+    ``if_absent`` — the replay-idempotent variant that anti-joins the
+    batch's ids against ONLY the cluster partitions it touches
+    (partition pruning keeps the probe proportional to touched-cell
+    size, not index size)."""
+    if not if_absent:
+        enc_new.write.mode("append").partitionBy("cluster").parquet(
+            path + "/codes"
+        )
+        return
+    # persist: the encode pass (Arrow pandas UDF) would otherwise run
+    # twice — once for the touched-cell list, once for the write
+    enc_new = enc_new.persist()
+    try:
+        touched = [
+            int(r["cluster"])
+            for r in enc_new.select("cluster").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(path + "/codes")
+            .filter(F.col("cluster").isin(touched))
+            .select("vec_id")
+        )
+        enc_new.join(existing, "vec_id", "left_anti").write.mode(
+            "append"
+        ).partitionBy("cluster").parquet(path + "/codes")
+    finally:
+        enc_new.unpersist()
+
+
 def ivfpq_append(
     spark,
     path: str,
@@ -608,29 +659,7 @@ def ivfpq_append(
     ingest registry."""
     _, centroids, books = ivfpq_read(spark, path)
     enc_new = ivfpq_encode(vectors, centroids, books, id_col, vec_col)
-    if if_absent:
-        # persist: the encode pass (Arrow pandas UDF) would otherwise
-        # run twice — once for the touched-cell list, once for the write
-        enc_new = enc_new.persist()
-        try:
-            touched = [
-                int(r["cluster"])
-                for r in enc_new.select("cluster").distinct().collect()
-            ]
-            existing = (
-                spark.read.parquet(path + "/codes")
-                .filter(F.col("cluster").isin(touched))
-                .select("vec_id")
-            )
-            enc_new.join(existing, "vec_id", "left_anti").write.mode(
-                "append"
-            ).partitionBy("cluster").parquet(path + "/codes")
-        finally:
-            enc_new.unpersist()
-        return
-    enc_new.write.mode("append").partitionBy("cluster").parquet(
-        path + "/codes"
-    )
+    _append_codes(spark, path, enc_new, if_absent)
 
 
 def ivfpq_compact(
@@ -658,21 +687,25 @@ def ivfpq_compact(
     ``corpus`` is the raw vector source (the PQ rows are lossy — at
     production scale the full-width vectors live in the lake and the
     index is derived state, so compaction re-reads the source).
-    Coarse centroids re-fit over the FULL corpus (MLlib KMeans — a
-    bounded sample-sized job); PQ codebooks retrain on the same
+    Coarse centroids re-fit on a bounded seeded-HASH sample of the
+    corpus (uniform over old and appended rows alike — a prefix
+    sample would keep retraining on the oldest rows and stay blind to
+    drift, r13 review); PQ codebooks retrain on the same
     bounded seeded ``train_sample`` residual sample as a fresh build;
     the per-cluster parquet layout is rewritten in place. ``m``/``ks``/
     ``n_clusters`` default to the EXISTING index's geometry (same byte
     budget), read from the KB-sized sidecar.
 
     ``rescale_cells=True`` lets the compact also TRACK CORPUS GROWTH:
-    the cell count is re-derived as ``~√n`` (the standard IVF sizing —
-    cells ∝ √n balances per-cell scan length against probe fan-out)
-    instead of inheriting the sidecar's frozen build-time geometry. An
-    index built at 1M rows that absorbed appends to 100M keeps 1,000
-    cells forever without this — each probe then scans 100× longer
-    cells than the fresh-build equivalent. Ignored when ``n_clusters``
-    is passed explicitly; PQ byte budget (m, ks) never changes here.
+    the cell count is re-derived as ``~√n`` of the RETRAIN CORPUS (the
+    standard IVF sizing — cells ∝ √n balances per-cell scan length
+    against probe fan-out) instead of inheriting the sidecar's frozen
+    build-time geometry. An index built at 1M rows that absorbed
+    appends to 100M keeps 1,000 cells forever without this — each
+    probe then scans 100× longer cells than the fresh-build
+    equivalent. A corpus under 2 rows skips the compact entirely
+    (nothing to retrain from). Ignored when ``n_clusters`` is passed
+    explicitly; PQ byte budget (m, ks) never changes here.
 
     When ``min_appended_frac`` is set, compaction is SKIPPED unless
     the appended fraction — (current codes rows − rows at last
@@ -705,15 +738,26 @@ def ivfpq_compact(
         (n_cur - n_base) / n_cur if n_base is not None and n_cur else None
     )
     if n_clusters is None:
-        if rescale_cells and n_cur >= 2:
-            # ~sqrt(n) cells, floored at the MLlib minimum of 2 and
-            # capped at n_cur so KMeans never trains with more centers
-            # than points (r12 advisory: the old clamp let n_cur=1
-            # yield k=2)
-            n_clusters = max(2, min(int(round(n_cur**0.5)), n_cur))
+        if rescale_cells:
+            # ~sqrt(n) cells derived from the RETRAIN CORPUS — the
+            # table the new geometry will actually hold — not from the
+            # old index's codes count (r13 review: a drained index
+            # compacted against a full lake, or a stale index against
+            # a grown lake, would size cells from the wrong n). Floored
+            # at the MLlib minimum of 2 and capped at the corpus row
+            # count so KMeans never trains with more centers than
+            # points (r12 advisory); a <2-row corpus has nothing to
+            # retrain from, so the compact is SKIPPED outright.
+            n_corpus = corpus.count()
+            if n_corpus < 2:
+                return {
+                    "compacted": False,
+                    "appended_frac": appended_frac,
+                    "n_rows": n_cur,
+                    "n_clusters": len(meta["centroids"]),
+                }
+            n_clusters = max(2, min(int(round(n_corpus**0.5)), n_corpus))
         else:
-            # rescale off, or a 0/1-row index where no sane ~sqrt(n)
-            # geometry exists: inherit the sidecar's build-time cells
             n_clusters = len(meta["centroids"])
     if (
         min_appended_frac is not None
@@ -907,14 +951,12 @@ def ivfpq_write(
     # retrained layout would survive with codes encoded against OLD
     # codebooks under the NEW sidecar — silently wrong search results
     # (r11 advisory).
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
+    from near_event_streams_spark.session import partition_overwrite_mode
+
+    with partition_overwrite_mode(spark, "static"):
         enc.write.mode("overwrite").partitionBy("cluster").parquet(
             path + "/codes"
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     n_rows = spark.read.parquet(path + "/codes").count()
     row = (
         m,
@@ -1171,7 +1213,7 @@ def opq_index(
     )
     cmat = np.asarray(centroids, dtype=np.float64)
     samp = (
-        assigned.orderBy("vec_id")
+        assigned.orderBy(*_sample_order(seed))
         .limit(train_sample)
         .select("embedding", "cluster")
         .toPandas()
@@ -1261,27 +1303,7 @@ def opq_append(
     same replay-idempotent anti-join (pruned to touched cells)."""
     _, centroids, rot, books = opq_read(spark, path)
     enc_new = opq_encode(vectors, centroids, rot, books, id_col, vec_col)
-    if if_absent:
-        enc_new = enc_new.persist()
-        try:
-            touched = [
-                int(r["cluster"])
-                for r in enc_new.select("cluster").distinct().collect()
-            ]
-            existing = (
-                spark.read.parquet(path + "/codes")
-                .filter(F.col("cluster").isin(touched))
-                .select("vec_id")
-            )
-            enc_new.join(existing, "vec_id", "left_anti").write.mode(
-                "append"
-            ).partitionBy("cluster").parquet(path + "/codes")
-        finally:
-            enc_new.unpersist()
-        return
-    enc_new.write.mode("append").partitionBy("cluster").parquet(
-        path + "/codes"
-    )
+    _append_codes(spark, path, enc_new, if_absent)
 
 
 def opq_compact(

@@ -15,6 +15,7 @@ Defaults are chosen for correctness-at-scale first:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -60,3 +61,21 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+@contextmanager
+def partition_overwrite_mode(spark: SparkSession, mode: str):
+    """Scope ``spark.sql.sources.partitionOverwriteMode`` to a block,
+    restoring the caller's session value on exit. Four write paths need
+    a specific mode (the ingest sinks want 'dynamic' so a replayed
+    batch rewrites only its own partition; the index writers pin
+    'static' so a retrained layout cannot leave stale partition dirs
+    behind) and none of them may leak the change into the caller's
+    session (r13 review: the save/set/restore dance was hand-rolled at
+    every site)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

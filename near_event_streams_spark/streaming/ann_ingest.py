@@ -27,12 +27,16 @@ that the NEXT batch's ``ivfpq_recover`` resolves before touching the
 index — a completed-but-unswapped retrain is promoted, an incomplete
 one is discarded in favor of the old index.
 
-Scale: every per-batch step is bounded by batch size or sidecar size
-except the scheduled compact, which is the deliberate retrain the
-``min_appended_frac`` knob amortizes; the lake accumulates one
-partition dir per batch (fold with
-``sinks.parquet_sink.compact_batch_dirs_inplace`` out-of-band, same
-as the text-corpus ingest).
+Scale: every per-batch step is bounded by batch size or sidecar size,
+with two scheduled exceptions the knobs control: the compact CHECK
+(``min_appended_frac``) must count the current codes rows — a
+metadata-only parquet footer count, but its file LISTING grows with
+index size, so ``compact_check_every`` runs the check on a batch
+cadence instead of every batch (r13 review) — and the fired compact
+itself, the deliberate retrain the fraction threshold amortizes. The
+lake accumulates one partition dir per batch; ``lake_compact_every``
+folds closed dirs in-place (same transactional machinery as the
+text-corpus ingest), or manage it out-of-band.
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from near_event_streams_spark.operators import similarity
+from near_event_streams_spark.session import partition_overwrite_mode
 
 
 def seed_ann_index(
@@ -92,6 +97,7 @@ def ann_index_ingest_sink(
     compact_seed: int = 42,
     rescale_cells: bool = False,
     lake_compact_every: int | None = None,
+    compact_check_every: int = 1,
 ):
     """Return the ``foreachBatch`` sink body for streaming ANN-index
     ingest: recover → lake-land → idempotent append → scheduled
@@ -99,6 +105,11 @@ def ann_index_ingest_sink(
     gated queries and tests can drive the exact production batch path
     without a streaming runtime.
 
+    ``compact_check_every`` rate-limits the ``min_appended_frac``
+    evaluation to every N-th batch: the check's codes row-count is
+    metadata-only but lists the whole codes tree, so running it every
+    small batch against a large index pays per-batch work proportional
+    to index FILE COUNT (r13 review). Default 1 = check every batch.
     ``lake_compact_every`` folds the lake's closed ``batch_id=N`` dirs
     into size-targeted files every that-many batches (the 24/7
     small-files countermeasure, same transactional
@@ -118,21 +129,19 @@ def ann_index_ingest_sink(
         # state; the scheduled retrain re-reads this source. batch_id
         # partition + dynamic overwrite = a replayed batch rewrites its
         # own partition instead of duplicating rows.
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with partition_overwrite_mode(spark, "dynamic"):
             (
                 vecs.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
                 .parquet(lake_dir)
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         append(
             spark, index_path, vecs, id_col, vec_col, if_absent=True
         )
-        if min_appended_frac is not None:
+        if min_appended_frac is not None and (
+            (batch_id + 1) % compact_check_every == 0
+        ):
             corpus = spark.read.parquet(lake_dir).select(id_col, vec_col)
             compact(
                 spark,
@@ -165,6 +174,7 @@ def start_ann_index_ingest(
     compact_seed: int = 42,
     rescale_cells: bool = False,
     lake_compact_every: int | None = None,
+    compact_check_every: int = 1,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Run the streaming ANN-index ingest loop: each micro-batch of
@@ -187,6 +197,7 @@ def start_ann_index_ingest(
                 compact_seed=compact_seed,
                 rescale_cells=rescale_cells,
                 lake_compact_every=lake_compact_every,
+                compact_check_every=compact_check_every,
             )
         )
     )

@@ -43,6 +43,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from near_event_streams_spark.operators import dedup
 from near_event_streams_spark.operators.dedup import normalized_text
+from near_event_streams_spark.session import partition_overwrite_mode
 from near_event_streams_spark.streaming import upsert
 
 
@@ -160,21 +161,13 @@ def start_incremental_dedup_ingest(
         ).persist()
         try:
             spark = batch.sparkSession
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
+            with partition_overwrite_mode(spark, "dynamic"):
                 (
                     survivors.drop("fingerprint")
                     .withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .partitionBy("batch_id")
                     .parquet(corpus_dir)
-                )
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
                 )
             register_fingerprints(
                 survivors, registry_path, batch_id, id_col, n_buckets
@@ -553,21 +546,13 @@ def start_incremental_neardup_ingest(
         ).persist()
         try:
             spark = batch.sparkSession
-            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
+            with partition_overwrite_mode(spark, "dynamic"):
                 (
                     accepted.drop("fingerprint", "sig")
                     .withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .partitionBy("batch_id")
                     .parquet(corpus_dir)
-                )
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
                 )
             register_batch_neardup(
                 accepted,
@@ -844,22 +829,12 @@ def image_ingest_sink_body(
             # corpus rows are the ORIGINAL batch rows (payload and
             # all), filtered to the accepted + undecodable ids
             out = batch.join(keep_ids, id_col, "left_semi")
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode"
-            )
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
+            with partition_overwrite_mode(spark, "dynamic"):
                 (
                     out.withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .partitionBy("batch_id")
                     .parquet(corpus_dir)
-                )
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
                 )
             register_batch_image_neardup(
                 accepted, registry_path, batch_id, id_col, n_buckets

@@ -185,20 +185,23 @@ def test_recover_validates_live_before_deleting_strays(
     assert similarity.ivfpq_recover(spark, path) == "ok"
 
 
-def test_rescale_clamp_near_empty_index(spark, tmp_path, emb_halves):
-    """r12 advisory: rescale_cells on a 0/1-row index must fall back to
-    the sidecar's build-time geometry instead of deriving k=2 > rows
-    from sqrt(1); a small-but-trainable index still rescales to
-    min(round(sqrt(n)), n)."""
+def test_rescale_clamp_anchors_to_retrain_corpus(spark, tmp_path, emb_halves):
+    """r12 advisory + r13 review: the ~sqrt(n) rescale derives n from
+    the RETRAIN CORPUS — the table the new geometry will hold — never
+    from the old index's codes count. A drained 1-row index compacted
+    against the full lake gets full-corpus cells; a tiny corpus clamps
+    k to its own row count; a <2-row corpus skips the compact outright
+    (nothing to retrain from, and no k could be trainable)."""
     emb, old, _ = emb_halves
+    n_total = emb.count()
     path = str(tmp_path / "pqidx")
     enc, cents, books = similarity.ivfpq_index(
         old, n_clusters=4, m=8, ks=256, seed=42
     )
     similarity.ivfpq_write(enc, cents, books, path)
 
-    # shrink the CODES layout to one row (a nearly-drained index whose
-    # raw corpus is still available for retrain)
+    # drain the CODES layout to one row; the raw corpus is intact —
+    # cells must size from the corpus (sqrt(500) ~ 22), not sqrt(1)
     one = spark.read.parquet(path + "/codes").limit(1).collect()
     spark.createDataFrame(
         one, spark.read.parquet(path + "/codes").schema
@@ -208,21 +211,28 @@ def test_rescale_clamp_near_empty_index(spark, tmp_path, emb_halves):
     res = similarity.ivfpq_compact(
         spark, path, emb, seed=42, rescale_cells=True
     )
-    # sqrt(1) would have given 2 cells under the old clamp; the
-    # fallback inherits the sidecar's 4 build-time cells
     assert res["compacted"] is True
-    assert res["n_clusters"] == 4
+    assert res["n_clusters"] == round(n_total**0.5)
+    assert res["n_rows"] == n_total
 
-    # a 4-row index rescales to min(round(sqrt(4)), 4) = 2
-    similarity.ivfpq_write(enc, cents, books, path)
-    four = spark.read.parquet(path + "/codes").limit(4).collect()
-    spark.createDataFrame(
-        four, spark.read.parquet(path + "/codes").schema
-    ).write.mode("overwrite").partitionBy("cluster").parquet(
-        path + "/codes"
+    # 3-row corpus: k clamps to min(round(sqrt(3)), 3) = 2 — never
+    # more centers than corpus rows
+    tiny = emb.filter(emb.vec_id < 3)
+    res3 = similarity.ivfpq_compact(
+        spark, path, tiny, seed=42, rescale_cells=True
     )
-    res4 = similarity.ivfpq_compact(
-        spark, path, emb, seed=42, rescale_cells=True
+    assert res3["compacted"] is True
+    assert res3["n_clusters"] == 2
+    assert res3["n_rows"] == 3
+
+    # <2-row corpus: skip outright, layout untouched
+    before = spark.read.parquet(path + "/codes").count()
+    res1 = similarity.ivfpq_compact(
+        spark,
+        path,
+        emb.filter(emb.vec_id < 1),
+        seed=42,
+        rescale_cells=True,
     )
-    assert res4["compacted"] is True
-    assert res4["n_clusters"] == 2
+    assert res1["compacted"] is False
+    assert spark.read.parquet(path + "/codes").count() == before
