@@ -1146,22 +1146,10 @@ def variant_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write→scan→extract roundtrip: an encoding regression, a reader that
     loses the variant logical type, or an extraction that changes
     null-semantics on re-read all flip the hash. Scratch dir is a
-    per-call mkdtemp with a 3-call grace window (see
-    ``variant_shredded_pushdown``) so held DataFrames and concurrent
-    sessions never read a wiped path."""
-    import hashlib
-    import shutil
-    import tempfile
-
+    per-call mkdtemp with a 3-call grace window (``_scratch_dir``) so
+    held DataFrames and concurrent sessions never read a wiped path."""
     ev = _t(spark, sf_dir, "events")
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    prefix = f"nes_variant_rt_{digest}_"
-    paths = _VARIANT_SCRATCH.setdefault(prefix, [])
-    while len(paths) > 3:
-        shutil.rmtree(paths.pop(0), ignore_errors=True)
-    path = tempfile.mkdtemp(prefix=prefix)
-    paths.append(path)
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("variant_rt", sf_dir)
     ev.select(
         "event_id", "event_type", F.parse_json(F.col("props")).alias("pv")
     ).write.parquet(path)
@@ -1196,9 +1184,37 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
-# per-prefix scratch dirs written by variant_shredded_pushdown in this
-# process, oldest first (see the grace-window comment in the function)
-_VARIANT_SCRATCH: dict[str, list[str]] = {}
+# per-prefix scratch dirs written by the write-then-read gates in this
+# process, oldest first (see the grace-window contract in _scratch_dir)
+_SCRATCH_DIRS: dict[str, list[str]] = {}
+
+
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    """Scratch dir for gates that WRITE a layout and return a LAZY
+    DataFrame over it (variant roundtrips, upsert-store gates, the
+    csv/json format gate). A fixed rmtree-then-rewrite path breaks two
+    ways: a DataFrame handed back by an earlier invocation reads a
+    wiped dir when the next call rmtrees it before the caller collects
+    (the driver collects AFTER the query function returns), and a
+    second concurrent session on the same ``sf_dir`` can observe a
+    half-rewritten store. So: per-call unique ``mkdtemp``, tracked per
+    ``(kind, sf_dir)`` prefix, with a 3-call grace window — older dirs
+    are reaped so repeated bench runs don't leak /tmp space. The dir
+    itself is removed before return (Spark writers want a non-existent
+    target)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"nes_{kind}_{digest}_"
+    paths = _SCRATCH_DIRS.setdefault(prefix, [])
+    while len(paths) > 3:
+        shutil.rmtree(paths.pop(0), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=prefix)
+    paths.append(path)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 def variant_shredded_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1220,27 +1236,8 @@ def variant_shredded_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all aggregates engine-exact: counts, bigint sums, double min/max —
     no float summation order in play). Session confs are restored after
     the write; scratch dir wiped per call."""
-    import hashlib
-    import shutil
-    import tempfile
-
     ev = _t(spark, sf_dir, "events")
-    # per-call UNIQUE scratch dir (mkdtemp), never a shared fixed path:
-    # a lazy DataFrame returned by an earlier invocation, or a second
-    # concurrent session on the same sf_dir, must not observe this
-    # call's write. Older scratch dirs from THIS process are kept for a
-    # grace window of 3 calls (a held DataFrame stays readable across a
-    # few re-invocations) and reaped beyond that so repeated bench runs
-    # don't leak /tmp space.
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    prefix = f"nes_variant_shred_{digest}_"
-    paths = _VARIANT_SCRATCH.setdefault(prefix, [])
-    while len(paths) > 3:
-        shutil.rmtree(paths.pop(0), ignore_errors=True)
-    path = tempfile.mkdtemp(prefix=prefix)
-    paths.append(path)
-    # the parquet writer wants a non-existent target dir
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("variant_shred", sf_dir)
     confs = {
         "spark.sql.variant.writeShredding.enabled": "true",
         "spark.sql.variant.inferShreddingSchema": "true",
@@ -4567,12 +4564,9 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reaches the hash tie-break, and the oracle reconstructs the
     merged state relationally (updates override, inserts append).
 
-    The store directory is wiped and rebuilt per call (deterministic —
-    a leftover store would merge into itself on re-run)."""
-    import hashlib
-    import shutil
-    import tempfile
-
+    The store builds in a fresh per-call scratch dir (deterministic —
+    a leftover store would merge into itself on re-run; see
+    ``_scratch_dir`` for the grace-window contract)."""
     from near_event_streams_spark.streaming import upsert
 
     orders = _t(spark, sf_dir, "orders")
@@ -4587,14 +4581,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
         "seq", F.lit(2).cast("long")
     )
-    # stable digest: builtin hash() is salted per process
-    # (PYTHONHASHSEED), which left stale store dirs behind and made the
-    # pre-run rmtree miss prior state
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), f"nes_merge_gate_{digest}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("merge_gate", sf_dir)
     upsert.merge_upsert(base, path, key_cols=["o_orderkey"], seq_col="seq")
     upsert.merge_upsert(
         updates.unionByName(inserts),
@@ -4646,11 +4633,7 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     both versions relationally (v1 = even keys as loaded; v2 = updates
     override, inserts append).
 
-    Store dir wiped and rebuilt per call (stable md5 digest path)."""
-    import hashlib
-    import shutil
-    import tempfile
-
+    Store builds in a fresh per-call scratch dir (``_scratch_dir``)."""
     from near_event_streams_spark.streaming import upsert
 
     orders = _t(spark, sf_dir, "orders")
@@ -4665,11 +4648,7 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
         "seq", F.lit(2).cast("long")
     )
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), f"nes_timetravel_gate_{digest}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("timetravel_gate", sf_dir)
     upsert.merge_upsert(base, path, key_cols=["o_orderkey"], seq_col="seq")
     upsert.merge_upsert(
         updates.unionByName(inserts),
@@ -4737,11 +4716,7 @@ def pruned_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression that silently falls back to a full scan also fails the
     gate.
 
-    Store dir wiped and rebuilt per call (stable md5 digest path)."""
-    import hashlib
-    import shutil
-    import tempfile
-
+    Store builds in a fresh per-call scratch dir (``_scratch_dir``)."""
     from near_event_streams_spark.streaming import upsert
 
     orders = _t(spark, sf_dir, "orders")
@@ -4756,11 +4731,7 @@ def pruned_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
         "seq", F.lit(2).cast("long")
     )
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(
-        tempfile.gettempdir(), f"nes_pruned_probe_gate_{digest}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_dir("pruned_probe_gate", sf_dir)
     n_buckets = 64
     upsert.merge_upsert(
         base, path, key_cols=["o_orderkey"], seq_col="seq",
@@ -5290,12 +5261,8 @@ def scan_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXPLICIT schemas (never inference in a production read path), and
     aggregate per (format, status). The oracle aggregates the parquet
     source directly, once per format tag — any serialization drift in
-    either format breaks the hash. Scratch path is a stable md5 digest
-    (the merge-store lesson)."""
-    import hashlib
-    import shutil
-    import tempfile
-
+    either format breaks the hash. Scratch dir is per-call
+    (``_scratch_dir``)."""
     orders = _t(spark, sf_dir, "orders")
     sel = orders.select(
         "o_orderkey",
@@ -5306,11 +5273,7 @@ def scan_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("order_day"),
         "o_orderpriority",
     )
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(
-        tempfile.gettempdir(), f"nes_fmt_gate_{digest}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_dir("fmt_gate", sf_dir)
     sel.write.mode("overwrite").option("header", True).csv(
         os.path.join(base, "csv")
     )

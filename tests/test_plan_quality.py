@@ -720,7 +720,6 @@ def test_variant_shredded_write_and_pushed_scan(spark):
     decoded."""
     import glob
     import hashlib
-    import tempfile
 
     df = analytics_ext.QUERIES["variant_shredded_pushdown"](spark, SF_DIR)
     plan = plan_text(df)
@@ -732,8 +731,11 @@ def test_variant_shredded_write_and_pushed_scan(spark):
     assert "bigint" in fields and "string" in fields and "double" in fields
     assert "variant" not in fields.lower(), fields
 
+    # the query writes its shredded file to a per-call mkdtemp scratch
+    # dir (unique suffix); resolve the one THIS call just wrote from
+    # the module's scratch tracker instead of guessing a fixed path
     digest = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/nes_variant_shred_{digest}"
+    path = analytics_ext._SCRATCH_DIRS[f"nes_variant_shred_{digest}_"][-1]
     part = glob.glob(f"{path}/*.parquet")[0]
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(part)
