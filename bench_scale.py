@@ -1136,8 +1136,88 @@ def run_ivfpq_compact() -> None:
     finally:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path + "_fresh", ignore_errors=True)
-    emb.unpersist()
     queries.unpersist()
+
+    # --- drift story: appends from a SHIFTED distribution -----------
+    # The iid states above are expected NOT to erode under the r13
+    # uniform-hash training sample: centroids fit on half a drift-free
+    # corpus are statistically equivalent to a full-corpus fit, so
+    # same-distribution appends route as well as base rows. Erosion is
+    # a DRIFT phenomenon — vectors from a distribution the standing
+    # geometry never saw quantize with large residuals against the old
+    # centroids and mis-rank in the ADC scan. Emulate it
+    # deterministically: the appended half is shifted +2 sigma on 8 of
+    # the 64 dims (sigma ~0.125 per coordinate on this table).
+    drifted = new.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i < F.lit(8), x + F.lit(0.25)).otherwise(x),
+        ),
+    )
+    emb_d = (
+        old.withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        .unionByName(drifted)
+        .persist()
+    )
+    queries_d = emb_d.filter(F.col("vec_id") < 200).persist()
+    nq_d = queries_d.count()
+    exact_d = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.brute_force_topk(
+            queries_d, emb_d, k=K
+        ).collect()
+    }
+
+    def recall_d(index):
+        approx = {
+            (r["query_id"], r["cand_id"])
+            for r in similarity.ivfpq_topk(
+                queries_d,
+                emb_d,
+                k=K,
+                nprobe=NPROBE,
+                refine=REFINE,
+                index=index,
+            ).collect()
+        }
+        return len(exact_d & approx) / len(exact_d)
+
+    path_d = tempfile.mkdtemp(prefix="nes_scale_pqdrift_")
+    try:
+        # ceiling: fresh build over the drifted corpus (geometry SAW
+        # the drifted cohort)
+        enc_fd, c_fd, b_fd = similarity.ivfpq_index(
+            emb_d, NC, M, 256, id_col="vec_id", vec_col="embedding"
+        )
+        similarity.ivfpq_write(enc_fd, c_fd, b_fd, path_d + "_fresh")
+        r_fresh_d = recall_d(
+            similarity.ivfpq_read(spark, path_d + "_fresh")
+        )
+
+        # eroded state: geometry trained pre-drift, drifted rows
+        # appended against it (the daily-ingest-under-drift state)
+        enc_od, c_od, b_od = similarity.ivfpq_index(
+            old, NC, M, 256, id_col="vec_id", vec_col="embedding"
+        )
+        similarity.ivfpq_write(enc_od, c_od, b_od, path_d)
+        similarity.ivfpq_append(spark, path_d, drifted)
+        r_appended_d = recall_d(similarity.ivfpq_read(spark, path_d))
+
+        # the scheduled compact retrains on a uniform hash sample of
+        # the full lake — drifted rows enter the sample proportionally
+        similarity.ivfpq_compact(
+            spark, path_d, emb_d, min_appended_frac=0.25
+        )
+        r_compacted_d = recall_d(similarity.ivfpq_read(spark, path_d))
+    finally:
+        shutil.rmtree(path_d, ignore_errors=True)
+        shutil.rmtree(path_d + "_fresh", ignore_errors=True)
+    emb_d.unpersist()
+    queries_d.unpersist()
+    emb.unpersist()
 
     # --- wall story: the 32x corpus (64k vectors) -------------------
     emb32 = spark.read.parquet(
@@ -1176,6 +1256,10 @@ def run_ivfpq_compact() -> None:
         "recall_fresh": round(r_fresh, 3),
         "recall_appended": round(r_appended, 3),
         "recall_compacted": round(r_compacted, 3),
+        "drift_queries": nq_d,
+        "recall_fresh_drift": round(r_fresh_d, 3),
+        "recall_appended_drift": round(r_appended_d, 3),
+        "recall_compacted_drift": round(r_compacted_d, 3),
         "compact_wall_sec_32x": round(wall_compact, 2),
         "skip_wall_sec_32x": round(wall_skip, 2),
         "skip_fired": skip["compacted"] or skip32["compacted"],
@@ -1183,24 +1267,42 @@ def run_ivfpq_compact() -> None:
     print(json.dumps(report))
     lines = [
         "",
-        "## IVF-PQ compaction: recall restored after 50% appends",
+        "## IVF-PQ compaction: append recall under iid vs drifted ingest",
         "",
-        f"Recall measured on the {n_base} DISTINCT sf0.1 vectors ({nq} "
-        f"queries, n_clusters={NC}, nprobe={NPROBE}, m={M}, "
-        f"refine={REFINE} — identical probe settings in all three "
-        "states); the 32x corpus cannot show erosion because every "
-        "query's true top-k are its own 32 copies, co-located by "
-        "construction. Appended vectors are encoded against centroids "
-        "trained on the other half only (the daily-ingest state); "
-        "`ivfpq_compact` retrains over the full corpus and swaps the "
-        "layout in via side-dir + rename:",
+        f"Recall measured on the {n_base} DISTINCT sf0.1 vectors "
+        f"(n_clusters={NC}, nprobe={NPROBE}, m={M}, refine={REFINE} — "
+        "identical probe settings in every state); the 32x corpus "
+        "cannot show erosion because every query's true top-k are its "
+        "own 32 copies, co-located by construction.",
         "",
-        "| index state | recall@5 vs exact |",
+        "**Same-distribution appends do not erode — and that is the "
+        "correct result, not a fixture gap**: under the uniform "
+        "seeded-hash training sample (r13), centroids fit on half a "
+        "drift-free corpus are statistically equivalent to a "
+        "full-corpus fit, so appended iid vectors route as well as "
+        f"base rows ({nq} queries):",
+        "",
+        "| index state (iid appends) | recall@5 vs exact |",
         "|---|---|",
-        f"| fresh full build (ceiling) | {r_fresh:.3f} |",
-        f"| half build + 50% appended | {r_appended:.3f} |",
+        f"| fresh full build | {r_fresh:.3f} |",
+        f"| half build + 50% appended (same distribution) | "
+        f"{r_appended:.3f} |",
         f"| after scheduled compact (`min_appended_frac=0.25`, fired at "
         f"{fired['appended_frac']:.2f}) | {r_compacted:.3f} |",
+        "",
+        "**Drift is what erodes** — the appended half shifted +2σ on 8 "
+        "of 64 dims (deterministic) quantizes with large residuals "
+        "against the pre-drift geometry and mis-ranks in the ADC scan; "
+        "the scheduled compact's uniform retrain sample sees the "
+        "drifted cohort and restores the ceiling "
+        f"({nq_d} mixed-cohort queries):",
+        "",
+        "| index state (drifted appends) | recall@5 vs exact |",
+        "|---|---|",
+        f"| fresh full build over drifted corpus (ceiling) | "
+        f"{r_fresh_d:.3f} |",
+        f"| pre-drift build + 50% drifted appends | {r_appended_d:.3f} |",
+        f"| after scheduled compact | {r_compacted_d:.3f} |",
         "",
         f"Wall costs at the 32x corpus ({n_corpus} vectors): compact "
         f"rebuild {wall_compact:.1f} s; scheduler no-op "
@@ -1211,7 +1313,12 @@ def run_ivfpq_compact() -> None:
         "Compaction restores the fresh-build recall exactly (same "
         "seeded training contract). At 100 TB the rebuild is the "
         "nightly maintenance job; the swap keeps probes consistent "
-        "throughout (codes and sidecar move together, never in-place).",
+        "throughout (codes and sidecar move together, never in-place). "
+        "At this fixture size every training sample sees the whole "
+        "corpus; past the 32k/4k sample bounds the drift story is also "
+        "why the samples rank by value hash — a vec_id-prefix sample "
+        "would pin every retrain to the oldest (pre-drift) rows and "
+        "stay blind to the appended cohort forever.",
         "",
     ]
     _append_named_section(
