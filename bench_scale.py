@@ -629,32 +629,7 @@ def run_neardup_latency() -> None:
         f"Verdict: {'FLAT (<=2x across 31x registry growth)' if flat else 'NOT FLAT - investigate'}"
     )
     lines.append("")
-    md_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
-    )
-    with open(md_path) as f:
-        content = f.read()
-    own_marker = "## Incremental near-dup probe"
-    skew_marker = "## Appendix: skew-adversarial stress"
-    # drop any previous copy of this section
-    if own_marker in content:
-        head, rest = content.split(own_marker, 1)
-        rest = (
-            skew_marker + rest.split(skew_marker, 1)[1]
-            if skew_marker in rest
-            else ""
-        )
-        content = head.rstrip() + "\n\n" + rest
-    block = "\n".join(lines)
-    if skew_marker in content:
-        # keep the skew appendix LAST (its writer truncates at its own
-        # marker, which would otherwise wipe this section)
-        head, tail = content.split(skew_marker, 1)
-        content = head.rstrip() + "\n\n" + block + "\n" + skew_marker + tail
-    else:
-        content = content.rstrip() + "\n\n" + block
-    with open(md_path, "w") as f:
-        f.write(content)
+    _append_named_section(lines, "## Incremental near-dup probe")
 
 
 def run_ivfpq() -> None:
@@ -784,36 +759,17 @@ def run_ivfpq() -> None:
         "whether a shard's index fits in executor memory.",
         "",
     ]
-    md_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
+    _append_named_section(
+        lines,
+        "## IVF-PQ vs IVF-Flat",
+        next_markers=[
+            "## IVF-PQ persisted index",
+            "## IVF-PQ compaction",
+            "## Image near-dedup",
+            "## Incremental near-dup probe",
+            "## Appendix: skew-adversarial stress",
+        ],
     )
-    with open(md_path) as f:
-        content = f.read()
-    own_marker = "## IVF-PQ vs IVF-Flat"
-    next_markers = [
-        "## IVF-PQ persisted index",
-        "## Incremental near-dup probe",
-        "## Appendix: skew-adversarial stress",
-    ]
-    if own_marker in content:
-        head, rest = content.split(own_marker, 1)
-        tail = ""
-        for m_ in next_markers:
-            if m_ in rest:
-                tail = m_ + rest.split(m_, 1)[1]
-                break
-        content = head.rstrip() + "\n\n" + tail
-    block = "\n".join(lines)
-    for m_ in next_markers:
-        if m_ in content:
-            head, tail = content.split(m_, 1)
-            content = head.rstrip() + "\n\n" + block + "\n" + m_ + tail
-            break
-    else:
-        content = content.rstrip() + "\n\n" + block
-    with open(md_path, "w") as f:
-        f.write(content)
-    print(f"wrote {md_path}")
 
 
 def run_ivfpq_persist() -> None:
@@ -916,36 +872,20 @@ def run_ivfpq_persist() -> None:
         "(partition-pruned) plus refine*k full vectors per query.",
         "",
     ]
-    md_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
+    # "## IVF-PQ compaction" FIRST: that section sits directly below
+    # this one, and a marker list that skips it deletes it wholesale
+    # on every rewrite (r13: the --ivfpq-persist refresh silently
+    # swallowed the freshly-measured compaction tables)
+    _append_named_section(
+        lines,
+        "## IVF-PQ persisted index",
+        next_markers=[
+            "## IVF-PQ compaction",
+            "## Image near-dedup",
+            "## Incremental near-dup probe",
+            "## Appendix: skew-adversarial stress",
+        ],
     )
-    with open(md_path) as f:
-        content = f.read()
-    own_marker = "## IVF-PQ persisted index"
-    next_markers = [
-        "## Image near-dedup",
-        "## Incremental near-dup probe",
-        "## Appendix: skew-adversarial stress",
-    ]
-    if own_marker in content:
-        head, rest = content.split(own_marker, 1)
-        tail = ""
-        for m_ in next_markers:
-            if m_ in rest:
-                tail = m_ + rest.split(m_, 1)[1]
-                break
-        content = head.rstrip() + "\n\n" + tail
-    block = "\n".join(lines)
-    for m_ in next_markers:
-        if m_ in content:
-            head, tail = content.split(m_, 1)
-            content = head.rstrip() + "\n\n" + block + "\n" + m_ + tail
-            break
-    else:
-        content = content.rstrip() + "\n\n" + block
-    with open(md_path, "w") as f:
-        f.write(content)
-    print(f"wrote {md_path}")
 
 
 def run_containment_cap() -> None:
@@ -1565,35 +1505,14 @@ def run_image_neardup() -> None:
         "below), and leave it off when no monoculture is expected.",
         "",
     ]
-    md_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
+    _append_named_section(
+        lines,
+        "## Image near-dedup",
+        next_markers=[
+            "## Incremental near-dup probe",
+            "## Appendix: skew-adversarial stress",
+        ],
     )
-    with open(md_path) as f:
-        content = f.read()
-    own_marker = "## Image near-dedup"
-    next_markers = [
-        "## Incremental near-dup probe",
-        "## Appendix: skew-adversarial stress",
-    ]
-    if own_marker in content:
-        head, rest = content.split(own_marker, 1)
-        tail = ""
-        for m_ in next_markers:
-            if m_ in rest:
-                tail = m_ + rest.split(m_, 1)[1]
-                break
-        content = head.rstrip() + "\n\n" + tail
-    block = "\n".join(lines)
-    for m_ in next_markers:
-        if m_ in content:
-            head, tail = content.split(m_, 1)
-            content = head.rstrip() + "\n\n" + block + "\n" + m_ + tail
-            break
-    else:
-        content = content.rstrip() + "\n\n" + block
-    with open(md_path, "w") as f:
-        f.write(content)
-    print(f"wrote {md_path}")
 
 
 def run_graph_powerlaw() -> None:
@@ -1746,30 +1665,55 @@ def run_graph_powerlaw() -> None:
 def _append_named_section(
     lines: list[str], own_marker: str, next_markers: list[str] | None = None
 ) -> None:
-    """Replace-or-append a named section in BENCH_scale.md, keeping the
-    skew appendix last (same splice discipline as the image sections)."""
+    """Replace-or-insert a named section in BENCH_scale.md.
+
+    An existing section is replaced IN PLACE and runs exactly to the
+    next ``## `` heading — whatever that heading is. The old scheme
+    bounded the replacement by a hand-maintained ``next_markers`` list,
+    which silently DELETED every unlisted section sitting between a
+    writer's own heading and the first listed marker (r13: the
+    ``--ivfpq-persist`` refresh swallowed the freshly measured
+    compaction tables because its list skipped "## IVF-PQ compaction";
+    the incremental-probe writer would have eaten three sections).
+
+    ``next_markers`` now only decides WHERE a section appearing for the
+    FIRST time is inserted: before the first listed marker present in
+    the file (default: before the skew appendix, keeping it last),
+    else appended at the end."""
+    import re
+
     md_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
     )
     next_markers = next_markers or ["## Appendix: skew-adversarial stress"]
     with open(md_path) as f:
         content = f.read()
-    if own_marker in content:
-        head, rest = content.split(own_marker, 1)
-        tail = ""
-        for m_ in next_markers:
-            if m_ in rest:
-                tail = m_ + rest.split(m_, 1)[1]
-                break
-        content = head.rstrip() + "\n\n" + tail
-    block = "\n".join(lines)
-    for m_ in next_markers:
-        if m_ in content:
-            head, tail = content.split(m_, 1)
-            content = head.rstrip() + "\n\n" + block + "\n" + m_ + tail
-            break
+    block = "\n".join(lines).strip("\n")
+    own_at = re.search(
+        rf"^{re.escape(own_marker)}", content, flags=re.MULTILINE
+    )
+    if own_at:
+        head = content[: own_at.start()]
+        rest = content[own_at.end() :]
+        nxt = re.search(r"^## ", rest, flags=re.MULTILINE)
+        tail = rest[nxt.start() :] if nxt else ""
+        content = head.rstrip() + "\n\n" + block + "\n\n" + tail
     else:
-        content = content.rstrip() + "\n\n" + block
+        for m_ in next_markers:
+            at = re.search(
+                rf"^{re.escape(m_)}", content, flags=re.MULTILINE
+            )
+            if at:
+                content = (
+                    content[: at.start()].rstrip()
+                    + "\n\n"
+                    + block
+                    + "\n\n"
+                    + content[at.start() :]
+                )
+                break
+        else:
+            content = content.rstrip() + "\n\n" + block + "\n"
     with open(md_path, "w") as f:
         f.write(content)
     print(f"wrote {md_path}")
@@ -1878,32 +1822,7 @@ def run_image_ingest() -> None:
         "probe-latency curve above).",
         "",
     ]
-    md_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
-    )
-    with open(md_path) as f:
-        content = f.read()
-    own_marker = "## Streaming image ingest"
-    next_markers = ["## Appendix: skew-adversarial stress"]
-    if own_marker in content:
-        head, rest = content.split(own_marker, 1)
-        tail = ""
-        for m_ in next_markers:
-            if m_ in rest:
-                tail = m_ + rest.split(m_, 1)[1]
-                break
-        content = head.rstrip() + "\n\n" + tail
-    block = "\n".join(lines)
-    for m_ in next_markers:
-        if m_ in content:
-            head, tail = content.split(m_, 1)
-            content = head.rstrip() + "\n\n" + block + "\n" + m_ + tail
-            break
-    else:
-        content = content.rstrip() + "\n\n" + block
-    with open(md_path, "w") as f:
-        f.write(content)
-    print(f"wrote {md_path}")
+    _append_named_section(lines, "## Streaming image ingest")
 
 
 if __name__ == "__main__":
