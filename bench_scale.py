@@ -1663,7 +1663,10 @@ def run_graph_powerlaw() -> None:
 
 
 def _append_named_section(
-    lines: list[str], own_marker: str, next_markers: list[str] | None = None
+    lines: list[str],
+    own_marker: str,
+    next_markers: list[str] | None = None,
+    md_path: str | None = None,
 ) -> None:
     """Replace-or-insert a named section in BENCH_scale.md.
 
@@ -1679,12 +1682,14 @@ def _append_named_section(
     ``next_markers`` now only decides WHERE a section appearing for the
     FIRST time is inserted: before the first listed marker present in
     the file (default: before the skew appendix, keeping it last),
-    else appended at the end."""
+    else appended at the end. ``md_path`` overrides the target file
+    (tests splice against a scratch copy)."""
     import re
 
-    md_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
-    )
+    if md_path is None:
+        md_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_scale.md"
+        )
     next_markers = next_markers or ["## Appendix: skew-adversarial stress"]
     with open(md_path) as f:
         content = f.read()
