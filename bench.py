@@ -325,11 +325,18 @@ def regen_bands(n_sweeps: int = 2) -> None:
             f"sweeps (prev {prev.get(name)}){drift}",
             file=sys.stderr,
         )
+    prev_notes = _read_band_notes()
     notes = {
         name: f"min across {len(ds)} sweeps"
         for name, ds in sweeps.items()
         if ds
     }
+    # a query whose solos ALL failed keeps its prev band — keep its
+    # prev provenance note with it (r13 review: dropping the note left
+    # e.g. a 5-solo band in the artifact with its methodology erased)
+    for name in out:
+        if name not in notes and name in prev_notes:
+            notes[name] = f"kept from prev regen: {prev_notes[name]}"
     _write_bands(out, prev, load0, t_start, notes)
 
 
@@ -590,11 +597,21 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--solo":
-        solo(sys.argv[2])
-    elif len(sys.argv) >= 2 and sys.argv[1] == "--bands":
+    if sys.argv[1:2] == ["--solo"] or sys.argv[1:2] == ["--band-for"]:
+        # malformed flag invocations must ERROR, not fall through to
+        # the ~40-min full suite (r13 review: `--band-for NAME` with
+        # the solo count missing silently ran main() and overwrote
+        # the bench detail artifact)
+        if sys.argv[1] == "--solo" and len(sys.argv) >= 3:
+            solo(sys.argv[2])
+        elif sys.argv[1] == "--band-for" and len(sys.argv) >= 4:
+            band_for(sys.argv[2], int(sys.argv[3]))
+        else:
+            raise SystemExit(
+                "usage: bench.py --solo NAME | --bands [N_SWEEPS] | "
+                "--band-for NAME N_SOLOS"
+            )
+    elif sys.argv[1:2] == ["--bands"]:
         regen_bands(int(sys.argv[2]) if len(sys.argv) >= 3 else 2)
-    elif len(sys.argv) >= 4 and sys.argv[1] == "--band-for":
-        band_for(sys.argv[2], int(sys.argv[3]))
     else:
         main()

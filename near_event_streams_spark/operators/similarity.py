@@ -724,6 +724,15 @@ def ivfpq_compact(
             "silently drop the rotation and strand rotation-aware "
             "probes (r12 advisory)"
         )
+    if opq and not has_rot:
+        raise ValueError(
+            f"{path} holds a plain IVF-PQ index (no rotation in the "
+            "sidecar); compact it with ivfpq_compact — an OPQ retrain "
+            "would silently CONVERT the index type, and every existing "
+            "ivfpq_read/ivfpq_append consumer would start refusing it "
+            "after the maintenance job (r13 review: the guard must cut "
+            "both ways)"
+        )
     if m is None:
         m = int(meta["m"])
     if ks is None:
@@ -737,6 +746,21 @@ def ivfpq_compact(
     appended_frac = (
         (n_cur - n_base) / n_cur if n_base is not None and n_cur else None
     )
+    # scheduler skip FIRST: a skipped compact must cost only the
+    # sidecar read + codes count above — deriving the rescale geometry
+    # below pays a full-lake corpus.count() and would turn every
+    # checked-but-skipped ingest window into a lake scan (r13 review)
+    if (
+        min_appended_frac is not None
+        and appended_frac is not None
+        and appended_frac < min_appended_frac
+    ):
+        return {
+            "compacted": False,
+            "appended_frac": appended_frac,
+            "n_rows": n_cur,
+            "n_clusters": len(meta["centroids"]),
+        }
     if n_clusters is None:
         if rescale_cells:
             # ~sqrt(n) cells derived from the RETRAIN CORPUS — the
@@ -759,17 +783,6 @@ def ivfpq_compact(
             n_clusters = max(2, min(int(round(n_corpus**0.5)), n_corpus))
         else:
             n_clusters = len(meta["centroids"])
-    if (
-        min_appended_frac is not None
-        and appended_frac is not None
-        and appended_frac < min_appended_frac
-    ):
-        return {
-            "compacted": False,
-            "appended_frac": appended_frac,
-            "n_rows": n_cur,
-            "n_clusters": len(meta["centroids"]),
-        }
     rot = None
     if opq:
         enc, cents, rot, books = opq_index(

@@ -45,3 +45,41 @@ def ts_us(col_name: str = "ts") -> Column:
     so the NTZ→LTZ cast is wall-clock identity and ``unix_micros``
     matches DuckDB ``epoch_ns(ts)//1000`` exactly."""
     return F.unix_micros(F.col(col_name).cast("timestamp"))
+
+
+# per-prefix scratch dirs handed out in this process, oldest first
+# (see scratch_dir's grace-window contract)
+_SCRATCH_DIRS: dict[str, list[str]] = {}
+
+
+def scratch_dir(kind: str, sf_dir: str, keep_dir: bool = False) -> str:
+    """Scratch dir for gated queries that WRITE a layout and return a
+    LAZY DataFrame over it (variant roundtrips, upsert-store gates, the
+    persisted ANN indexes, the csv/json format gate). A fixed
+    rmtree-then-rewrite path breaks two ways: a DataFrame handed back
+    by an earlier invocation reads a wiped dir when the next call
+    rmtrees it before the caller collects (the driver collects AFTER
+    the query function returns), and a second concurrent session on
+    the same ``sf_dir`` can observe a half-rewritten store. So:
+    per-call unique ``mkdtemp``, tracked per ``(kind, sf_dir)`` prefix,
+    with a 3-call grace window — older dirs are reaped so repeated
+    bench runs don't leak /tmp space.
+
+    ``keep_dir=False`` (default) removes the fresh dir before
+    returning — Spark's parquet/csv/json writers want a non-existent
+    target. ``keep_dir=True`` hands back the existing empty dir for
+    callers that write SUBPATHS under it (the ANN index layouts)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"nes_{kind}_{digest}_"
+    paths = _SCRATCH_DIRS.setdefault(prefix, [])
+    while len(paths) > 3:
+        shutil.rmtree(paths.pop(0), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix=prefix)
+    paths.append(path)
+    if not keep_dir:
+        shutil.rmtree(path, ignore_errors=True)
+    return path

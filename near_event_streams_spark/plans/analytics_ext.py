@@ -1184,37 +1184,15 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
-# per-prefix scratch dirs written by the write-then-read gates in this
-# process, oldest first (see the grace-window contract in _scratch_dir)
-_SCRATCH_DIRS: dict[str, list[str]] = {}
-
-
 def _scratch_dir(kind: str, sf_dir: str) -> str:
-    """Scratch dir for gates that WRITE a layout and return a LAZY
-    DataFrame over it (variant roundtrips, upsert-store gates, the
-    csv/json format gate). A fixed rmtree-then-rewrite path breaks two
-    ways: a DataFrame handed back by an earlier invocation reads a
-    wiped dir when the next call rmtrees it before the caller collects
-    (the driver collects AFTER the query function returns), and a
-    second concurrent session on the same ``sf_dir`` can observe a
-    half-rewritten store. So: per-call unique ``mkdtemp``, tracked per
-    ``(kind, sf_dir)`` prefix, with a 3-call grace window — older dirs
-    are reaped so repeated bench runs don't leak /tmp space. The dir
-    itself is removed before return (Spark writers want a non-existent
-    target)."""
-    import hashlib
-    import shutil
-    import tempfile
+    """Per-call scratch dir for the write-then-read gates in this
+    module (variant roundtrips, upsert-store gates, the csv/json
+    format gate) — delegates to the shared grace-window implementation
+    (``_common.scratch_dir``; one mechanism for this module AND the
+    persisted-ANN gates in llm_ops, r13 review)."""
+    from near_event_streams_spark.plans._common import scratch_dir
 
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    prefix = f"nes_{kind}_{digest}_"
-    paths = _SCRATCH_DIRS.setdefault(prefix, [])
-    while len(paths) > 3:
-        shutil.rmtree(paths.pop(0), ignore_errors=True)
-    path = tempfile.mkdtemp(prefix=prefix)
-    paths.append(path)
-    shutil.rmtree(path, ignore_errors=True)
-    return path
+    return scratch_dir(kind, sf_dir)
 
 
 def variant_shredded_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1008,25 +1008,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_invariant(exact, approx, min_recall=0.8)
 
 
-# per-prefix scratch dirs written by ann_ivfpq_persisted in this
-# process, oldest first: per-call mkdtemp + a 3-call grace window, so a
-# lazy DataFrame held across re-invocations never reads a wiped path
-_IVFPQ_SCRATCH: dict[str, list[str]] = {}
-
-
 def _ivfpq_scratch_dir(sf_dir: str, tag: str = "ivfpq_idx") -> str:
-    import hashlib
-    import shutil
-    import tempfile
+    """Per-call scratch dir (mkdtemp + 3-call grace window) for the
+    persisted-ANN gates — delegates to the shared implementation
+    (``_common.scratch_dir``, r13 review: one mechanism, not two
+    trackers to keep in sync). ``keep_dir=True``: these callers write
+    SUBPATHS (codes/meta) under the returned dir."""
+    from near_event_streams_spark.plans._common import scratch_dir
 
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    prefix = f"nes_{tag}_{digest}_"
-    paths = _IVFPQ_SCRATCH.setdefault(prefix, [])
-    while len(paths) > 3:
-        shutil.rmtree(paths.pop(0), ignore_errors=True)
-    path = tempfile.mkdtemp(prefix=prefix)
-    paths.append(path)
-    return path
+    return scratch_dir(tag, sf_dir, keep_dir=True)
 
 
 def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

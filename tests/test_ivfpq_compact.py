@@ -112,6 +112,33 @@ def test_compact_skip_leaves_layout_untouched(spark, tmp_path, emb_halves):
     assert _codes_rows(spark, path) == before
 
 
+def test_compact_skip_never_scans_corpus(spark, tmp_path, emb_halves):
+    """The scheduler's skip path must cost only the sidecar read + the
+    codes count — with ``rescale_cells=True`` the √n geometry is
+    derived from ``corpus.count()``, and deriving it BEFORE the
+    ``min_appended_frac`` check would turn every checked-but-skipped
+    ingest window into a full-lake scan (r13 review)."""
+    emb, old, _ = emb_halves
+    path = str(tmp_path / "pqidx")
+    enc, cents, books = similarity.ivfpq_index(old, n_clusters=8, m=8)
+    similarity.ivfpq_write(enc, cents, books, path)
+
+    def _boom():
+        raise AssertionError(
+            "corpus.count() ran on the skip path — the scheduler "
+            "check must come first"
+        )
+
+    emb.count = _boom  # instance-level trap; cleared with the fixture
+    try:
+        res = similarity.ivfpq_compact(
+            spark, path, emb, min_appended_frac=0.1, rescale_cells=True
+        )
+    finally:
+        del emb.count  # restore the class method for later tests
+    assert res["compacted"] is False
+
+
 def test_compact_old_sidecar_without_n_rows(spark, tmp_path, emb_halves):
     """A sidecar written before the n_rows field existed: the appended
     fraction is unknowable, so compaction must PROCEED even under a

@@ -62,6 +62,27 @@ def test_plain_readers_reject_opq_layout(spark, opq_layout, emb_halves):
     assert enc.count() > 0
 
 
+def test_opq_compact_rejects_plain_layout(
+    spark, tmp_path, emb_halves
+):
+    """The guard must cut BOTH ways (r13 review): ``opq_compact`` on a
+    rotation-less sidecar would silently CONVERT the index type — the
+    retrain writes a rotation, and every existing ``ivfpq_read`` /
+    ``ivfpq_append`` consumer starts refusing the index after the
+    maintenance job."""
+    _, old, new = emb_halves
+    path = str(tmp_path / "plainidx")
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    similarity.ivfpq_write(enc, cents, books, path)
+    with pytest.raises(ValueError, match="ivfpq_compact"):
+        similarity.opq_compact(spark, path, new)
+    # the plain index is untouched and still readable by its own path
+    enc2, _, _ = similarity.ivfpq_read(spark, path)
+    assert enc2.count() == enc.count()
+
+
 def test_opq_compact_rescale_cells_tracks_corpus_growth(
     spark, tmp_path, emb_halves
 ):

@@ -733,9 +733,11 @@ def test_variant_shredded_write_and_pushed_scan(spark):
 
     # the query writes its shredded file to a per-call mkdtemp scratch
     # dir (unique suffix); resolve the one THIS call just wrote from
-    # the module's scratch tracker instead of guessing a fixed path
+    # the shared scratch tracker instead of guessing a fixed path
+    from near_event_streams_spark.plans import _common
+
     digest = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
-    path = analytics_ext._SCRATCH_DIRS[f"nes_variant_shred_{digest}_"][-1]
+    path = _common._SCRATCH_DIRS[f"nes_variant_shred_{digest}_"][-1]
     part = glob.glob(f"{path}/*.parquet")[0]
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(part)
