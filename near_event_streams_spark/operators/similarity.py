@@ -153,6 +153,19 @@ def lsh_topk(
     at distance 1) while the corpus-side layout and fan-out are untouched,
     which is the side that matters at scale.
     """
+    if n_planes % band_size != 0:
+        raise ValueError(
+            f"n_planes={n_planes} not divisible by band_size="
+            f"{band_size}: the {n_planes % band_size} leftover planes "
+            "would be computed but never banded — the caller pays for "
+            "projections that cannot affect recall (r13 review)"
+        )
+    if multiprobe > 2:
+        raise ValueError(
+            f"multiprobe={multiprobe}: probe masks are generated up to "
+            "Hamming distance 2 only — a larger value would silently "
+            "behave as 2 (r13 review)"
+        )
     n_bands = n_planes // band_size
     mask = (1 << band_size) - 1
 
@@ -780,7 +793,17 @@ def ivfpq_compact(
                     "n_rows": n_cur,
                     "n_clusters": len(meta["centroids"]),
                 }
-            n_clusters = max(2, min(int(round(n_corpus**0.5)), n_corpus))
+            # √n, floored at MLlib's minimum of 2, capped by (a) the
+            # corpus row count (KMeans must not want more centers than
+            # points) and (b) a fixed ceiling well under ivf_index's
+            # 32,768-row coarse-fit sample — past ~1B rows √n exceeds
+            # the sample itself, and a k approaching the sample size
+            # trains ~1 point per centroid (degenerate cells). 4,096
+            # keeps ≥8 sample points per center; an index that big
+            # should shard, not grow cells without bound (r13 review).
+            n_clusters = max(
+                2, min(int(round(n_corpus**0.5)), n_corpus, 4096)
+            )
         else:
             n_clusters = len(meta["centroids"])
     rot = None
@@ -849,6 +872,32 @@ def ivfpq_compact(
         "n_rows": spark.read.parquet(path + "/codes").count(),
         "n_clusters": n_clusters,
     }
+
+
+def compact_due(spark, path: str, min_appended_frac: float) -> bool:
+    """Cheap scheduler precheck for :func:`ivfpq_compact` /
+    :func:`opq_compact`: the same appended-fraction test the compact
+    itself applies, costing ONLY the sidecar read + a metadata codes
+    count — no corpus access. A streaming sink gates building the
+    retrain corpus on this, because even constructing
+    ``spark.read.parquet(lake_dir)`` pays partition discovery over
+    every batch dir — O(lake dirs) per checked micro-batch for a
+    check that usually says "not yet" (r13 review). Semantics match
+    the compact's own gate exactly: due when the appended fraction is
+    unknown (no ``n_rows`` yardstick — conservative retrain) or has
+    reached the threshold."""
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    n_base = (
+        int(meta["n_rows"])
+        if "n_rows" in meta.__fields__ and meta["n_rows"] is not None
+        else None
+    )
+    if n_base is None:
+        return True
+    n_cur = spark.read.parquet(path + "/codes").count()
+    if not n_cur:
+        return True
+    return (n_cur - n_base) / n_cur >= min_appended_frac
 
 
 def ivfpq_recover(spark, path: str) -> str:
@@ -1071,6 +1120,9 @@ def ivfpq_topk(
 
     if index is not None:
         enc, centroids, books = index
+        # accept list-typed codebooks (sidecar values round-tripped
+        # through JSON) — the same normalization opq_topk applies
+        books = np.asarray(books, dtype=np.float64)
         m = int(books.shape[0])  # codes width is the index's, not the arg
     else:
         enc, centroids, books = ivfpq_index(
@@ -1162,6 +1214,12 @@ def ivfpq_topk(
                 cosine(F.col("query_vec"), F.col("cand_vec")), 6
             ).alias("cos_sim"),
         )
+        # a refine source holding the same vec_id twice (a lake keeps
+        # cross-batch redeliveries in separate batch_id partitions)
+        # would otherwise emit that candidate at two ranks and evict a
+        # real neighbor; dedup POST-join — shortlist-sized, not a
+        # shuffle of the wide corpus (r13 review)
+        .dropDuplicates(["query_id", "cand_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "cos_sim")
@@ -1482,6 +1540,9 @@ def opq_topk(
                 cosine(F.col("query_vec"), F.col("cand_vec")), 6
             ).alias("cos_sim"),
         )
+        # same post-join dedup as ivfpq_topk: a duplicate vec_id in
+        # the refine source must not occupy two ranks (r13 review)
+        .dropDuplicates(["query_id", "cand_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "cos_sim")
@@ -1816,6 +1877,12 @@ def kmeans_lloyd_fixedpoint(
     Overflow headroom: |units| <= 2·scale ⇒ dist <= dim·(2·scale)² ≈
     2.6e14 per 64-dim row — 4 orders under bigint.
     """
+    if iters < 1:
+        raise ValueError(
+            f"iters={iters}: at least one Lloyd superstep is required "
+            "(the assignment frame is produced inside the loop — the "
+            "same guard power_iteration_pc1 applies, r13 review)"
+        )
     u = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(

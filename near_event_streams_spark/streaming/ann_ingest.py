@@ -24,8 +24,13 @@ anti-joins the batch's ``vec_id`` against the touched cells only
 (hive partition pruning keeps the probe proportional to cell size).
 Crash safety: a death inside the compact swap strands tmp/old dirs
 that the NEXT batch's ``ivfpq_recover`` resolves before touching the
-index — a completed-but-unswapped retrain is promoted, an incomplete
-one is discarded in favor of the old index.
+index. Precisely (r13 review — the swap window is narrower than
+"any completed retrain is promoted"): a retrain that died BETWEEN the
+two renames (live moved aside, complete build at tmp) is promoted; a
+death before the first rename leaves the live index authoritative, so
+the finished tmp build is DISCARDED and the compact simply re-fires at
+the next due check (the appended fraction is unchanged) — retrain work
+is lost, correctness is not.
 
 Scale: every per-batch step is bounded by batch size or sidecar size,
 with two scheduled exceptions the knobs control: the compact CHECK
@@ -65,14 +70,23 @@ def seed_ann_index(
     persist the initial index from it. After this, every new vector
     flows through :func:`ann_index_ingest_sink`."""
     spark = corpus.sparkSession
-    (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("batch_id", F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(lake_dir)
+    # pin STATIC overwrite: under a session-level 'dynamic' setting a
+    # re-seed over an existing lake would replace only batch_id=-1 and
+    # leave stale stream partitions to poison the seed index (the same
+    # hazard ivfpq_write pins against, r13 review)
+    with partition_overwrite_mode(spark, "static"):
+        (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(lake_dir)
+        )
+    base = (
+        spark.read.parquet(lake_dir)
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
     )
-    base = spark.read.parquet(lake_dir).select(id_col, vec_col)
     if opq:
         enc, cents, rot, books = similarity.opq_index(
             base, n_clusters=n_clusters, m=m, ks=ks, seed=seed,
@@ -116,6 +130,18 @@ def ann_index_ingest_sink(
     ``compact_batch_dirs_inplace`` machinery and closed-batches-only
     replay contract as the text-corpus ingest); None = manage
     out-of-band."""
+    if min_appended_frac is None and (
+        rescale_cells or compact_check_every != 1
+    ):
+        raise ValueError(
+            "rescale_cells / compact_check_every configure the "
+            "scheduled compact, but min_appended_frac is None so the "
+            "sink NEVER fires one — the knobs would be silently inert "
+            "and the index never retrained (r13 review; note "
+            "ivfpq_compact itself treats None as 'fire "
+            "unconditionally', so the two layers' None semantics "
+            "differ by design: a sink must not rebuild on every batch)"
+        )
     append = similarity.opq_append if opq else similarity.ivfpq_append
     compact = similarity.opq_compact if opq else similarity.ivfpq_compact
 
@@ -139,10 +165,27 @@ def ann_index_ingest_sink(
         append(
             spark, index_path, vecs, id_col, vec_col, if_absent=True
         )
-        if min_appended_frac is not None and (
-            (batch_id + 1) % compact_check_every == 0
+        if (
+            min_appended_frac is not None
+            and (batch_id + 1) % compact_check_every == 0
+            and similarity.compact_due(
+                spark, index_path, min_appended_frac
+            )
         ):
-            corpus = spark.read.parquet(lake_dir).select(id_col, vec_col)
+            # corpus is built ONLY once the cheap precheck says the
+            # retrain will fire: spark.read.parquet(lake_dir) pays
+            # partition discovery over every batch dir, O(lake dirs)
+            # per call (r13 review). dropDuplicates(id): the lake
+            # legitimately holds a vec_id twice when the source
+            # redelivers across DIFFERENT batches (each batch only
+            # overwrites its own partition) — without it the retrain
+            # would resurrect duplicates the if_absent append kept
+            # out of the index.
+            corpus = (
+                spark.read.parquet(lake_dir)
+                .select(id_col, vec_col)
+                .dropDuplicates([id_col])
+            )
             compact(
                 spark,
                 index_path,

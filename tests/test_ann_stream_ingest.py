@@ -282,3 +282,68 @@ def test_sink_replay_is_idempotent(spark, tmp_path, emb):
     assert spark.read.parquet(idx + "/codes").count() == 350
     assert codes_twice == codes_once
     assert spark.read.parquet(lake).count() == 350
+
+
+def test_sink_rejects_inert_compaction_knobs(tmp_path):
+    """rescale_cells / compact_check_every without min_appended_frac
+    would be silently inert — the sink never fires a compact, cells
+    never rescale, recall erodes unboundedly with no signal (r13
+    review). The sink must refuse the configuration up front."""
+    with pytest.raises(ValueError, match="min_appended_frac"):
+        ann_ingest.ann_index_ingest_sink(
+            str(tmp_path / "i"), str(tmp_path / "l"), rescale_cells=True
+        )
+    with pytest.raises(ValueError, match="min_appended_frac"):
+        ann_ingest.ann_index_ingest_sink(
+            str(tmp_path / "i"),
+            str(tmp_path / "l"),
+            compact_check_every=4,
+        )
+
+
+def test_compact_does_not_resurrect_cross_batch_duplicates(
+    spark, tmp_path, emb
+):
+    """A vec_id redelivered in a DIFFERENT micro-batch lands in the
+    lake twice (each batch overwrites only its own partition); the
+    if_absent append keeps the index at one row — and the scheduled
+    retrain, which re-reads the lake, must not bring the duplicate
+    back (r13 review: the compact corpus is deduplicated on id)."""
+    idx = str(tmp_path / "idx")
+    lake = str(tmp_path / "lake")
+    ann_ingest.seed_ann_index(
+        emb.filter(emb.vec_id < 300), idx, lake,
+        n_clusters=8, m=8, ks=256, seed=42,
+    )
+    sink = ann_ingest.ann_index_ingest_sink(
+        idx, lake, min_appended_frac=0.05
+    )
+    sink(_batch_df(emb, 300, 350), 0)
+    # cross-batch redelivery: rows 320-350 appear AGAIN in batch 1
+    sink(_batch_df(emb, 320, 360), 1)
+    n_distinct = 360
+    lake_rows = spark.read.parquet(lake)
+    assert lake_rows.count() > n_distinct  # duplicates really in lake
+    assert (
+        lake_rows.select("vec_id").distinct().count() == n_distinct
+    )
+    # batch 1 crossed min_appended_frac, so the compact already fired
+    # inside the sink; the rebuilt index must hold one row per id
+    assert spark.read.parquet(idx + "/codes").count() == n_distinct
+
+
+def test_compact_due_matches_compact_gate(spark, tmp_path, emb):
+    """compact_due is the sink's cheap precheck — its verdict must
+    match ivfpq_compact's own min_appended_frac gate on both sides of
+    the threshold, and stay index-only (no corpus argument at all)."""
+    idx = str(tmp_path / "idx")
+    old = emb.filter(emb.vec_id % 2 == 0)
+    enc, cents, books = similarity.ivfpq_index(old, 8, 8, 256)
+    similarity.ivfpq_write(enc, cents, books, idx)
+    assert similarity.compact_due(spark, idx, 0.1) is False
+    similarity.ivfpq_append(
+        spark, idx, emb.filter(emb.vec_id % 2 == 1)
+    )
+    # ~50% appended now
+    assert similarity.compact_due(spark, idx, 0.25) is True
+    assert similarity.compact_due(spark, idx, 0.75) is False

@@ -342,3 +342,39 @@ def test_recover_every_crash_state(spark, tmp_path, emb_halves):
 
     with _pytest.raises(FileNotFoundError):
         similarity.ivfpq_recover(spark, str(tmp_path / "nowhere"))
+
+
+def test_refine_dedups_duplicate_corpus_ids(spark, emb_halves):
+    """The exact-refine join fetches full vectors by cand_id from the
+    caller's corpus; a production refine source is the LAKE, which
+    legitimately holds a vec_id twice (cross-batch redelivery keeps
+    each copy in its own batch partition). The join must not emit the
+    duplicate at two ranks and evict a real neighbor (r13 review) —
+    pinned by probing over a corpus with every row doubled: the top-k
+    must be IDENTICAL to the clean-corpus probe."""
+    from pyspark.sql import functions as F
+
+    emb, old, _ = emb_halves
+    corpus = emb.limit(200)
+    queries = corpus.filter(F.col("vec_id") < 20)
+    enc, cents, books = similarity.ivfpq_index(
+        corpus, n_clusters=8, m=8, ks=256, seed=42
+    )
+    index = (enc, cents, books)
+    clean = similarity.ivfpq_topk(
+        queries, corpus, k=5, nprobe=4, refine=4, index=index
+    ).collect()
+    doubled = corpus.unionByName(corpus)  # every vec_id twice
+    dup = similarity.ivfpq_topk(
+        queries, doubled, k=5, nprobe=4, refine=4, index=index
+    ).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["cand_id"], r["cos_sim"])
+        for r in rows
+    )
+    assert key(dup) == key(clean)
+    per_q = {}
+    for r in dup:
+        per_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    for q, cands in per_q.items():
+        assert len(cands) == len(set(cands)), (q, cands)
