@@ -106,7 +106,14 @@ def _recover_pending_compaction(fs, mk_path, out_dir: str) -> None:
             if fs.exists(original):
                 fs.delete(p, True)
             else:
-                fs.rename(p, original)
+                if not fs.rename(p, original):
+                    # rename reports failure by returning false —
+                    # deleting the tmp below with a trash restore
+                    # incomplete could strand rows; stop and let the
+                    # next recovery attempt retry (r13 review)
+                    raise IOError(
+                        f"compaction recovery failed: {p} -> {original}"
+                    )
         for p in tmps:
             fs.delete(p, True)
     else:
@@ -164,24 +171,48 @@ def compact_batch_dirs_inplace(
     batches.sort(key=lambda t: t[0])
     max_present = batches[-1][0]
     upto = max_present - 1 if upto_batch_id is None else upto_batch_id
-    targets = [(bid, p) for bid, p in batches if bid <= upto]
+    sized = [
+        (bid, p, fs.getContentSummary(p).getLength())
+        for bid, p in batches
+        if bid <= upto
+    ]
+    # Skip dirs already at/above the target size: the previous cycle's
+    # merged output always sorts <= the new upto, so re-including it
+    # re-reads and re-writes the WHOLE corpus every cycle — quadratic
+    # total write amplification over a 24/7 stream's lifetime (r13
+    # review). With the floor, a byte is rewritten only until its
+    # resident dir crosses target_file_bytes (~target/batch-size
+    # rewrites — the standard size-tiered amortization), and each
+    # cycle's cost tracks the NEW small batches, not corpus size.
+    targets = [
+        (bid, p, sz) for bid, p, sz in sized if sz < target_file_bytes
+    ]
     if len(targets) < 2:
         return (0, 0)
 
-    total_bytes = sum(
-        fs.getContentSummary(p).getLength() for _, p in targets
-    )
+    total_bytes = sum(sz for _, _, sz in targets)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     hi = targets[-1][0]
-    merged = spark.read.parquet(*[str(p) for _, p in targets])
+    merged = spark.read.parquet(*[str(p) for _, p, _sz in targets])
     tmp = mk_path(f"{out_dir}/.compact_tmp_{hi}")
     fs.delete(tmp, True)
     merged.coalesce(n_files).write.mode("overwrite").parquet(str(tmp))
 
-    for bid, p in targets:
-        fs.rename(p, mk_path(f"{out_dir}/.compact_trash.batch_id={bid}"))
-    fs.rename(tmp, mk_path(f"{out_dir}/batch_id={hi}"))
-    for bid, _ in targets:
+    # Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    # throwing (quota, destination-exists race, permission) — an
+    # unchecked swap would fall through and delete the trash dirs, i.e.
+    # silently destroy every merged batch while the only copy sits in a
+    # reader-invisible dot dir (r13 review). Raise instead; the next
+    # call's _recover_pending_compaction repairs whichever window the
+    # failure left behind.
+    for bid, p, _sz in targets:
+        dst = mk_path(f"{out_dir}/.compact_trash.batch_id={bid}")
+        if not fs.rename(p, dst):
+            raise IOError(f"compaction swap failed: {p} -> {dst}")
+    dst = mk_path(f"{out_dir}/batch_id={hi}")
+    if not fs.rename(tmp, dst):
+        raise IOError(f"compaction swap failed: {tmp} -> {dst}")
+    for bid, _p, _sz in targets:
         fs.delete(mk_path(f"{out_dir}/.compact_trash.batch_id={bid}"), True)
     return (len(targets), n_files)
 
@@ -193,19 +224,32 @@ def compact_batches(
     partition_by: Sequence[str],
     sort_within: Sequence[str] = (),
     max_records_per_file: int = 5_000_000,
+    exclude_open: bool = False,
 ) -> int:
     """Compact a ``batch_id=N``-layout table (the idempotent streaming
     sink's output) into a query-partitioned table.
 
     Streaming leaves one directory per micro-batch — correct for replay
     safety, wrong for readers once batches number in the thousands.
-    Periodic compaction rewrites closed batches into the analytical
-    layout (partition pruning + sorted pages). Returns rows compacted.
-    Scale: runs as an ordinary batch job over closed batch partitions;
-    writers keep appending new ``batch_id`` dirs concurrently because
-    compaction only reads.
+    Periodic compaction rewrites batches into the analytical layout
+    (partition pruning + sorted pages). Returns rows compacted.
+
+    Concurrency: with the default ``exclude_open=False`` this reads
+    EVERY batch dir, including the highest-id one — only safe once the
+    writing stream has stopped (the post-run ETL shape the tests
+    drive). To run WHILE the stream ingests, pass ``exclude_open=True``
+    so the open max batch (the only one a crashed job can redeliver or
+    be mid-write on) is left out, matching
+    :func:`compact_batch_dirs_inplace`'s closed-batches-only rule (r13
+    review: the old docstring claimed concurrent use was safe
+    unconditionally — a mid-write batch dir would contribute partial,
+    uncommitted task files).
     """
     df = spark.read.option("basePath", batch_dir).parquet(batch_dir)
+    if exclude_open:
+        mx = df.agg(F.max("batch_id")).first()[0]
+        if mx is not None:
+            df = df.filter(F.col("batch_id") < mx)
     df = df.drop("batch_id")
     n = df.count()
     write_partitioned(
@@ -241,11 +285,19 @@ def zorder_key(
     def scale(c: Column, lo, hi) -> Column:
         lo_c, hi_c = _as_col(lo), _as_col(hi)
         span = hi_c.cast("long") - lo_c.cast("long")
-        # floor-then-cast: integral result, so Spark's truncating cast
-        # and DuckDB's rounding cast agree (products stay < 2^53, exact
-        # in the double division)
+        # The (c - lo) offset is cast to DOUBLE before the * top
+        # multiply: a LONG product wraps (non-ANSI) or throws (ANSI)
+        # once the column span exceeds ~2^47 at bits=16 — nanosecond
+        # epochs, snowflake ids — silently destroying the clustering
+        # (r13 review). In double the product is exact up to 2^53 and
+        # degrades to approximate BUCKETING beyond (fine for a layout
+        # key); the DuckDB oracle's integer product / double division
+        # agrees exactly over the exact range. floor-then-cast keeps
+        # Spark's truncating cast and DuckDB's rounding cast aligned.
         scaled = F.floor(
-            (c.cast("long") - lo_c.cast("long")) * top / span
+            (c.cast("long") - lo_c.cast("long")).cast("double")
+            * top
+            / span
         ).cast("long")
         return F.when(span > 0, scaled).otherwise(F.lit(0).cast("long"))
 

@@ -130,6 +130,12 @@ def ann_index_ingest_sink(
     ``compact_batch_dirs_inplace`` machinery and closed-batches-only
     replay contract as the text-corpus ingest); None = manage
     out-of-band."""
+    if compact_check_every < 1:
+        raise ValueError(
+            f"compact_check_every={compact_check_every}: must be >= 1 "
+            "(0 would divide-by-zero inside the sink and kill the "
+            "stream; use min_appended_frac=None to disable compaction)"
+        )
     if min_appended_frac is None and (
         rescale_cells or compact_check_every != 1
     ):

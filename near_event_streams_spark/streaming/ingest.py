@@ -52,6 +52,18 @@ def fingerprint_col(text_col: str = "text"):
     return F.md5(normalized_text(F.col(text_col)))
 
 
+def _within_batch_exact(fp: DataFrame, id_col: str) -> DataFrame:
+    """Within-batch exact dedup, shared by all three ingest pipelines:
+    keep the min-id row per fingerprint, and exactly ONE copy of it —
+    FULLY identical rows (same id AND same text, a producer retry
+    inside one batch) both match the keep row via the semi-join and
+    would otherwise all pass (r13 review)."""
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(
+        keep, ["fingerprint", id_col], "left_semi"
+    ).dropDuplicates(["fingerprint", id_col])
+
+
 def dedup_batch_against_registry(
     batch: DataFrame,
     registry_path: str,
@@ -71,8 +83,7 @@ def dedup_batch_against_registry(
     corpus."""
     spark = batch.sparkSession
     fp = batch.withColumn("fingerprint", fingerprint_col(text_col))
-    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    within = fp.join(keep, ["fingerprint", id_col], "left_semi")
+    within = _within_batch_exact(fp, id_col)
     meta = upsert.store_meta(registry_path)
     if meta is None:
         return within
@@ -113,12 +124,14 @@ def _maybe_compact_corpus(
     spark, corpus_dir: str, batch_id: int, compact_every: int | None
 ) -> None:
     """Fold closed ``batch_id=N`` dirs into size-targeted files every
-    ``compact_every`` batches — the 24/7 small-files countermeasure.
+    ``compact_every`` batches — the 24/7 small-files countermeasure
+    (None or 0 = never; 0 used to raise ZeroDivisionError inside the
+    sink and kill the stream, r13 review).
     Safe here for the same reason as the parity sink: only CLOSED
     batches merge (the max-present id — the only batch an at-least-once
     replay can redeliver — is always left untouched), and the rewrite
     is transactional with crash self-repair."""
-    if compact_every is None or (batch_id + 1) % compact_every:
+    if not compact_every or (batch_id + 1) % compact_every:
         return
     from near_event_streams_spark.sinks.parquet_sink import (
         compact_batch_dirs_inplace,
@@ -285,8 +298,7 @@ def neardup_select(
     plan-identity cache dedup instead).
     """
     fp = batch.withColumn("fingerprint", fingerprint_col(text_col))
-    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    surv = fp.join(keep, ["fingerprint", id_col], "left_semi")
+    surv = _within_batch_exact(fp, id_col)
     if reg_fp is not None:
         surv = surv.join(reg_fp, "fingerprint", "left_anti")
     sigs, bands = _sigs_and_bands(
@@ -313,7 +325,19 @@ def _sigs_and_bands(
     if cache is not None:
         sigs = sigs.persist()
         cache.append(sigs)
-    bands = dedup.band_keys_from_sig(sigs, num_hashes, band_size)
+    # band_keys_from_sig expects the doc_id-named signature shape;
+    # alias back around it (projections atop the persisted frame, so
+    # the cache is still reused). Renaming only BEFORE the call made
+    # every non-default id_col crash on the first batch (r13 review —
+    # register_batch_neardup already aliased correctly).
+    band_src = (
+        sigs
+        if id_col == "doc_id"
+        else sigs.withColumnRenamed(id_col, "doc_id")
+    )
+    bands = dedup.band_keys_from_sig(band_src, num_hashes, band_size)
+    if id_col != "doc_id":
+        bands = bands.withColumnRenamed("doc_id", id_col)
     if cache is not None:
         # Cache the band stream ALREADY hash-partitioned on the probe
         # key: InMemoryRelation preserves outputPartitioning, so the
@@ -420,8 +444,7 @@ def neardup_batch_against_registry(
     """
     spark = batch.sparkSession
     fp = batch.withColumn("fingerprint", fingerprint_col(text_col))
-    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    within = fp.join(keep, ["fingerprint", id_col], "left_semi")
+    within = _within_batch_exact(fp, id_col)
     sigs, bands = _sigs_and_bands(
         within, id_col, text_col, num_hashes, band_size, cache
     )
@@ -828,7 +851,13 @@ def image_ingest_sink_body(
             )
             # corpus rows are the ORIGINAL batch rows (payload and
             # all), filtered to the accepted + undecodable ids
-            out = batch.join(keep_ids, id_col, "left_semi")
+            # dropDuplicates: an identical image row delivered twice
+            # in ONE batch shares its id — both copies survive the
+            # semi-join and neither is dropped by the strict
+            # _a_id < _b_id within-batch rule (r13 review)
+            out = batch.join(
+                keep_ids, id_col, "left_semi"
+            ).dropDuplicates([id_col])
             with partition_overwrite_mode(spark, "dynamic"):
                 (
                     out.withColumn("batch_id", F.lit(batch_id))

@@ -698,3 +698,53 @@ def test_dhash_degenerate_payload_passes_through_undecoded(spark):
     assert rows[1]["decoded"] is False and rows[1]["bands"] is None
     assert rows[2]["decoded"] is False and rows[2]["bands"] is None
     assert rows[3]["decoded"] is True and len(rows[3]["bands"]) == 8
+
+
+def test_neardup_respects_custom_id_col(spark, tmp_path):
+    """r13 review regression: _sigs_and_bands renamed doc_id->id_col
+    BEFORE band_keys_from_sig (which hardcodes the doc_id shape), so
+    EVERY near-dup entry point crashed with UNRESOLVED_COLUMN on the
+    first batch for any id_col other than 'doc_id'. Drive both forms
+    with id_col='event_id' and pin the same verdicts as the default."""
+    reg = str(tmp_path / "reg")
+    rows = [(5, NEAR), (3, BASE), (7, OTHER)]
+    b = spark.createDataFrame(rows, "event_id long, text string")
+    acc = ingest.neardup_batch_against_registry(b, reg, id_col="event_id")
+    assert {r["event_id"] for r in acc.collect()} == {3, 7}
+    ingest.register_batch_neardup(acc, reg, batch_id=0, id_col="event_id")
+    b2 = spark.createDataFrame(
+        [(10, NEAR), (11, BASE)], "event_id long, text string"
+    )
+    a2 = ingest.neardup_batch_against_registry(
+        b2, reg, id_col="event_id"
+    )
+    assert a2.count() == 0  # both near/exact dups of registered doc 3
+    # the pure (registry-less) form too
+    sel = ingest.neardup_select(b, None, None, id_col="event_id")
+    assert {r["event_id"] for r in sel.collect()} == {3, 7}
+
+
+def test_fully_identical_in_batch_rows_pass_once(spark, tmp_path):
+    """r13 review: two FULLY identical rows (same id AND same text —
+    a producer retry inside one micro-batch) both matched the min-id
+    keep row via the semi-join and both reached the corpus. Exactly
+    one copy must survive, on the exact AND the near-dup path."""
+    reg_e = str(tmp_path / "rege")
+    batch = _docs(spark, [(1, BASE), (1, BASE), (2, OTHER)])
+    surv = ingest.dedup_batch_against_registry(batch, reg_e)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [1, 2]
+    reg_n = str(tmp_path / "regn")
+    acc = ingest.neardup_batch_against_registry(batch, reg_n)
+    assert sorted(r["doc_id"] for r in acc.collect()) == [1, 2]
+
+
+def test_compact_every_zero_means_never(spark, tmp_path):
+    """compact_every=0 (a plausible 'disable' spelling) used to raise
+    ZeroDivisionError inside the foreachBatch sink and kill the
+    stream; it must behave as 'never' like None (r13 review)."""
+    corpus = str(tmp_path / "c")
+    _docs(spark, [(1, BASE)]).withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("batch_id").parquet(corpus)
+    ingest._maybe_compact_corpus(spark, corpus, 0, 0)  # no raise
+    ingest._maybe_compact_corpus(spark, corpus, 3, None)
