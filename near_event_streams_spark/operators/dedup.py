@@ -22,6 +22,8 @@ across runs/partitionings, so results are reproducible cluster-wide.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -209,10 +211,14 @@ def _verify_pairs(
         F.col("sz").alias("sz_b"),
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = F.round(
-        inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter),
-        6,
-    )
+    # HALF_UP in exact integer arithmetic (half_up6_spark), not
+    # F.round(double, 6): inter/union CAN land on an exact 6dp
+    # half-tie (1/640 = 0.0015625 — any union of the form 2^a·5^b),
+    # where Spark rounds the decimal rendering and DuckDB rounds the
+    # binary value, flipping the last digit vs the oracle and any
+    # >= threshold comparison on it (r13 review; the same divergence
+    # rounding.py exists for).
+    jac = F.expr(half_up6_spark("_inter", "_union"))
     if broadcast_sets is None:
         broadcast_sets = sets.count() <= max_broadcast_docs
     if broadcast_sets:
@@ -229,9 +235,14 @@ def _verify_pairs(
         joined = cands.join(a_sets.hint("merge"), "a_doc_id").join(
             b_sets.hint("merge"), "b_doc_id"
         )
-    return joined.select(
-        "a_doc_id", "b_doc_id", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    return (
+        joined.withColumn("_inter", inter)
+        .withColumn(
+            "_union", F.col("sz_a") + F.col("sz_b") - F.col("_inter")
+        )
+        .select("a_doc_id", "b_doc_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def jaccard_pairs(
@@ -271,7 +282,14 @@ def jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    num = int(round(threshold * 10000))
+    # FLOOR, not round: the rational num/den must satisfy
+    # num/den <= tau or every integer bound derived from it tightens
+    # past the true threshold and the filters over-prune pairs the
+    # exact verify would admit (round(2/3 * 10000) = 6667 > tau: a
+    # J = 2/3 pair failed the length filter on every collision row,
+    # r13 review). Flooring can only loosen the prune by <= 1e-4 —
+    # extra candidates, never lost ones; the verify stays exact.
+    num = math.floor(threshold * 10000)
     den = 10000
 
     # sets is referenced again by verification; without persist Spark
@@ -383,7 +401,14 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
-    num = int(round(threshold * 10000))
+    # FLOOR, not round: the rational num/den must satisfy
+    # num/den <= tau or every integer bound derived from it tightens
+    # past the true threshold and the filters over-prune pairs the
+    # exact verify would admit (round(2/3 * 10000) = 6667 > tau: a
+    # J = 2/3 pair failed the length filter on every collision row,
+    # r13 review). Flooring can only loosen the prune by <= 1e-4 —
+    # extra candidates, never lost ones; the verify stays exact.
+    num = math.floor(threshold * 10000)
     den = 10000
     sets = (
         shingle_id_sets(docs, id_col, text_col)
@@ -450,7 +475,8 @@ def _verify_containment(
         F.col("doc_id").alias("b_doc_id"), F.col("sh").alias("sh_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    cont = F.round(inter.cast("double") / F.col("sz_a"), 6)
+    # exact-integer HALF_UP — see _verify_pairs (r13 review)
+    cont = F.expr(half_up6_spark("_inter", "sz_a"))
     if broadcast_sets is None:
         broadcast_sets = sets.count() <= max_broadcast_docs
     if broadcast_sets:
@@ -463,9 +489,11 @@ def _verify_containment(
         joined = cands.join(a_sets.hint("merge"), "a_doc_id").join(
             b_sets.hint("merge"), "b_doc_id"
         )
-    return joined.select(
-        "a_doc_id", "b_doc_id", cont.alias("containment")
-    ).filter(F.col("containment") >= threshold)
+    return (
+        joined.withColumn("_inter", inter)
+        .select("a_doc_id", "b_doc_id", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
 
 
 def containment_lsh_pairs(
@@ -544,7 +572,14 @@ def containment_lsh_pairs(
             f"be in [1, num_probe_slots={num_probe_slots}] — a larger "
             "vote threshold than slots silently yields ZERO recall"
         )
-    num = int(round(threshold * 10000))
+    # FLOOR, not round: the rational num/den must satisfy
+    # num/den <= tau or every integer bound derived from it tightens
+    # past the true threshold and the filters over-prune pairs the
+    # exact verify would admit (round(2/3 * 10000) = 6667 > tau: a
+    # J = 2/3 pair failed the length filter on every collision row,
+    # r13 review). Flooring can only loosen the prune by <= 1e-4 —
+    # extra candidates, never lost ones; the verify stays exact.
+    num = math.floor(threshold * 10000)
     den = 10000
     k = num_probe_slots
     sets = (
@@ -640,6 +675,25 @@ def minhash_signatures(
     return shingle_ids.groupBy("doc_id").agg(*aggs)
 
 
+def _check_banding(num_hashes: int, band_size: int, who: str) -> None:
+    """num_hashes must split into whole bands: leftover signature slots
+    are computed but never influence any bucket (recall silently below
+    the (n, b) S-curve the caller designed for), and band_size >
+    num_hashes crashes downstream with an empty band list (r13
+    review)."""
+    if band_size < 1 or band_size > num_hashes:
+        raise ValueError(
+            f"{who}: band_size={band_size} must be in "
+            f"[1, num_hashes={num_hashes}]"
+        )
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"{who}: num_hashes={num_hashes} not divisible by "
+            f"band_size={band_size} — the {num_hashes % band_size} "
+            "leftover hash slots would never be banded"
+        )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 16, band_size: int = 4
 ) -> DataFrame:
@@ -651,6 +705,7 @@ def lsh_candidate_pairs(
     spread across shuffle partitions and AQE's skew splitting, instead of
     materializing d²/2 pairs inside one row in one task. The bucket table
     is persisted so the minhash pipeline isn't recomputed per join side."""
+    _check_banding(num_hashes, band_size, "lsh_candidate_pairs")
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -720,6 +775,7 @@ def band_keys_from_sig(
     the same ``xxhash64(slot, slot, ...)`` as :func:`lsh_candidate_pairs`
     hashes its wide columns, so array- and wide-form pipelines land in
     identical buckets."""
+    _check_banding(num_hashes, band_size, "band_keys_from_sig")
     n_bands = num_hashes // band_size
     rows = []
     for b in range(n_bands):
@@ -889,6 +945,20 @@ def simhash_near_pairs(
     """Candidate pairs share at least one of ``bands`` signature slices
     (pigeonhole: hamming ≤ bands-1 implies a shared slice when
     max_hamming < bands); verified by exact popcount Hamming distance."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming={max_hamming} needs "
+            f"bands > max_hamming (got {bands}) — the pigeonhole "
+            "candidate generation silently misses true pairs whose "
+            "differing bits spread one per slice (r13 review; same "
+            "contract as the image dHash banding)"
+        )
+    if bits % bands != 0:
+        raise ValueError(
+            f"simhash_near_pairs: bits={bits} not divisible by "
+            f"bands={bands} — trailing signature bits would never "
+            "influence any slice"
+        )
     width = bits // bands
     mask = (1 << width) - 1
     slices = None
@@ -1024,10 +1094,19 @@ def remove_duplicate_spans(
     from pyspark.sql.window import Window
 
     # words materialized first (inline split captured by the transform
-    # lambda re-runs the regex per span — the word_bigrams trap)
+    # lambda re-runs the regex per span — the word_bigrams trap).
+    # NULL text coalesces to "" BEFORE the split: size(null) is -1
+    # (non-ANSI), making n_spans=0 and sequence(0,-1) a DESCENDING
+    # [0,-1] — two phantom null spans — while under ANSI the doc
+    # silently vanished from a transform documented to reassemble
+    # every doc (r13 review). split(trim("")) is [""], so a null-text
+    # doc now behaves exactly like an empty-text doc: one "" span,
+    # reassembled to "".
     w = F.col("_w")
     n_spans = F.floor((F.size(w) + span_tokens - 1) / F.lit(span_tokens))
-    spans = docs.withColumn("_w", words_col(F.col(text_col))).select(
+    spans = docs.withColumn(
+        "_w", words_col(F.coalesce(F.col(text_col), F.lit("")))
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.transform(

@@ -85,6 +85,9 @@ def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# jaccard/containment round via the exact-integer HALF_UP expansion
+# (half_up6_duck literal): ROUND(double, 6) diverges from Spark on
+# exact 6dp half-ties like inter/union = 1/640 (r13 review)
 _JACCARD_EXACT_PAIRS_CTE = """
 WITH words AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
@@ -99,11 +102,11 @@ WITH words AS (
   GROUP BY 1, 2
 ), true_pairs AS (
   SELECT a_doc_id, b_doc_id,
-         ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+         CAST(CAST((CAST(inter AS HUGEINT)*2000000 + (sa.sz + sb.sz - inter)) // (2*(sa.sz + sb.sz - inter)) AS BIGINT) AS DOUBLE)/1000000.0 AS jaccard
   FROM pairs
   JOIN sizes sa ON a_doc_id = sa.doc_id
   JOIN sizes sb ON b_doc_id = sb.doc_id
-  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8
+  WHERE CAST(CAST((CAST(inter AS HUGEINT)*2000000 + (sa.sz + sb.sz - inter)) // (2*(sa.sz + sb.sz - inter)) AS BIGINT) AS DOUBLE)/1000000.0 >= 0.8
 )
 """
 
@@ -143,12 +146,12 @@ WITH words AS (
   GROUP BY 1, 2
 )
 SELECT a_doc_id, b_doc_id,
-       ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+       CAST(CAST((CAST(inter AS HUGEINT)*2000000 + (sa.sz)) // (2*(sa.sz)) AS BIGINT) AS DOUBLE)/1000000.0 AS containment
 FROM pairs
 JOIN sizes sa ON a_doc_id = sa.doc_id
 JOIN sizes sb ON b_doc_id = sb.doc_id
 WHERE sa.sz >= 5 AND sb.sz >= 5
-  AND ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.9
+  AND CAST(CAST((CAST(inter AS HUGEINT)*2000000 + (sa.sz)) // (2*(sa.sz)) AS BIGINT) AS DOUBLE)/1000000.0 >= 0.9
 ORDER BY a_doc_id, b_doc_id
 """
 
@@ -218,7 +221,7 @@ WITH words AS (
   JOIN sizes sa ON a_doc_id = sa.doc_id
   JOIN sizes sb ON b_doc_id = sb.doc_id
   WHERE sa.sz >= 5 AND sb.sz >= 5
-    AND ROUND(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.9
+    AND CAST(CAST((CAST(inter AS HUGEINT)*2000000 + (sa.sz)) // (2*(sa.sz)) AS BIGINT) AS DOUBLE)/1000000.0 >= 0.9
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        TRUE AS recall_ok,

@@ -111,12 +111,28 @@ def _manifest_path(path: str, version: int) -> str:
 
 
 def current_version(path: str) -> int:
-    """Committed version, 0 if the store is empty."""
+    """Committed version, 0 if the store is empty (no ``_LATEST``).
+
+    Only a MISSING pointer means empty: an existing-but-garbled
+    ``_LATEST`` raises instead of reading as 0 — the old behavior made
+    the next ``merge_upsert`` silently restart at version 1 with an
+    empty manifest, orphaning all committed state, and the next vacuum
+    then deleted it (r13 review). Unreadable-for-permissions also
+    propagates (``OSError``) rather than masquerading as empty."""
+    latest = os.path.join(path, _LATEST)
     try:
-        with open(os.path.join(path, _LATEST)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+        with open(latest) as f:
+            content = f.read()
+    except FileNotFoundError:
         return 0
+    try:
+        return int(content.strip())
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt {_LATEST} pointer at {latest!r} "
+            f"({content[:40]!r}): refusing to treat an existing store "
+            "as empty — repair or remove the pointer explicitly"
+        ) from e
 
 
 def _read_manifest(path: str) -> tuple[int, dict[str, int]]:
@@ -210,18 +226,9 @@ def read_state_pruned(
     wanted = {str(b) for b in buckets} & manifest.keys()
     if not wanted:
         return None
-    by_version: dict[int, list[str]] = {}
-    for bucket in wanted:
-        by_version.setdefault(manifest[bucket], []).append(bucket)
-    out: DataFrame | None = None
-    for v, bs in sorted(by_version.items()):
-        vdir = os.path.join(path, f"v{v}")
-        part = (
-            spark.read.option("basePath", vdir)
-            .parquet(*[os.path.join(vdir, f"{_BUCKET}={b}") for b in bs])
-        )
-        out = part if out is None else out.unionByName(part)
-    return out.drop(_BUCKET)
+    return _read_buckets(
+        spark, path, {b: manifest[b] for b in wanted}
+    )
 
 
 def bucket_ids_for(
@@ -347,18 +354,36 @@ def vacuum(path: str, retain_versions: int = 2) -> int:
 
     Versions newer than ``current - retain_versions`` are left intact so
     in-flight snapshot readers that pinned a recent manifest can finish;
-    older versions are pruned to exactly the buckets the committed
-    manifest still references. Returns the number of directories
-    removed.
+    older versions are pruned to exactly the buckets the RETAINED
+    manifests (current and every version inside the horizon) still
+    reference — so ``read_state_at`` stays readable for the whole
+    retain window. Returns the number of directories removed.
     """
     import shutil
 
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
-    version, manifest = _read_manifest(path)
+    version, _ = _read_manifest(path)
     if version == 0:
         return 0
     floor = version - retain_versions
+    # Liveness must union the manifests of ALL retained versions, not
+    # just the committed one (r13 review): a retained manifest (say
+    # v3, current=4) can reference a bucket whose OWNING vdir is below
+    # the floor (bucket last rewritten at v1) — pruning v1 to the
+    # current manifest's refs alone deleted that bucket and broke both
+    # documented guarantees (read_state_at inside the horizon, and
+    # in-flight readers pinned to a recent manifest). Cost: one KB-
+    # sized manifest read per retained version.
+    live_by_owner: dict[int, set[str]] = {}
+    for v_ref in range(max(floor + 1, 1), version + 1):
+        try:
+            with open(_manifest_path(path, v_ref)) as f:
+                refs = json.load(f)
+        except OSError:
+            continue  # version never committed or already pruned
+        for b, owner in refs.items():
+            live_by_owner.setdefault(int(owner), set()).add(str(b))
     removed = 0
     for entry in sorted(os.listdir(path)):
         if not entry.startswith("v"):
@@ -370,7 +395,7 @@ def vacuum(path: str, retain_versions: int = 2) -> int:
         if v > floor:
             continue
         vdir = os.path.join(path, entry)
-        live = {b for b, owner in manifest.items() if owner == v}
+        live = live_by_owner.get(v, set())
         if not live:
             shutil.rmtree(vdir)
             removed += 1
@@ -394,17 +419,24 @@ def start_upsert_stream(
     n_buckets: int = 16,
     available_now: bool = True,
     vacuum_retain: int | None = 4,
+    bucket_cols: Sequence[str] | None = None,
 ) -> StreamingQuery:
     """Run a stream into the keyed state store via ``foreachBatch``.
 
     ``vacuum_retain`` prunes superseded bucket files after each commit
     (keeping that many recent versions for in-flight readers); pass
     ``None`` to disable and manage :func:`vacuum` externally.
+    ``bucket_cols`` must match the store's pinned layout when it was
+    created with prefix bucketing (r13 review: without the pass-through
+    a prefix-bucketed store could not be streamed into at all —
+    ``_check_meta`` rejected every micro-batch).
     """
     os.makedirs(path, exist_ok=True)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        merge_upsert(batch, path, key_cols, seq_col, n_buckets)
+        merge_upsert(
+            batch, path, key_cols, seq_col, n_buckets, bucket_cols
+        )
         if vacuum_retain is not None:
             vacuum(path, vacuum_retain)
 

@@ -360,3 +360,91 @@ def test_containment_max_df_hot_shingle_cap(spark):
     # documented loss; nothing else may disappear, nothing may appear
     assert exact - capped == {p for p in exact if p[0] == 200}
     assert capped <= exact
+
+
+def test_ppjoin_rational_threshold_does_not_over_prune(spark):
+    """r13 review: num = round(tau*10000) could exceed tau (2/3 ->
+    0.6667), tightening the integer length/prefix bounds past the true
+    threshold — a J = 2/3 pair passed the exact verify but was pruned
+    at candidate generation on every collision row. num now FLOORS.
+    Minimal witness: A ⊃ B with |A∩B|=2, |A|=3, |B|=2 shingles."""
+    docs = [
+        (1, "w1 w2 w3 w4"),  # bigrams {w1 w2, w2 w3, w3 w4} — 3
+        (2, "w1 w2 w3"),     # bigrams {w1 w2, w2 w3} — 2; J = 2/3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tau = 2 / 3
+    got = {
+        (r["a_doc_id"], r["b_doc_id"])
+        for r in dedup.jaccard_pairs(df, tau).collect()
+    }
+    assert got == {(1, 2)}, got
+    # and the random sweep at the repeating threshold
+    for seed in (7, 23):
+        corpus = _random_corpus(seed, 30)
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        have = {
+            (r["a_doc_id"], r["b_doc_id"])
+            for r in dedup.jaccard_pairs(cdf, tau).collect()
+        }
+        want = _brute_force(corpus, tau)
+        assert have == want, (seed, want - have, have - want)
+
+
+def test_banding_parameter_guards(spark):
+    """r13 review: non-divisible banding silently ignored trailing
+    hash slots (recall below the designed S-curve); simhash with
+    max_hamming >= bands silently missed true pairs whose differing
+    bits spread one per slice."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_sig_array(df, 16)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.band_keys_from_sig(sigs, 16, 5)
+    with pytest.raises(ValueError, match="band_size"):
+        dedup.band_keys_from_sig(sigs, 16, 20)
+    from pyspark.sql import functions as F
+
+    ids = (
+        dedup.shingle_id_sets(df)
+        .select("doc_id", F.explode("sh").alias("sid"))
+    )
+    wide = dedup.minhash_signatures(ids, 16)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.lsh_candidate_pairs(wide, 16, 5)
+    sh = dedup.simhash_signatures(df)
+    with pytest.raises(ValueError, match="bands"):
+        dedup.simhash_near_pairs(sh, max_hamming=2, bands=2)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_near_pairs(sh, max_hamming=1, bands=3, bits=32)
+
+
+def test_remove_spans_null_text_is_empty_doc(spark):
+    """r13 review: a NULL text row produced sequence(0,-1) phantom
+    spans (non-ANSI) or vanished from the output entirely (ANSI). It
+    must behave exactly like an empty-text doc: present, clean_text
+    '', one '' span, nothing removed beyond span dedup."""
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(df, span_tokens=4).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["clean_text"] == "x y z"
+    # null and genuinely-empty docs behave identically
+    for d in (2, 3):
+        assert rows[d]["n_spans"] == 1
+        assert rows[d]["clean_text"] in ("",)
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        ansi_rows = dedup.remove_duplicate_spans(df, span_tokens=4).count()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert ansi_rows == 3

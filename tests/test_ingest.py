@@ -237,10 +237,12 @@ def test_neardup_streaming_e2e_with_restart(spark, tmp_path):
 def test_ingest_vacuum_bounds_registry_versions(spark, tmp_path):
     """24/7 loop creates one registry version per micro-batch; with
     vacuum_retain every SUPERSEDED bucket directory at or below the
-    retention floor must be gone — old version dirs may survive only for
-    buckets the committed manifest still owns there (that data is live,
-    not garbage). Total on-disk bucket dirs stay bounded by live
-    manifest entries + the retained recent versions."""
+    retention floor must be gone — old version dirs may survive only
+    for buckets some RETAINED manifest (current or inside the retain
+    window) still references there (r13 review: liveness is the union
+    of retained manifests, not the committed one alone — otherwise
+    read_state_at broke inside the documented horizon). Total on-disk
+    bucket dirs stay bounded by retained-manifest entries."""
     import json
 
     src = tmp_path / "src"
@@ -264,9 +266,16 @@ def test_ingest_vacuum_bounds_registry_versions(spark, tmp_path):
 
     cur = upsert.current_version(reg)
     assert cur >= 5
-    with open(os.path.join(reg, f"v{cur}", "manifest.json")) as f:
-        manifest = {str(k): int(v) for k, v in json.load(f).items()}
     floor = cur - 2
+    # liveness under the FIXED contract: union of every retained
+    # manifest's (bucket -> owner) refs
+    live: set[tuple[int, str]] = set()
+    n_manifest_entries = 0
+    for v_ref in range(floor + 1, cur + 1):
+        with open(os.path.join(reg, f"v{v_ref}", "manifest.json")) as f:
+            refs = {str(k): int(v) for k, v in json.load(f).items()}
+        n_manifest_entries += len(refs)
+        live |= {(owner, b) for b, owner in refs.items()}
     n_bucket_dirs = 0
     for entry in os.listdir(reg):
         if not (entry.startswith("v") and entry[1:].isdigit()):
@@ -279,11 +288,10 @@ def test_ingest_vacuum_bounds_registry_versions(spark, tmp_path):
         ]
         n_bucket_dirs += len(buckets)
         if v <= floor:
-            dead = [b for b in buckets if manifest.get(b) != v]
+            dead = [b for b in buckets if (v, b) not in live]
             assert not dead, (entry, dead)
-    # bound: live entries (<= n_buckets) + superseded copies only inside
-    # the 2 retained recent versions (each <= n_buckets)
-    assert n_bucket_dirs <= len(manifest) + 2 * 16
+    # bound: every surviving dir is referenced by a retained manifest
+    assert n_bucket_dirs <= n_manifest_entries
     # ingest output unaffected by vacuuming
     ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert ids == {100, 101, 102, 103, 104}

@@ -253,3 +253,88 @@ def test_time_travel_horizon_is_vacuum(spark, tmp_path):
     v2 = upsert.read_state_at(spark, path, 2)
     got = {(r["k"], r["seq"], r["val"]) for r in v2.collect()}
     assert got == {("a", 2, "a2"), ("b", 1, "b1")}
+
+
+def test_vacuum_keeps_buckets_of_retained_manifests(spark, tmp_path):
+    """r13 review: vacuum computed liveness from the CURRENT manifest
+    only, so a bucket referenced by a RETAINED version's manifest but
+    owned by a below-floor vdir was deleted — breaking read_state_at
+    INSIDE the documented retain window. Shape: b last written at v1,
+    still referenced by v2's manifest, superseded at v3; with
+    retain_versions=2 (horizon covers v2) the v1 copy must survive."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(
+        _batch(spark, [("a", 1, "a1"), ("b", 1, "b1")]), path, ["k"], "seq"
+    )
+    upsert.merge_upsert(_batch(spark, [("a", 2, "a2")]), path, ["k"], "seq")
+    upsert.merge_upsert(
+        _batch(spark, [("a", 3, "a3"), ("b", 3, "b3")]), path, ["k"], "seq"
+    )
+    upsert.vacuum(path, retain_versions=2)
+    v2 = upsert.read_state_at(spark, path, 2)
+    assert v2 is not None, "retained-horizon version became unreadable"
+    got = {(r["k"], r["seq"], r["val"]) for r in v2.collect()}
+    assert got == {("a", 2, "a2"), ("b", 1, "b1")}
+    latest = {(r["k"], r["val"]) for r in upsert.read_state(spark, path).collect()}
+    assert latest == {("a", "a3"), ("b", "b3")}
+
+
+def test_corrupt_latest_pointer_raises_not_empty(spark, tmp_path):
+    """r13 review: an existing-but-garbled _LATEST used to read as
+    'empty store', so the next merge silently restarted at version 1
+    and orphaned all committed state (which the next vacuum then
+    deleted). It must raise; a MISSING pointer still means empty."""
+    import pytest
+
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(_batch(spark, [("a", 1, "a1")]), path, ["k"], "seq")
+    with open(os.path.join(path, "_LATEST"), "w") as f:
+        f.write("not-a-version")
+    with pytest.raises(ValueError, match="corrupt"):
+        upsert.current_version(path)
+    with pytest.raises(ValueError, match="corrupt"):
+        upsert.merge_upsert(
+            _batch(spark, [("a", 2, "a2")]), path, ["k"], "seq"
+        )
+    empty = str(tmp_path / "none")
+    assert upsert.current_version(empty) == 0
+
+
+def test_stream_into_prefix_bucketed_store(spark, tmp_path):
+    """r13 review: start_upsert_stream did not plumb bucket_cols, so a
+    store created with prefix bucketing rejected every micro-batch
+    (pinned-layout mismatch) and the stream failed permanently."""
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(
+        spark.createDataFrame(
+            [("a", "x", 1, "v1")], "k1 string, k2 string, seq long, val string"
+        ),
+        path,
+        key_cols=["k1", "k2"],
+        seq_col="seq",
+        bucket_cols=["k1"],
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "f1.jsonl", "w") as f:
+        f.write(
+            json.dumps({"k1": "a", "k2": "y", "seq": 2, "val": "v2"}) + "\n"
+        )
+    schema = "k1 string, k2 string, seq long, val string"
+    stream = spark.readStream.schema(schema).json(str(src))
+    upsert.start_upsert_stream(
+        stream,
+        path,
+        str(tmp_path / "ckpt"),
+        ["k1", "k2"],
+        "seq",
+        bucket_cols=["k1"],
+    ).awaitTermination(120)
+    got = {
+        (r["k1"], r["k2"], r["val"])
+        for r in upsert.read_state(spark, path).collect()
+    }
+    assert got == {("a", "x", "v1"), ("a", "y", "v2")}
