@@ -54,14 +54,20 @@ def fingerprint_col(text_col: str = "text"):
 
 def _within_batch_exact(fp: DataFrame, id_col: str) -> DataFrame:
     """Within-batch exact dedup, shared by all three ingest pipelines:
-    keep the min-id row per fingerprint, and exactly ONE copy of it —
-    FULLY identical rows (same id AND same text, a producer retry
-    inside one batch) both match the keep row via the semi-join and
-    would otherwise all pass (r13 review)."""
-    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    return fp.join(
-        keep, ["fingerprint", id_col], "left_semi"
-    ).dropDuplicates(["fingerprint", id_col])
+    exactly ONE row per fingerprint — the min-id one. A single
+    per-fingerprint row_number window (one batch-sized shuffle)
+    replaces the old groupBy + semi-join, which ALSO let fully
+    identical rows (same id and same text — a producer retry inside
+    one batch) pass in multiples because every copy matched the keep
+    row (r13 review)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def dedup_batch_against_registry(
