@@ -163,15 +163,11 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     "ann_opq_persisted": 1,
     "ann_opq_topk": 1,
     "ann_lsh_topk": 1,
-    "dedup_clusters": 2,
-    "dedup_containment_docs": 2,
-    "dedup_containment_lsh_docs": 1,
+    # r13: the shared jaccard/containment CTEs moved to the
+    # exact-integer HALF_UP expansion, clearing the whole
+    # dedup_*/ingest_neardup_incremental family off this list
     "dedup_embedding_cosine": 2,
-    "dedup_keep_best_quality": 2,
-    "dedup_minhash_lsh_docs": 2,
-    "dedup_ngram_jaccard_docs": 2,
     "dedup_semantic_clusters": 1,
-    "dedup_simhash_docs": 2,
     # 12-dp rounding of a transcendental PSI term into the decimal
     # domain before the exact decimal total — the text_kl_source_drift
     # recipe; a 12-dp half-tie on a libm ln product is measure-zero
@@ -182,7 +178,6 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     "feature_zscore_winsorize": 1,
     "hist_doc_tokens": 1,
     "hist_order_totals": 1,
-    "ingest_neardup_incremental": 2,
     "knn_label_audit": 1,
     "knn_label_audit_ivf": 1,
     "mixture_temperature_sources": 3,
