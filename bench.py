@@ -597,21 +597,24 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if sys.argv[1:2] == ["--solo"] or sys.argv[1:2] == ["--band-for"]:
-        # malformed flag invocations must ERROR, not fall through to
-        # the ~40-min full suite (r13 review: `--band-for NAME` with
-        # the solo count missing silently ran main() and overwrote
-        # the bench detail artifact)
-        if sys.argv[1] == "--solo" and len(sys.argv) >= 3:
-            solo(sys.argv[2])
-        elif sys.argv[1] == "--band-for" and len(sys.argv) >= 4:
-            band_for(sys.argv[2], int(sys.argv[3]))
-        else:
-            raise SystemExit(
-                "usage: bench.py --solo NAME | --bands [N_SWEEPS] | "
-                "--band-for NAME N_SOLOS"
-            )
-    elif sys.argv[1:2] == ["--bands"]:
-        regen_bands(int(sys.argv[2]) if len(sys.argv) >= 3 else 2)
+    # malformed/unknown flag invocations must ERROR, not fall through
+    # to the ~40-min full suite (r13 review: `--band-for NAME` with the
+    # solo count missing silently ran main() and overwrote the bench
+    # detail artifact; r13 advisory: ANY mistyped flag — `--band`,
+    # `--solos`, `--ivfpq` — fell through the same way). Only a bare
+    # invocation runs the suite.
+    _argv = sys.argv[1:]
+    if _argv[:1] == ["--solo"] and len(_argv) == 2:
+        solo(_argv[1])
+    elif _argv[:1] == ["--band-for"] and len(_argv) == 3:
+        band_for(_argv[1], int(_argv[2]))
+    elif _argv[:1] == ["--bands"] and len(_argv) <= 2:
+        regen_bands(int(_argv[1]) if len(_argv) == 2 else 2)
+    elif _argv:
+        raise SystemExit(
+            f"unrecognized arguments: {' '.join(_argv)}\n"
+            "usage: bench.py | bench.py --solo NAME | "
+            "bench.py --bands [N_SWEEPS] | bench.py --band-for NAME N_SOLOS"
+        )
     else:
         main()

@@ -76,10 +76,13 @@ def scratch_dir(kind: str, sf_dir: str, keep_dir: bool = False) -> str:
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     prefix = f"nes_{kind}_{digest}_"
     paths = _SCRATCH_DIRS.setdefault(prefix, [])
-    while len(paths) > 3:
-        shutil.rmtree(paths.pop(0), ignore_errors=True)
     path = tempfile.mkdtemp(prefix=prefix)
     paths.append(path)
+    # reap AFTER appending so steady state holds exactly 3 dirs — the
+    # documented grace window; reaping before the append retained 4
+    # (r13 advisory)
+    while len(paths) > 3:
+        shutil.rmtree(paths.pop(0), ignore_errors=True)
     if not keep_dir:
         shutil.rmtree(path, ignore_errors=True)
     return path

@@ -51,6 +51,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from near_event_streams_spark.operators import similarity
 from near_event_streams_spark.session import partition_overwrite_mode
+from near_event_streams_spark.streaming import ingest as ingest_mod
 
 
 def seed_ann_index(
@@ -82,10 +83,8 @@ def seed_ann_index(
             .partitionBy("batch_id")
             .parquet(lake_dir)
         )
-    base = (
-        spark.read.parquet(lake_dir)
-        .select(id_col, vec_col)
-        .dropDuplicates([id_col])
+    base = ingest_mod.one_row_per_key(
+        spark.read.parquet(lake_dir).select(id_col, vec_col), [id_col]
     )
     if opq:
         enc, cents, rot, books = similarity.opq_index(
@@ -181,16 +180,17 @@ def ann_index_ingest_sink(
             # corpus is built ONLY once the cheap precheck says the
             # retrain will fire: spark.read.parquet(lake_dir) pays
             # partition discovery over every batch dir, O(lake dirs)
-            # per call (r13 review). dropDuplicates(id): the lake
+            # per call (r13 review). one_row_per_key(id): the lake
             # legitimately holds a vec_id twice when the source
             # redelivers across DIFFERENT batches (each batch only
             # overwrites its own partition) — without it the retrain
             # would resurrect duplicates the if_absent append kept
-            # out of the index.
-            corpus = (
-                spark.read.parquet(lake_dir)
-                .select(id_col, vec_col)
-                .dropDuplicates([id_col])
+            # out of the index; the content-hash tie-break keeps the
+            # retrain corpus deterministic when one id carries two
+            # different vectors (r13 advisory).
+            corpus = ingest_mod.one_row_per_key(
+                spark.read.parquet(lake_dir).select(id_col, vec_col),
+                [id_col],
             )
             compact(
                 spark,
@@ -202,11 +202,9 @@ def ann_index_ingest_sink(
                 id_col=id_col,
                 vec_col=vec_col,
             )
-        from near_event_streams_spark.streaming.ingest import (
-            _maybe_compact_corpus,
+        ingest_mod._maybe_compact_corpus(
+            spark, lake_dir, batch_id, lake_compact_every
         )
-
-        _maybe_compact_corpus(spark, lake_dir, batch_id, lake_compact_every)
 
     return _sink
 

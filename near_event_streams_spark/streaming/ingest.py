@@ -52,6 +52,49 @@ def fingerprint_col(text_col: str = "text"):
     return F.md5(normalized_text(F.col(text_col)))
 
 
+def _content_hash(df: DataFrame):
+    """Deterministic per-row ``xxhash64`` over EVERY column — the
+    tie-break that makes survivor selection shuffle-order independent.
+    Map-bearing columns are hashed through ``to_json`` (Spark refuses
+    to hash raw maps: element order is undefined)."""
+    from pyspark.sql import types as T
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    return F.xxhash64(
+        *[
+            F.to_json(F.col(f.name)) if has_map(f.dataType) else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def one_row_per_key(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Deterministic ``dropDuplicates``: exactly one row per key — the
+    row with the smallest content hash over ALL columns. Plain
+    ``dropDuplicates([key])`` keeps an ARBITRARY row when one key
+    carries two different payloads, so an at-least-once replay could
+    commit a DIFFERENT row than the original run and break the
+    byte-identical-replay discipline the ingest e2es pin (r13
+    advisory). One per-key row_number window — the same shuffle
+    ``dropDuplicates`` pays."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(_content_hash(df))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _within_batch_exact(fp: DataFrame, id_col: str) -> DataFrame:
     """Within-batch exact dedup, shared by all three ingest pipelines:
     exactly ONE row per fingerprint — the min-id one. A single
@@ -59,10 +102,14 @@ def _within_batch_exact(fp: DataFrame, id_col: str) -> DataFrame:
     replaces the old groupBy + semi-join, which ALSO let fully
     identical rows (same id and same text — a producer retry inside
     one batch) pass in multiples because every copy matched the keep
-    row (r13 review)."""
+    row (r13 review). Ties BEYOND the id (two rows sharing fingerprint
+    AND id but differing elsewhere) break on a content hash, not
+    shuffle order (r13 advisory)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col(id_col), _content_hash(fp)
+    )
     return (
         fp.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -857,13 +904,16 @@ def image_ingest_sink_body(
             )
             # corpus rows are the ORIGINAL batch rows (payload and
             # all), filtered to the accepted + undecodable ids
-            # dropDuplicates: an identical image row delivered twice
+            # one_row_per_key: an identical image row delivered twice
             # in ONE batch shares its id — both copies survive the
             # semi-join and neither is dropped by the strict
-            # _a_id < _b_id within-batch rule (r13 review)
-            out = batch.join(
-                keep_ids, id_col, "left_semi"
-            ).dropDuplicates([id_col])
+            # _a_id < _b_id within-batch rule (r13 review); the
+            # content-hash tie-break keeps replay survivor choice
+            # deterministic when one id carries two different
+            # payloads (r13 advisory)
+            out = one_row_per_key(
+                batch.join(keep_ids, id_col, "left_semi"), [id_col]
+            )
             with partition_overwrite_mode(spark, "dynamic"):
                 (
                     out.withColumn("batch_id", F.lit(batch_id))

@@ -118,3 +118,50 @@ def test_run_requires_source_dir(tmp_path):
         ["--home-dir", str(home), "run", "sync-from-latest"]
     )
     assert rc == 2
+
+
+def test_scratch_dir_steady_state_is_three_dirs():
+    """r13 advisory: the reap ran BEFORE appending the new dir, so the
+    steady state retained 4 dirs per prefix while the docstring
+    promises a 3-call grace window. Exactly 3 must survive."""
+    import os
+
+    from near_event_streams_spark.plans import _common
+
+    kind = "reaptest"
+    sfd = "/nonexistent/sf-reap-test"
+    handed = [_common.scratch_dir(kind, sfd, keep_dir=True) for _ in range(6)]
+    prefix = [p for p in _common._SCRATCH_DIRS if kind in p][0]
+    live = _common._SCRATCH_DIRS[prefix]
+    assert len(live) == 3
+    assert live == handed[-3:]
+    for p in handed[:3]:
+        assert not os.path.exists(p), p
+    for p in handed[-3:]:
+        assert os.path.exists(p), p
+    # cleanup
+    import shutil
+
+    for p in handed[-3:]:
+        shutil.rmtree(p, ignore_errors=True)
+    del _common._SCRATCH_DIRS[prefix]
+
+
+def test_bench_unknown_flag_errors_fast():
+    """r13 advisory: any mistyped flag (--band, --solos, --ivfpq) fell
+    through to main() and silently ran the ~40-min full suite. Unknown
+    args must exit non-zero immediately without touching Spark."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for argv in (["--band"], ["--solos", "q1"], ["--band-for", "q1"], ["extra"]):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(root, "bench.py"), *argv],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        assert proc.returncode != 0, argv
+        assert "usage:" in (proc.stderr + proc.stdout), argv

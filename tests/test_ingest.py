@@ -756,3 +756,52 @@ def test_compact_every_zero_means_never(spark, tmp_path):
     ).write.partitionBy("batch_id").parquet(corpus)
     ingest._maybe_compact_corpus(spark, corpus, 0, 0)  # no raise
     ingest._maybe_compact_corpus(spark, corpus, 3, None)
+
+
+def test_survivor_choice_is_shuffle_order_independent(spark):
+    """r13 advisory: the within-batch window ordered by id only, so two
+    rows sharing fingerprint AND id but differing elsewhere got an
+    arbitrary, shuffle-order-dependent survivor — an at-least-once
+    replay could commit a DIFFERENT row than the original run. The
+    content-hash tie-break must pick the SAME survivor regardless of
+    input row order or partitioning."""
+    rows = [
+        (1, "alpha beta", "src-A"),
+        (1, "ALPHA   beta", "src-B"),  # same fingerprint + id, diff payload
+        (2, "gamma delta", "src-C"),
+    ]
+    schema = "doc_id long, text string, origin string"
+    survivors = []
+    for perm, parts in [(rows, 1), (rows[::-1], 3), ([rows[1], rows[2], rows[0]], 2)]:
+        df = spark.createDataFrame(perm, schema).repartition(parts)
+        fp = df.withColumn("fingerprint", ingest.fingerprint_col("text"))
+        out = ingest._within_batch_exact(fp, "doc_id")
+        survivors.append(
+            sorted((r["doc_id"], r["text"], r["origin"]) for r in out.collect())
+        )
+    assert survivors[0] == survivors[1] == survivors[2]
+    assert len(survivors[0]) == 2
+
+
+def test_one_row_per_key_deterministic_and_map_safe(spark):
+    """one_row_per_key must (a) pick the same survivor under any input
+    order/partitioning and (b) not crash on map-typed columns (Spark
+    refuses xxhash64 over raw maps — they hash through to_json)."""
+    rows = [
+        (7, [0.1, 0.2], {"k": "v1"}),
+        (7, [0.3, 0.4], {"k": "v2"}),  # same key, different payload
+        (8, [0.5, 0.6], {"k": "v3"}),
+    ]
+    schema = "vec_id long, embedding array<double>, meta map<string,string>"
+    outs = []
+    for perm, parts in [(rows, 1), (rows[::-1], 4)]:
+        df = spark.createDataFrame(perm, schema).repartition(parts)
+        out = ingest.one_row_per_key(df, ["vec_id"])
+        outs.append(
+            sorted(
+                (r["vec_id"], tuple(r["embedding"]), tuple(sorted(r["meta"].items())))
+                for r in out.collect()
+            )
+        )
+    assert outs[0] == outs[1]
+    assert [k for k, _, _ in outs[0]] == [7, 8]
