@@ -17,7 +17,10 @@ the banded-LSH path covers the same scale goal without an ML-fit stage.
 
 from __future__ import annotations
 
+import logging
+import math
 import random
+import re
 
 import numpy as np
 import pandas as pd
@@ -25,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from near_event_streams_spark.functions.vector import cosine
+
+log = logging.getLogger("nes.similarity")
 
 
 def brute_force_topk(
@@ -646,6 +651,99 @@ def _append_codes(
         enc_new.unpersist()
 
 
+# ---------------------------------------------------------------------------
+# Index swap protocols: rename (HDFS/local) vs pointer (object stores)
+# ---------------------------------------------------------------------------
+
+#: pointer file name for ``swap_mode="pointer"`` layouts — lives directly
+#: under the index root and holds the live version dir name (e.g. "v3")
+_POINTER_FILE = "_CURRENT"
+_VERSION_RE = re.compile(r"^v\d{1,10}$")
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-class) for ``path`` via the session's Hadoop
+    conf — the same FS the parquet writers target, so the swap
+    protocols work wherever the data does."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _read_pointer(spark, path: str) -> str | None:
+    """Raw ``_CURRENT`` content (stripped) or None when the file does
+    not exist. TOLERANT of garbled content — callers decide whether
+    garbage raises (:func:`resolve_index_base`) or falls through to
+    version-dir resolution (:func:`ivfpq_recover`)."""
+    fs, hp = _hadoop_fs(spark, path)
+    p = hp(path.rstrip("/") + "/" + _POINTER_FILE)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return raw.strip()
+
+
+def _write_pointer(spark, path: str, version: str) -> None:
+    """Flip the live-version pointer: ONE single-object create —
+    atomic on S3-class stores (a PUT either lands whole or not at
+    all), which is the entire point of the pointer protocol. On
+    filesystems where create-overwrite is not atomic (local FS), a
+    torn write is caught downstream: :func:`resolve_index_base`
+    rejects non-``v<N>`` content and :func:`ivfpq_recover` resolves a
+    garbled pointer from the version dirs themselves."""
+    fs, hp = _hadoop_fs(spark, path)
+    out = fs.create(hp(path.rstrip("/") + "/" + _POINTER_FILE), True)
+    try:
+        out.write(bytearray(version.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def resolve_index_base(spark, path: str) -> str:
+    """The directory actually holding ``codes``/``meta`` for a
+    persisted index at ``path``: ``path`` itself for a rename-mode
+    layout (no ``_CURRENT``), ``<path>/<version>`` for a pointer-mode
+    one. Every reader/appender resolves through this, so the two swap
+    protocols share one probe/append/compact surface.
+
+    Raises ``IOError`` on a garbled pointer instead of guessing — the
+    same refuse-to-misread contract as the upsert store's ``_LATEST``
+    (r13): run :func:`ivfpq_recover`, which repoints from the version
+    dirs, rather than silently reading some other layout."""
+    ptr = _read_pointer(spark, path)
+    if ptr is None:
+        return path.rstrip("/")
+    if not _VERSION_RE.match(ptr):
+        raise IOError(
+            f"garbled index pointer at {path}/{_POINTER_FILE}: "
+            f"{ptr[:64]!r} — run ivfpq_recover to repoint from the "
+            "version directories"
+        )
+    return path.rstrip("/") + "/" + ptr
+
+
+def _list_versions(spark, path: str) -> list[int]:
+    """Sorted version numbers of ``v<N>`` subdirectories under a
+    pointer-mode index root (empty when none / root missing)."""
+    fs, hp = _hadoop_fs(spark, path)
+    root = hp(path.rstrip("/"))
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and _VERSION_RE.match(name):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
 def ivfpq_append(
     spark,
     path: str,
@@ -670,9 +768,10 @@ def ivfpq_append(
     land in (hive partition pruning keeps it proportional to touched
     cells, not index size) — the same self-exclusion shape as the text
     ingest registry."""
-    _, centroids, books = ivfpq_read(spark, path)
+    base = resolve_index_base(spark, path)
+    _, centroids, books = ivfpq_read(spark, base)
     enc_new = ivfpq_encode(vectors, centroids, books, id_col, vec_col)
-    _append_codes(spark, path, enc_new, if_absent)
+    _append_codes(spark, base, enc_new, if_absent)
 
 
 def ivfpq_compact(
@@ -689,6 +788,8 @@ def ivfpq_compact(
     vec_col: str = "embedding",
     rescale_cells: bool = False,
     opq: bool = False,
+    drift_psi_threshold: float | None = None,
+    _crash_before_swap: bool = False,
     _crash_between_renames: bool = False,
 ) -> dict:
     """Retrain-and-rewrite maintenance for a persisted IVF-PQ index
@@ -724,11 +825,30 @@ def ivfpq_compact(
     the appended fraction — (current codes rows − rows at last
     write/compact, recorded in the sidecar) / current — reaches it,
     so a scheduler can call this unconditionally after every ingest
-    window and pay the rebuild only on real drift. Returns
+    window and pay the rebuild only on real drift.
+    ``drift_psi_threshold`` adds the OR-trigger the volume test can't
+    express (see :func:`_compact_gate`): a compact also fires when the
+    appended rows' coarse-cell occupancy PSI vs the at-write occupancy
+    reaches the threshold, even below ``min_appended_frac``. Returns
     ``{"compacted": bool, "appended_frac": float|None, "n_rows": int,
-    "n_clusters": int}``.
+    "n_clusters": int, "drift_psi": float|None}``.
+
+    Swap protocol is AUTO-DETECTED from the layout: a rename-mode
+    index (the :func:`ivfpq_write` default) rebuilds into a side dir
+    and swaps via two directory renames — atomic on local FS/HDFS
+    only; a pointer-mode index (``swap_mode="pointer"``) rebuilds into
+    the NEXT versioned prefix ``<path>/v<N+1>`` and flips the
+    single-object ``_CURRENT`` pointer — the object-store-safe
+    protocol (S3A rename is a non-atomic client-side copy+delete; a
+    single PUT is atomic). Both crash windows of both protocols are
+    resolved mechanically by :func:`ivfpq_recover`.
     """
-    meta = spark.read.parquet(path + "/meta").collect()[0]
+    base = resolve_index_base(spark, path)
+    pointer_mode = base != path.rstrip("/")
+    gate = _compact_gate(
+        spark, base, min_appended_frac, drift_psi_threshold
+    )
+    meta = gate["meta"]
     has_rot = "rot" in meta.__fields__ and meta["rot"] is not None
     if has_rot and not opq:
         raise ValueError(
@@ -750,29 +870,19 @@ def ivfpq_compact(
         m = int(meta["m"])
     if ks is None:
         ks = int(meta["ks"])
-    n_cur = spark.read.parquet(path + "/codes").count()
-    n_base = (
-        int(meta["n_rows"])
-        if "n_rows" in meta.__fields__ and meta["n_rows"] is not None
-        else None
-    )
-    appended_frac = (
-        (n_cur - n_base) / n_cur if n_base is not None and n_cur else None
-    )
+    appended_frac = gate["appended_frac"]
     # scheduler skip FIRST: a skipped compact must cost only the
-    # sidecar read + codes count above — deriving the rescale geometry
-    # below pays a full-lake corpus.count() and would turn every
-    # checked-but-skipped ingest window into a lake scan (r13 review)
-    if (
-        min_appended_frac is not None
-        and appended_frac is not None
-        and appended_frac < min_appended_frac
-    ):
+    # shared gate's sidecar read + partition-column codes aggregate —
+    # deriving the rescale geometry below pays a full-lake
+    # corpus.count() and would turn every checked-but-skipped ingest
+    # window into a lake scan (r13 review)
+    if not gate["due"]:
         return {
             "compacted": False,
             "appended_frac": appended_frac,
-            "n_rows": n_cur,
+            "n_rows": gate["n_cur"],
             "n_clusters": len(meta["centroids"]),
+            "drift_psi": gate["drift_psi"],
         }
     if n_clusters is None:
         if rescale_cells:
@@ -790,8 +900,9 @@ def ivfpq_compact(
                 return {
                     "compacted": False,
                     "appended_frac": appended_frac,
-                    "n_rows": n_cur,
+                    "n_rows": gate["n_cur"],
                     "n_clusters": len(meta["centroids"]),
+                    "drift_psi": gate["drift_psi"],
                 }
             # √n, floored at MLlib's minimum of 2, capped by (a) the
             # corpus row count (KMeans must not want more centers than
@@ -829,86 +940,233 @@ def ivfpq_compact(
             id_col=id_col,
             vec_col=vec_col,
         )
-    # Build the full retrained index in a SIDE directory, then swap it
-    # in with two filesystem renames (Hadoop FileSystem API). The crash
-    # guarantee holds on filesystems with ATOMIC directory rename —
-    # local FS and HDFS; S3A rename is a non-atomic client-side
-    # copy+delete, so on object stores run compaction to a fresh
-    # versioned prefix and flip a pointer instead (r12 advisory — the
-    # old comment overclaimed S3A atomicity). On atomic-rename
-    # filesystems: a crash before the first rename leaves the live
-    # index untouched; a crash between the renames leaves the old index
-    # intact at `<path>.compact-old` and the new one complete at
-    # `<path>.compact-tmp` — both recovered mechanically by
-    # :func:`ivfpq_recover`, which additionally validates that a live
-    # layout is READABLE before it deletes tmp/old (defense in depth
-    # against a partially-materialized live dir) — and at no point can
-    # probes see NEW codes paired with an OLD sidecar (the in-place
-    # overwrite's silent-wrong-distances failure mode, r11 advisory).
-    tmp = path.rstrip("/") + ".compact-tmp"
-    old = path.rstrip("/") + ".compact-old"
-    ivfpq_write(enc, cents, books, tmp, rot=rot)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath(old), True)
-    if fs.exists(hpath(path)):
-        if not fs.rename(hpath(path), hpath(old)):
-            raise IOError(f"compact swap failed: {path} -> {old}")
-    if _crash_between_renames:
-        # fault-injection seam (tests only): die in the swap window —
-        # live renamed away, the COMPLETE new build still at tmp. The
-        # crash-recovery e2e uses this to prove ivfpq_recover promotes
-        # the finished compact instead of losing it.
-        raise IOError(
-            "injected crash between compact renames (test seam)"
-        )
-    if not fs.rename(hpath(tmp), hpath(path)):
-        raise IOError(f"compact swap failed: {tmp} -> {path}")
-    fs.delete(hpath(old), True)
+    fs, hpath = _hadoop_fs(spark, path)
+    if pointer_mode:
+        # Pointer protocol (object stores): build the full retrained
+        # index into the NEXT versioned prefix, flip the single-object
+        # `_CURRENT` pointer (atomic PUT on S3-class stores), then
+        # delete the superseded version dir. A crash before the flip
+        # leaves the live version authoritative and a complete-but-
+        # unreferenced build beside it (discarded by ivfpq_recover,
+        # with the `discarded_retrain` signal — work lost, correctness
+        # not); a crash after the flip leaves only a stray old version
+        # dir (deleted by ivfpq_recover). At no point do probes see a
+        # partially-written layout: readers resolve through the
+        # pointer, and the pointer only ever names a COMPLETE build.
+        ptr = _read_pointer(spark, path)
+        new_name = f"v{int(ptr[1:]) + 1}"
+        new_base = path.rstrip("/") + "/" + new_name
+        ivfpq_write(enc, cents, books, new_base, rot=rot)
+        if _crash_before_swap:
+            # test seam: finished retrain, pointer NOT yet flipped —
+            # the pointer twin of rename-mode's before-first-rename
+            raise IOError(
+                "injected crash before pointer flip (test seam)"
+            )
+        _write_pointer(spark, path, new_name)
+        if _crash_between_renames:
+            # test seam: pointer flipped, superseded version dir not
+            # yet deleted — the stray-cleanup window
+            raise IOError(
+                "injected crash after pointer flip (test seam)"
+            )
+        fs.delete(hpath(base), True)
+        live_base = new_base
+    else:
+        # Rename protocol: build the full retrained index in a SIDE
+        # directory, then swap it in with two filesystem renames
+        # (Hadoop FileSystem API). The crash guarantee holds on
+        # filesystems with ATOMIC directory rename — local FS and
+        # HDFS; on object stores use `swap_mode="pointer"` at write
+        # time instead (S3A rename is a non-atomic client-side
+        # copy+delete). A crash before the first rename leaves the
+        # live index untouched (the finished tmp build is discarded by
+        # ivfpq_recover with the `discarded_retrain` signal); a crash
+        # between the renames leaves the old index intact at
+        # `<path>.compact-old` and the new one complete at
+        # `<path>.compact-tmp` — both recovered mechanically by
+        # :func:`ivfpq_recover`, which additionally validates that a
+        # live layout is READABLE before it deletes tmp/old (defense
+        # in depth against a partially-materialized live dir) — and at
+        # no point can probes see NEW codes paired with an OLD sidecar
+        # (the in-place overwrite's silent-wrong-distances failure
+        # mode, r11 advisory).
+        tmp = path.rstrip("/") + ".compact-tmp"
+        old = path.rstrip("/") + ".compact-old"
+        ivfpq_write(enc, cents, books, tmp, rot=rot)
+        if _crash_before_swap:
+            # test seam: finished retrain at tmp, live untouched —
+            # replayed schedulers re-fire the compact; the work is
+            # lost, correctness is not (r13 verdict #5)
+            raise IOError(
+                "injected crash before first compact rename (test seam)"
+            )
+        fs.delete(hpath(old), True)
+        if fs.exists(hpath(path)):
+            if not fs.rename(hpath(path), hpath(old)):
+                raise IOError(f"compact swap failed: {path} -> {old}")
+        if _crash_between_renames:
+            # fault-injection seam (tests only): die in the swap
+            # window — live renamed away, the COMPLETE new build still
+            # at tmp. The crash-recovery e2e uses this to prove
+            # ivfpq_recover promotes the finished compact instead of
+            # losing it.
+            raise IOError(
+                "injected crash between compact renames (test seam)"
+            )
+        if not fs.rename(hpath(tmp), hpath(path)):
+            raise IOError(f"compact swap failed: {tmp} -> {path}")
+        fs.delete(hpath(old), True)
+        live_base = path.rstrip("/")
     return {
         "compacted": True,
         "appended_frac": appended_frac,
-        "n_rows": spark.read.parquet(path + "/codes").count(),
+        "n_rows": spark.read.parquet(live_base + "/codes").count(),
         "n_clusters": n_clusters,
+        "drift_psi": gate["drift_psi"],
     }
 
 
-def compact_due(spark, path: str, min_appended_frac: float) -> bool:
-    """Cheap scheduler precheck for :func:`ivfpq_compact` /
-    :func:`opq_compact`: the same appended-fraction test the compact
-    itself applies, costing ONLY the sidecar read + a metadata codes
-    count — no corpus access. A streaming sink gates building the
-    retrain corpus on this, because even constructing
-    ``spark.read.parquet(lake_dir)`` pays partition discovery over
-    every batch dir — O(lake dirs) per checked micro-batch for a
-    check that usually says "not yet" (r13 review). Semantics match
-    the compact's own gate exactly: due when the appended fraction is
-    unknown (no ``n_rows`` yardstick — conservative retrain) or has
-    reached the threshold."""
-    meta = spark.read.parquet(path + "/meta").collect()[0]
+def _cell_occupancy_psi(meta, cur: dict[int, int]) -> float | None:
+    """PSI of the APPENDED rows' coarse-cell occupancy against the
+    at-write occupancy recorded in the sidecar (``cell_counts``,
+    written by :func:`ivfpq_write` since r14) — computable from
+    parquet footers alone (``cluster`` is a partition column; no
+    vector reads). Laplace-smoothed ``(n+1)/(t+k)`` shares over the k
+    cells, the repo's standard PSI recipe
+    (``plans/curation.drift_psi_log``). Returns None when the sidecar
+    predates ``cell_counts`` (drift unobservable — volume trigger
+    still works) and 0.0 when nothing was appended."""
+    if (
+        "cell_counts" not in meta.__fields__
+        or meta["cell_counts"] is None
+    ):
+        return None
+    basis = [int(x) for x in meta["cell_counts"]]
+    k = len(basis)
+    if k == 0:
+        return None
+    appended = [max(cur.get(i, 0) - basis[i], 0) for i in range(k)]
+    tot_a, tot_b = sum(appended), sum(basis)
+    if tot_a == 0:
+        return 0.0
+    if tot_b == 0:
+        return None
+    psi = 0.0
+    for a, b in zip(appended, basis):
+        p = (a + 1.0) / (tot_a + k)
+        q = (b + 1.0) / (tot_b + k)
+        psi += (p - q) * math.log(p / q)
+    return psi
+
+
+def _compact_gate(
+    spark,
+    base: str,
+    min_appended_frac: float | None,
+    drift_psi_threshold: float | None = None,
+) -> dict:
+    """The ONE shared skip-gate behind :func:`compact_due` and
+    :func:`ivfpq_compact` (r13 advisory: the two re-implemented the
+    same test and could drift). Costs the KB sidecar read plus one
+    partition-column-only codes aggregate — parquet footer row counts
+    per cluster dir, no data columns, no corpus access. Returns
+    ``{"due", "appended_frac", "n_cur", "meta", "drift_psi"}``.
+
+    ``due`` is True when the appended fraction is unknown (no
+    ``n_rows`` yardstick — conservative retrain), when NO trigger is
+    armed at all (both thresholds None — the compact's
+    fire-unconditionally ``None`` semantics), when the fraction
+    reaches ``min_appended_frac``, OR (r14) when
+    ``drift_psi_threshold`` is armed and the appended rows'
+    cell-occupancy PSI reaches it. Each armed trigger fires
+    independently, so a drift-only scheduler (volume threshold
+    unset) is expressible. The drift OR-trigger exists because
+    erosion is a DRIFT phenomenon, not a volume one (SCALE.md r13:
+    iid appends at 50% volume hold recall flat 0.650→0.658; +2σ
+    drift on 8/64 dims erodes 0.666→0.528) — a volume-only
+    scheduler is blind to exactly the appends that hurt."""
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    out = {
+        "meta": meta,
+        "appended_frac": None,
+        "n_cur": None,
+        "drift_psi": None,
+        "due": True,
+    }
     n_base = (
         int(meta["n_rows"])
         if "n_rows" in meta.__fields__ and meta["n_rows"] is not None
         else None
     )
     if n_base is None:
-        return True
-    n_cur = spark.read.parquet(path + "/codes").count()
+        return out
+    cur = {
+        int(r["cluster"]): int(r["cnt"])
+        for r in spark.read.parquet(base + "/codes")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_cur = sum(cur.values())
+    out["n_cur"] = n_cur
     if not n_cur:
-        return True
-    return (n_cur - n_base) / n_cur >= min_appended_frac
+        return out
+    frac = (n_cur - n_base) / n_cur
+    out["appended_frac"] = frac
+    if min_appended_frac is None and drift_psi_threshold is None:
+        out["due"] = True
+        return out
+    due = (
+        min_appended_frac is not None and frac >= min_appended_frac
+    )
+    if drift_psi_threshold is not None:
+        psi = _cell_occupancy_psi(meta, cur)
+        out["drift_psi"] = psi
+        due = due or (psi is not None and psi >= drift_psi_threshold)
+    out["due"] = due
+    return out
+
+
+def compact_due(
+    spark,
+    path: str,
+    min_appended_frac: float | None,
+    drift_psi_threshold: float | None = None,
+) -> bool:
+    """Cheap scheduler precheck for :func:`ivfpq_compact` /
+    :func:`opq_compact` — :func:`_compact_gate` verbatim (one shared
+    implementation, so the precheck and the compact's own skip test
+    cannot drift, r13 advisory), costing only the sidecar read + a
+    footer-level per-cell codes count — no corpus access. A streaming
+    sink gates building the retrain corpus on this, because even
+    constructing ``spark.read.parquet(lake_dir)`` pays partition
+    discovery over every batch dir — O(lake dirs) per checked
+    micro-batch for a check that usually says "not yet" (r13 review).
+    ``drift_psi_threshold`` arms the r14 drift OR-trigger (see
+    :func:`_compact_gate`)."""
+    base = resolve_index_base(spark, path)
+    return _compact_gate(
+        spark, base, min_appended_frac, drift_psi_threshold
+    )["due"]
 
 
 def ivfpq_recover(spark, path: str) -> str:
-    """Crash recovery for :func:`ivfpq_compact`'s swap window. The
-    compact sequence is: build ``<path>.compact-tmp`` fully (codes,
-    then sidecar) → rename live ``<path>`` to ``<path>.compact-old`` →
-    rename tmp to ``<path>`` → delete old. A crash can therefore leave
-    exactly three non-live states, each resolved here:
+    """Crash recovery for :func:`ivfpq_compact`'s swap window, for BOTH
+    swap protocols (auto-detected from the layout).
+
+    **Rename protocol.** The compact sequence is: build
+    ``<path>.compact-tmp`` fully (codes, then sidecar) → rename live
+    ``<path>`` to ``<path>.compact-old`` → rename tmp to ``<path>`` →
+    delete old. States resolved:
 
     * live index present and readable — return ``"ok"`` (stray tmp/old
-      deleted). Before DELETING strays the live layout is validated
+      deleted); when the deleted tmp was a COMPLETE build, return
+      ``"ok_discarded_retrain"`` instead — a finished retrain died
+      before its first rename and is being thrown away (the scheduler
+      simply re-fires at the next due check: work lost, correctness
+      not — r13 verdict #5 asked for the signal to be VISIBLE, not
+      silent). Before DELETING strays the live layout is validated
       (sidecar collect + a footer-level codes read): on a filesystem
       whose rename is a non-atomic copy (S3A) a crash mid-rename can
       leave a PARTIAL live dir whose ``/meta`` exists — deleting
@@ -923,15 +1181,28 @@ def ivfpq_recover(spark, path: str) -> str:
     * live missing/unreadable, tmp absent/incomplete — restore the old
       index, return ``"restored_old"``.
 
+    **Pointer protocol** (``swap_mode="pointer"`` layouts — a
+    ``_CURRENT`` file and ``v<N>`` version dirs). The compact sequence
+    is: build ``<path>/v<N+1>`` fully → flip ``_CURRENT`` (atomic
+    single-object PUT) → delete ``v<N>``. States resolved:
+
+    * pointer valid and its version readable — strays deleted, return
+      ``"ok"``; a stray COMPLETE version NEWER than the pointer is a
+      finished-but-unflipped retrain → ``"ok_discarded_retrain"``
+      (same discard semantics as rename mode: the pointed-at live is
+      authoritative — the stale build may predate appends);
+    * pointer missing/garbled/pointing at an unreadable layout —
+      repoint to the HIGHEST complete version dir, delete the rest,
+      return ``"repointed"`` (the most recent complete state; a
+      torn local-FS pointer write heals here);
+    * no complete version — ``FileNotFoundError``.
+
     Raises ``FileNotFoundError`` when no state is recoverable. Call it
     before :func:`ivfpq_read` in any scheduler that may have died
     mid-compact; it is idempotent, and away from crash debris it costs
-    three existence RPCs (live meta, tmp, old) and nothing else."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = path.rstrip("/") + ".compact-tmp"
-    old = path.rstrip("/") + ".compact-old"
+    a handful of existence RPCs and nothing else."""
+    fs, hpath = _hadoop_fs(spark, path)
+    root = path.rstrip("/")
 
     def layout_readable(base: str) -> bool:
         if not fs.exists(hpath(base + "/meta")):
@@ -945,34 +1216,98 @@ def ivfpq_recover(spark, path: str) -> str:
         except Exception:
             return False
 
+    versions = _list_versions(spark, root)
+    ptr = _read_pointer(spark, root)
+    if ptr is not None or versions:
+        return _recover_pointer_layout(
+            spark, fs, hpath, root, ptr, versions, layout_readable
+        )
+
+    tmp = root + ".compact-tmp"
+    old = root + ".compact-old"
+
     def tmp_complete() -> bool:
         return layout_readable(tmp)
 
-    if fs.exists(hpath(path + "/meta")):
+    if fs.exists(hpath(root + "/meta")):
         if not fs.exists(hpath(tmp)) and not fs.exists(hpath(old)):
             return "ok"  # no strays: nothing destructive to validate for
-        if layout_readable(path):
+        if layout_readable(root):
+            discarded = fs.exists(hpath(tmp)) and tmp_complete()
             fs.delete(hpath(tmp), True)
             fs.delete(hpath(old), True)
+            if discarded:
+                log.warning(
+                    "ivfpq_recover(%s): discarding a COMPLETE retrain "
+                    "stranded before its first rename — the compact "
+                    "will re-fire at the next due check",
+                    root,
+                )
+                return "ok_discarded_retrain"
             return "ok"
         # live has a sidecar but is not fully readable: crash debris —
         # fall through and resolve from tmp/old like a missing live
     if tmp_complete():
-        fs.delete(hpath(path), True)
-        if not fs.rename(hpath(tmp), hpath(path)):
-            raise IOError(f"recover failed: {tmp} -> {path}")
+        fs.delete(hpath(root), True)
+        if not fs.rename(hpath(tmp), hpath(root)):
+            raise IOError(f"recover failed: {tmp} -> {root}")
         fs.delete(hpath(old), True)
         return "promoted_tmp"
     if fs.exists(hpath(old + "/meta")):
-        fs.delete(hpath(path), True)
+        fs.delete(hpath(root), True)
         fs.delete(hpath(tmp), True)
-        if not fs.rename(hpath(old), hpath(path)):
-            raise IOError(f"recover failed: {old} -> {path}")
+        if not fs.rename(hpath(old), hpath(root)):
+            raise IOError(f"recover failed: {old} -> {root}")
         return "restored_old"
     raise FileNotFoundError(
-        f"no recoverable IVF-PQ index state at {path} "
+        f"no recoverable IVF-PQ index state at {root} "
         "(no live, complete-tmp, or old layout)"
     )
+
+
+def _recover_pointer_layout(
+    spark, fs, hpath, root, ptr, versions, layout_readable
+) -> str:
+    """Pointer-protocol half of :func:`ivfpq_recover` (see its
+    docstring for the state walk)."""
+    live_n = (
+        int(ptr[1:]) if ptr is not None and _VERSION_RE.match(ptr) else None
+    )
+    if live_n is not None and live_n in versions:
+        live_base = f"{root}/v{live_n}"
+        strays = [n for n in versions if n != live_n]
+        if not strays:
+            return "ok"  # nothing destructive to validate for
+        if layout_readable(live_base):
+            discarded = False
+            for n in strays:
+                sb = f"{root}/v{n}"
+                if n > live_n and layout_readable(sb):
+                    discarded = True
+                    log.warning(
+                        "ivfpq_recover(%s): discarding COMPLETE "
+                        "unflipped retrain v%d — the compact will "
+                        "re-fire at the next due check",
+                        root,
+                        n,
+                    )
+                fs.delete(hpath(sb), True)
+            return "ok_discarded_retrain" if discarded else "ok"
+        # pointed-at version has a sidecar but is unreadable: fall
+        # through to highest-complete resolution
+    complete = [n for n in sorted(versions, reverse=True)
+                if layout_readable(f"{root}/v{n}")]
+    if not complete:
+        raise FileNotFoundError(
+            f"no recoverable IVF-PQ index state at {root} "
+            "(pointer missing/garbled and no complete version dir)"
+        )
+    keep = complete[0]
+    _write_pointer(spark, root, f"v{keep}")
+    for n in versions:
+        if n != keep:
+            fs.delete(hpath(f"{root}/v{n}"), True)
+    return "repointed"
 
 
 def ivfpq_write(
@@ -981,6 +1316,7 @@ def ivfpq_write(
     books: np.ndarray,
     path: str,
     rot: np.ndarray | None = None,
+    swap_mode: str = "rename",
 ) -> None:
     """Persist an IVF-PQ index built by :func:`ivfpq_index` — at
     production scale the index is built ONCE and probed for months, so
@@ -996,15 +1332,69 @@ def ivfpq_write(
       twin of IVF's candidate pruning).
     * ``<path>/meta`` — one-row parquet sidecar with the coarse
       centroids, the PQ codebooks (KBs — ``n_clusters·dim`` +
-      ``m·ks·dsub`` doubles — independent of corpus size), and the
-      codes row count at write time (``n_rows`` — parquet-footer
-      count of the just-written layout, the yardstick
-      :func:`ivfpq_compact` uses to measure the appended fraction).
-      When ``rot`` is given (the OPQ path, :func:`opq_write`), the
-      dim×dim rotation rides along as one extra sidecar column; a
-      plain IVF-PQ sidecar stays byte-compatible with pre-r12 readers
-      (no column added).
+      ``m·ks·dsub`` doubles — independent of corpus size), the codes
+      row count at write time (``n_rows`` — parquet-footer count of
+      the just-written layout, the yardstick :func:`ivfpq_compact`
+      uses to measure the appended fraction), and the per-cell
+      occupancy at write time (``cell_counts`` — the baseline the r14
+      drift trigger compares appended-row routing against; same
+      footer scan that produces ``n_rows``). When ``rot`` is given
+      (the OPQ path, :func:`opq_write`), the dim×dim rotation rides
+      along as one extra sidecar column.
+
+    ``swap_mode`` picks the maintenance-swap protocol this index will
+    use for its whole life (auto-detected by everything downstream):
+
+    * ``"rename"`` (default) — codes/meta live directly at ``path``;
+      :func:`ivfpq_compact` swaps retrains in with two directory
+      renames. Correct on atomic-rename filesystems (local, HDFS).
+    * ``"pointer"`` — codes/meta live in a versioned prefix
+      ``<path>/v<N>`` named by the single-object ``_CURRENT`` pointer
+      file; compacts build ``v<N+1>`` and flip the pointer (one
+      atomic PUT). The object-store deployment default: S3A
+      directory "rename" is a non-atomic client-side copy+delete, so
+      the rename protocol's crash guarantee does not hold there
+      (SCALE.md r13; built r14 per the verdict).
     """
+    if swap_mode not in ("rename", "pointer"):
+        raise ValueError(
+            f"ivfpq_write: swap_mode={swap_mode!r} (want 'rename' or "
+            "'pointer')"
+        )
+    spark = enc.sparkSession
+    if swap_mode == "pointer":
+        # next version = current+1 when overwriting a live pointer
+        # layout (stale version dirs are deleted after the flip), v0
+        # on a fresh path
+        ptr = _read_pointer(spark, path)
+        cur = (
+            int(ptr[1:])
+            if ptr is not None and _VERSION_RE.match(ptr)
+            else None
+        )
+        new_name = f"v{cur + 1}" if cur is not None else "v0"
+        _write_layout(
+            enc, centroids, books, path.rstrip("/") + "/" + new_name, rot
+        )
+        _write_pointer(spark, path, new_name)
+        fs, hp = _hadoop_fs(spark, path)
+        for n in _list_versions(spark, path):
+            if f"v{n}" != new_name:
+                fs.delete(hp(path.rstrip("/") + f"/v{n}"), True)
+        return
+    _write_layout(enc, centroids, books, path, rot)
+
+
+def _write_layout(
+    enc: DataFrame,
+    centroids: list[list[float]],
+    books: np.ndarray,
+    path: str,
+    rot: np.ndarray | None,
+) -> None:
+    """Write one codes+meta layout directly at ``path`` (the shared
+    body of both swap modes — pointer mode points ``path`` inside a
+    version dir)."""
     m = int(books.shape[0])
     spark = enc.sparkSession
     # Pin STATIC overwrite for the codes rewrite: under a session-level
@@ -1019,7 +1409,18 @@ def ivfpq_write(
         enc.write.mode("overwrite").partitionBy("cluster").parquet(
             path + "/codes"
         )
-    n_rows = spark.read.parquet(path + "/codes").count()
+    # one partition-column-only aggregate yields BOTH the n_rows
+    # yardstick and the per-cell occupancy baseline (footer counts per
+    # cluster dir — no data columns)
+    per_cell = {
+        int(r["cluster"]): int(r["cnt"])
+        for r in spark.read.parquet(path + "/codes")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_rows = sum(per_cell.values())
+    cell_counts = [per_cell.get(i, 0) for i in range(len(centroids))]
     row = (
         m,
         int(books.shape[1]),
@@ -1029,10 +1430,12 @@ def ivfpq_write(
             for book in books
         ],
         n_rows,
+        cell_counts,
     )
     schema = (
         "m int, ks int, centroids array<array<double>>, "
-        "books array<array<array<double>>>, n_rows bigint"
+        "books array<array<array<double>>>, n_rows bigint, "
+        "cell_counts array<bigint>"
     )
     if rot is not None:
         row = row + ([[float(x) for x in r] for r in np.asarray(rot)],)
@@ -1058,7 +1461,12 @@ def ivfpq_read(
     rotated-residual codebooks — both silently wrong (the mirror of
     :func:`opq_read`'s refusal of a rotation-less layout, r12
     advisory). ``_allow_rot`` is the internal escape hatch
-    :func:`opq_read` uses after taking ownership of the rotation."""
+    :func:`opq_read` uses after taking ownership of the rotation.
+
+    Pointer-mode layouts (``swap_mode="pointer"``) resolve through the
+    ``_CURRENT`` file transparently — callers never see version
+    dirs."""
+    path = resolve_index_base(spark, path)
     enc = spark.read.parquet(path + "/codes").select(
         "vec_id",
         F.col("cluster").cast("int").alias("cluster"),
@@ -1331,13 +1739,15 @@ def opq_write(
     rot: np.ndarray,
     books: np.ndarray,
     path: str,
+    swap_mode: str = "rename",
 ) -> None:
     """Persist an OPQ index built by :func:`opq_index` — the same
     cluster-partitioned codes layout and KB-sized sidecar as
-    :func:`ivfpq_write`, with the dim×dim rotation carried as one extra
-    sidecar column (``rot``); probes read back through
-    :func:`opq_read` and hand the 4-tuple to ``opq_topk(index=...)``."""
-    ivfpq_write(enc, centroids, books, path, rot=rot)
+    :func:`ivfpq_write` (including ``swap_mode``), with the dim×dim
+    rotation carried as one extra sidecar column (``rot``); probes
+    read back through :func:`opq_read` and hand the 4-tuple to
+    ``opq_topk(index=...)``."""
+    ivfpq_write(enc, centroids, books, path, rot=rot, swap_mode=swap_mode)
 
 
 def opq_read(
@@ -1348,6 +1758,7 @@ def opq_read(
     ``index=``. Raises ``ValueError`` when pointed at a plain IVF-PQ
     layout (no rotation in the sidecar) — probing PQ codes with OPQ
     math would silently return wrong distances."""
+    path = resolve_index_base(spark, path)
     enc, centroids, books = ivfpq_read(spark, path, _allow_rot=True)
     meta = spark.read.parquet(path + "/meta").collect()[0]
     if "rot" not in meta.__fields__ or meta["rot"] is None:
@@ -1372,9 +1783,10 @@ def opq_append(
     the EXISTING geometry, append-mode parquet into the per-cluster
     layout; existing rows never touched. ``if_absent=True`` is the
     same replay-idempotent anti-join (pruned to touched cells)."""
-    _, centroids, rot, books = opq_read(spark, path)
+    base = resolve_index_base(spark, path)
+    _, centroids, rot, books = opq_read(spark, base)
     enc_new = opq_encode(vectors, centroids, rot, books, id_col, vec_col)
-    _append_codes(spark, path, enc_new, if_absent)
+    _append_codes(spark, base, enc_new, if_absent)
 
 
 def opq_compact(
@@ -1390,14 +1802,17 @@ def opq_compact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rescale_cells: bool = False,
+    drift_psi_threshold: float | None = None,
+    _crash_before_swap: bool = False,
     _crash_between_renames: bool = False,
 ) -> dict:
     """OPQ twin of :func:`ivfpq_compact`: retrain (centroids, rotation
-    AND codebooks) over the full corpus, rebuild in a side directory,
-    swap in with the same two-rename protocol (recoverable via
-    :func:`ivfpq_recover` — the layouts are identical apart from the
-    sidecar's rotation column). Same ``min_appended_frac`` scheduling
-    and ``rescale_cells`` geometry tracking."""
+    AND codebooks) over the full corpus, rebuild aside, swap in with
+    the same protocol the layout was written under — rename or
+    pointer, auto-detected (recoverable via :func:`ivfpq_recover` —
+    the layouts are identical apart from the sidecar's rotation
+    column). Same ``min_appended_frac`` / ``drift_psi_threshold``
+    scheduling and ``rescale_cells`` geometry tracking."""
     return ivfpq_compact(
         spark,
         path,
@@ -1412,6 +1827,8 @@ def opq_compact(
         vec_col=vec_col,
         rescale_cells=rescale_cells,
         opq=True,
+        drift_psi_threshold=drift_psi_threshold,
+        _crash_before_swap=_crash_before_swap,
         _crash_between_renames=_crash_between_renames,
     )
 

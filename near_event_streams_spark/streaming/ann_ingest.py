@@ -65,11 +65,17 @@ def seed_ann_index(
     opq: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    swap_mode: str = "rename",
 ) -> None:
     """Bootstrap the ingest loop: land the initial corpus in the lake
     (partition ``batch_id=-1`` — before every stream batch) and build +
     persist the initial index from it. After this, every new vector
-    flows through :func:`ann_index_ingest_sink`."""
+    flows through :func:`ann_index_ingest_sink`. ``swap_mode`` picks
+    the compact-swap protocol for the index's whole life (see
+    :func:`similarity.ivfpq_write`): ``"rename"`` on atomic-rename
+    filesystems (local/HDFS), ``"pointer"`` on object stores — the
+    sink body is protocol-agnostic (append/compact/recover
+    auto-detect the layout)."""
     spark = corpus.sparkSession
     # pin STATIC overwrite: under a session-level 'dynamic' setting a
     # re-seed over an existing lake would replace only batch_id=-1 and
@@ -91,13 +97,17 @@ def seed_ann_index(
             base, n_clusters=n_clusters, m=m, ks=ks, seed=seed,
             id_col=id_col, vec_col=vec_col,
         )
-        similarity.opq_write(enc, cents, rot, books, index_path)
+        similarity.opq_write(
+            enc, cents, rot, books, index_path, swap_mode=swap_mode
+        )
     else:
         enc, cents, books = similarity.ivfpq_index(
             base, n_clusters=n_clusters, m=m, ks=ks, seed=seed,
             id_col=id_col, vec_col=vec_col,
         )
-        similarity.ivfpq_write(enc, cents, books, index_path)
+        similarity.ivfpq_write(
+            enc, cents, books, index_path, swap_mode=swap_mode
+        )
 
 
 def ann_index_ingest_sink(
@@ -111,6 +121,7 @@ def ann_index_ingest_sink(
     rescale_cells: bool = False,
     lake_compact_every: int | None = None,
     compact_check_every: int = 1,
+    drift_psi_threshold: float | None = None,
 ):
     """Return the ``foreachBatch`` sink body for streaming ANN-index
     ingest: recover → lake-land → idempotent append → scheduled
@@ -118,11 +129,19 @@ def ann_index_ingest_sink(
     gated queries and tests can drive the exact production batch path
     without a streaming runtime.
 
-    ``compact_check_every`` rate-limits the ``min_appended_frac``
-    evaluation to every N-th batch: the check's codes row-count is
-    metadata-only but lists the whole codes tree, so running it every
-    small batch against a large index pays per-batch work proportional
-    to index FILE COUNT (r13 review). Default 1 = check every batch.
+    ``compact_check_every`` rate-limits the compact-due evaluation to
+    every N-th batch: the check's codes row-count is metadata-only but
+    lists the whole codes tree, so running it every small batch
+    against a large index pays per-batch work proportional to index
+    FILE COUNT (r13 review). Default 1 = check every batch.
+    ``drift_psi_threshold`` arms the r14 drift OR-trigger: the compact
+    also fires when the appended rows' coarse-cell occupancy PSI vs
+    the at-write baseline reaches the threshold — erosion is a drift
+    phenomenon, not a volume one (SCALE.md r13), so a volume-only
+    scheduler never fires on exactly the appends that hurt; ~0.25
+    (the classic "action" band) is a sane starting point, and iid
+    appends sit well below it (tests pin both sides). Either trigger
+    alone may be armed.
     ``lake_compact_every`` folds the lake's closed ``batch_id=N`` dirs
     into size-targeted files every that-many batches (the 24/7
     small-files countermeasure, same transactional
@@ -135,17 +154,20 @@ def ann_index_ingest_sink(
             "(0 would divide-by-zero inside the sink and kill the "
             "stream; use min_appended_frac=None to disable compaction)"
         )
-    if min_appended_frac is None and (
-        rescale_cells or compact_check_every != 1
+    if (
+        min_appended_frac is None
+        and drift_psi_threshold is None
+        and (rescale_cells or compact_check_every != 1)
     ):
         raise ValueError(
             "rescale_cells / compact_check_every configure the "
-            "scheduled compact, but min_appended_frac is None so the "
-            "sink NEVER fires one — the knobs would be silently inert "
-            "and the index never retrained (r13 review; note "
-            "ivfpq_compact itself treats None as 'fire "
-            "unconditionally', so the two layers' None semantics "
-            "differ by design: a sink must not rebuild on every batch)"
+            "scheduled compact, but min_appended_frac AND "
+            "drift_psi_threshold are both None so the sink NEVER "
+            "fires one — the knobs would be silently inert and the "
+            "index never retrained (r13 review; note ivfpq_compact "
+            "itself treats all-None as 'fire unconditionally', so "
+            "the two layers' None semantics differ by design: a sink "
+            "must not rebuild on every batch)"
         )
     append = similarity.opq_append if opq else similarity.ivfpq_append
     compact = similarity.opq_compact if opq else similarity.ivfpq_compact
@@ -153,8 +175,21 @@ def ann_index_ingest_sink(
     def _sink(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # heal any crash debris from a previous run BEFORE reading or
-        # appending — a died-mid-swap compact must never strand the loop
-        similarity.ivfpq_recover(spark, index_path)
+        # appending — a died-mid-swap compact must never strand the
+        # loop. The return value surfaces the one lossy state: a
+        # retrain finished but died before its swap is DISCARDED (the
+        # live index stayed authoritative; the compact re-fires at the
+        # next due check) — operators should see that wasted work in
+        # the logs, not infer it from a duplicate retrain (r13
+        # verdict #5; ivfpq_recover also warns internally).
+        healed = similarity.ivfpq_recover(spark, index_path)
+        if healed != "ok":
+            similarity.log.info(
+                "ann ingest batch %s: index recovery at %s -> %s",
+                batch_id,
+                index_path,
+                healed,
+            )
         vecs = batch.select(F.col(id_col), F.col(vec_col))
         # raw vectors land in the lake first: the index is derived
         # state; the scheduled retrain re-reads this source. batch_id
@@ -171,10 +206,10 @@ def ann_index_ingest_sink(
             spark, index_path, vecs, id_col, vec_col, if_absent=True
         )
         if (
-            min_appended_frac is not None
+            (min_appended_frac is not None or drift_psi_threshold is not None)
             and (batch_id + 1) % compact_check_every == 0
             and similarity.compact_due(
-                spark, index_path, min_appended_frac
+                spark, index_path, min_appended_frac, drift_psi_threshold
             )
         ):
             # corpus is built ONLY once the cheap precheck says the
@@ -201,6 +236,7 @@ def ann_index_ingest_sink(
                 rescale_cells=rescale_cells,
                 id_col=id_col,
                 vec_col=vec_col,
+                drift_psi_threshold=drift_psi_threshold,
             )
         ingest_mod._maybe_compact_corpus(
             spark, lake_dir, batch_id, lake_compact_every
@@ -222,6 +258,7 @@ def start_ann_index_ingest(
     rescale_cells: bool = False,
     lake_compact_every: int | None = None,
     compact_check_every: int = 1,
+    drift_psi_threshold: float | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Run the streaming ANN-index ingest loop: each micro-batch of
@@ -245,6 +282,7 @@ def start_ann_index_ingest(
                 rescale_cells=rescale_cells,
                 lake_compact_every=lake_compact_every,
                 compact_check_every=compact_check_every,
+                drift_psi_threshold=drift_psi_threshold,
             )
         )
     )

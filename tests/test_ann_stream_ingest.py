@@ -75,11 +75,16 @@ def _start_stream(spark, staging: str, idx: str, lake: str, ckpt: str):
     )
 
 
-def _drive_run(spark, emb, root, crash: bool) -> str:
+def _drive_run(
+    spark, emb, root, crash: str | None, swap_mode: str = "rename"
+) -> str:
     """Seed index on vec_id<300, stream batches 1-2, run the nightly
-    out-of-band compact (crash-injected mid-swap when ``crash``),
-    restart the stream for batches 3-4 from the same checkpoint; return
-    the index path."""
+    out-of-band compact (crash-injected when ``crash`` is "between" —
+    inside the swap window — or "before" — retrain finished, swap not
+    yet started, so the work is DISCARDED and the schedule re-fires),
+    restart the stream for batches 3-4 from the same checkpoint;
+    return the index path. ``swap_mode`` exercises the same loop over
+    both swap protocols (r13 verdict #2)."""
     staging = str(root / "staging")
     idx = str(root / "idx")
     lake = str(root / "lake")
@@ -88,7 +93,8 @@ def _drive_run(spark, emb, root, crash: bool) -> str:
 
     seed_corpus = emb.filter(emb.vec_id < 300)
     ann_ingest.seed_ann_index(
-        seed_corpus, idx, lake, n_clusters=8, m=8, ks=256, seed=42
+        seed_corpus, idx, lake, n_clusters=8, m=8, ks=256, seed=42,
+        swap_mode=swap_mode,
     )
 
     t0 = time.time() - 100
@@ -100,16 +106,32 @@ def _drive_run(spark, emb, root, crash: bool) -> str:
 
     # the nightly maintenance compact between the two stream windows
     corpus = spark.read.parquet(lake).select("vec_id", "embedding")
-    if crash:
+    if crash is not None:
+        kw = (
+            {"_crash_between_renames": True}
+            if crash == "between"
+            else {"_crash_before_swap": True}
+        )
         with pytest.raises(IOError, match="injected crash"):
-            similarity.ivfpq_compact(
-                spark, idx, corpus, seed=42, _crash_between_renames=True
-            )
-        # the crash window: live renamed away, the completed retrain
-        # stranded at tmp — exactly what the restarted stream must heal
-        assert not os.path.exists(idx + "/meta")
-        assert os.path.exists(idx + ".compact-tmp/meta")
-        assert os.path.exists(idx + ".compact-old/meta")
+            similarity.ivfpq_compact(spark, idx, corpus, seed=42, **kw)
+        if swap_mode == "rename":
+            if crash == "between":
+                # live renamed away, the completed retrain stranded at
+                # tmp — the restarted stream must PROMOTE it
+                assert not os.path.exists(idx + "/meta")
+                assert os.path.exists(idx + ".compact-tmp/meta")
+                assert os.path.exists(idx + ".compact-old/meta")
+            else:
+                # live untouched, finished retrain stranded at tmp —
+                # the restarted stream must DISCARD it (and say so)
+                assert os.path.exists(idx + "/meta")
+                assert os.path.exists(idx + ".compact-tmp/meta")
+        else:
+            # pointer protocol: both seams leave exactly two version
+            # dirs (live + unflipped retrain, or flipped live + stray
+            # superseded) and an always-resolvable pointer
+            assert len(similarity._list_versions(spark, idx)) == 2
+            similarity.resolve_index_base(spark, idx)  # no raise
     else:
         res = similarity.ivfpq_compact(spark, idx, corpus, seed=42)
         assert res["compacted"] is True
@@ -120,34 +142,70 @@ def _drive_run(spark, emb, root, crash: bool) -> str:
         )
     # kill/restart: a NEW query on the SAME checkpoint resumes with the
     # un-processed files; its first foreachBatch call runs
-    # ivfpq_recover, which (in the crashed run) promotes the stranded
-    # complete compact before any append touches the index
+    # ivfpq_recover, which (in the crashed runs) promotes the stranded
+    # complete compact / discards the unswapped one / cleans strays
+    # before any append touches the index
     _start_stream(spark, staging, idx, lake, ckpt).awaitTermination()
     return idx
 
 
 def _index_state(spark, idx: str):
+    base = similarity.resolve_index_base(spark, idx)
     codes = {
         r["vec_id"]: (int(r["cluster"]), bytes(r["codes"]), r["vec_norm"])
-        for r in spark.read.parquet(idx + "/codes").collect()
+        for r in spark.read.parquet(base + "/codes").collect()
     }
-    meta = spark.read.parquet(idx + "/meta").collect()[0]
+    meta = spark.read.parquet(base + "/meta").collect()[0]
     return codes, meta["centroids"], meta["books"]
 
 
+@pytest.fixture(scope="module")
+def clean_runs(spark, tmp_path_factory, emb):
+    """One never-crashed reference run per swap protocol (the crashed
+    twins below must converge to it byte-identically). Both the
+    'before' and 'between' crash seams converge to the same state:
+    the final in-sink scheduled compact (batch 4 crosses the 0.2
+    fraction) retrains deterministically from the identical 500-row
+    lake, erasing the nightly compact's presence-or-absence."""
+    return {
+        mode: _drive_run(
+            spark,
+            emb,
+            tmp_path_factory.mktemp(f"ann_clean_{mode}"),
+            crash=None,
+            swap_mode=mode,
+        )
+        for mode in ("rename", "pointer")
+    }
+
+
+@pytest.mark.parametrize(
+    "swap_mode,crash_seam",
+    [
+        ("rename", "between"),
+        ("rename", "before"),
+        ("pointer", "between"),
+        ("pointer", "before"),
+    ],
+)
 def test_stream_ingest_crash_recovery_end_to_end(
-    spark, tmp_path_factory, emb
+    spark, tmp_path_factory, emb, clean_runs, swap_mode, crash_seam
 ):
-    clean_idx = _drive_run(
-        spark, emb, tmp_path_factory.mktemp("ann_clean"), crash=False
-    )
+    clean_idx = clean_runs[swap_mode]
     crashed_idx = _drive_run(
-        spark, emb, tmp_path_factory.mktemp("ann_crash"), crash=True
+        spark,
+        emb,
+        tmp_path_factory.mktemp(f"ann_crash_{swap_mode}_{crash_seam}"),
+        crash=crash_seam,
+        swap_mode=swap_mode,
     )
 
     # no crash debris survives the healed run
-    assert not os.path.exists(crashed_idx + ".compact-tmp")
-    assert not os.path.exists(crashed_idx + ".compact-old")
+    if swap_mode == "rename":
+        assert not os.path.exists(crashed_idx + ".compact-tmp")
+        assert not os.path.exists(crashed_idx + ".compact-old")
+    else:
+        assert len(similarity._list_versions(spark, crashed_idx)) == 1
 
     # byte-identical index state: codes rows, centroids, codebooks
     c_codes, c_cents, c_books = _index_state(spark, clean_idx)

@@ -95,6 +95,7 @@ def test_compact_roundtrip_recall_and_bookkeeping(spark, tmp_path, emb_halves):
         "appended_frac": 0.0,
         "n_rows": n_total,
         "n_clusters": 16,
+        "drift_psi": None,
     }
 
 
