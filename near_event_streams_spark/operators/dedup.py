@@ -561,9 +561,12 @@ def containment_lsh_pairs(
     Cost shape vs the exact PPJoin: probe k rows per doc (vs
     ~(1−τ)·|A|+1 prefix rows), no per-doc rank window (the dfreq
     groupBy remains, but feeds a bounded conditional-agg, not a
-    row_number over the full shingle stream); index k·|B| (slot,
-    hash) rows joined on a well-spread 64-bit key (hot buckets split
-    by AQE). Returns verified ORDERED
+    row_number over the full shingle stream); index |B| RAW shingle
+    rows joined on the probe slots' argmin shingle ids (r14
+    slot-argmin scheme — an 8× index-row cut over the former
+    k·(slot, hash) explode; the inline comment at the candidate join
+    carries the oracle-equivalence argument and the sf0.1 A/B).
+    Returns verified ORDERED
     ``(a_doc_id, b_doc_id, containment)``. ``sets`` persist handle is
     caller-owned (clearCache)."""
     if not 1 <= min_slot_hits <= num_probe_slots:
@@ -595,11 +598,36 @@ def containment_lsh_pairs(
     dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     idf = ids.join(dfreq, "sid")
     rare = F.col("df") <= df_cap
+    # Slot j keeps the ARGMIN SHINGLE ID (min over the pool of the
+    # struct (salted hash, sid) — deterministic under hash ties), not
+    # the min hash VALUE. Candidates then join the probe's k argmin
+    # ids against the RAW shingle stream — 1 index row per (doc,
+    # shingle) instead of k (slot, hash) rows, an 8x index-row cut at
+    # the defaults, and a narrower single-long join key (r13 verdict
+    # #3). A/B at sf0.1: on the SHUFFLE-JOIN path (broadcast_sets=
+    # False — what runs past the broadcast bound, i.e. at scale) the
+    # cut is the whole index-side exchange volume: steady 12.0-13.0 s
+    # -> 7.8-8.2 s (~-35%, identical 510 pairs); on the broadcast
+    # path the index stream never shuffles and the A/B is wall-
+    # neutral (solo medians 3.74/4.07/4.33 -> 3.92/4.16/4.44, within
+    # box noise), so the switch is free locally and wins at scale.
+    # ORACLE EQUIVALENCE: slot j collides in the old scheme iff
+    # H_j(s') == min_pool H_j for some s' in B, i.e. iff (i) the
+    # argmin shingle itself is in B — exactly the new scheme's join —
+    # or (ii) a 64-bit hash collision H_j(s') == H_j(argmin) with
+    # s' != argmin (probability <= |B|·2^-64 per slot). So new
+    # candidates ⊆ old candidates, the difference carrying only
+    # measure-2^-64 accidental hits; the analytic recall bound
+    # P(Bin(k, C_pool) >= m) counts event (i) ONLY, so the documented
+    # recall floor is unchanged, and the exact array_intersect verify
+    # makes precision identical by construction. On collision-free
+    # corpora (any real fixture) the emitted pairs are IDENTICAL.
     aggs = []
     for j in range(k):
         h = F.xxhash64(F.lit(j), F.col("sid"))
-        aggs.append(F.min(F.when(rare, h)).alias(f"r{j}"))
-        aggs.append(F.min(h).alias(f"f{j}"))
+        pick = F.struct(h.alias("h"), F.col("sid").alias("sid"))
+        aggs.append(F.min(F.when(rare, pick)).alias(f"r{j}"))
+        aggs.append(F.min(pick).alias(f"f{j}"))
     aggs.append(F.sum(rare.cast("int")).alias("n_rare"))
     slot_mins = idf.groupBy("doc_id", "sz").agg(*aggs)
     use_rare = F.col("n_rare") * 2 >= F.col("sz")
@@ -609,42 +637,33 @@ def containment_lsh_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).alias("slot"),
-                        F.when(use_rare, F.col(f"r{j}"))
-                        .otherwise(F.col(f"f{j}"))
-                        .alias("v"),
-                    )
+                    F.when(use_rare, F.col(f"r{j}"))
+                    .otherwise(F.col(f"f{j}"))
+                    .getField("sid")
+                    .alias("v")
                     for j in range(k)
                 ]
             )
-        ).alias("s"),
-    ).select("a_doc_id", "sza", "s.slot", "s.v")
+        ).alias("v"),
+    )
     index = ids.select(
         F.col("doc_id").alias("b_doc_id"),
         F.col("sz").alias("szb"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("slot"),
-                        F.xxhash64(F.lit(j), F.col("sid")).alias("v"),
-                    )
-                    for j in range(k)
-                ]
-            )
-        ).alias("s"),
-    ).select("b_doc_id", "szb", "s.slot", "s.v")
+        F.col("sid").alias("v"),
+    )
     need_a = F.expr(f"({num}*sza + {den} - 1) div {den}")
     # The probe table is n·k narrow rows — broadcast it for corpora
     # that fit (the index stream then never shuffles; collision rows
     # are generated in-stage and partially aggregated before the only
     # exchange, the (a,b) vote). Past the broadcast bound the plain
     # shuffle join keeps the same property: partial agg runs before
-    # the exchange, so raw collisions still never shuffle.
+    # the exchange, so raw collisions still never shuffle. Two slots
+    # of one probe doc may share an argmin shingle (small pools);
+    # each is its own probe row, so the vote still counts per-slot
+    # hits exactly as the (slot, hash) formulation did.
     probe_side = F.broadcast(probe) if broadcast_sets else probe
     cands = (
-        probe_side.join(index, ["slot", "v"])
+        probe_side.join(index, ["v"])
         .filter(F.col("a_doc_id") != F.col("b_doc_id"))
         .filter(F.col("szb") >= need_a)
         .groupBy("a_doc_id", "b_doc_id")
