@@ -1362,6 +1362,28 @@ def ivfpq_write(
             "'pointer')"
         )
     spark = enc.sparkSession
+    # Refuse PROTOCOL MIXING at one path: a rename write under a live
+    # pointer layout lands codes/meta at the root where every reader's
+    # pointer resolution will never look (silently invisible data);
+    # a pointer write over a rename layout leaves the old root
+    # codes/meta as permanent shadow debris. Pick one protocol per
+    # index for its whole life.
+    fs, hp = _hadoop_fs(spark, path)
+    if swap_mode == "rename" and _read_pointer(spark, path) is not None:
+        raise ValueError(
+            f"{path} is a pointer-mode index (_CURRENT present); "
+            "write it with swap_mode='pointer' — a rename-mode write "
+            "here would be invisible behind the pointer"
+        )
+    if swap_mode == "pointer" and fs.exists(
+        hp(path.rstrip("/") + "/meta")
+    ):
+        raise ValueError(
+            f"{path} is a rename-mode index (root codes/meta "
+            "present); write it with swap_mode='rename' or use a "
+            "fresh path — mixing protocols strands the root layout "
+            "as shadow debris"
+        )
     if swap_mode == "pointer":
         # next version = current+1 when overwriting a live pointer
         # layout (stale version dirs are deleted after the flip), v0

@@ -375,3 +375,27 @@ def test_drift_trigger_fires_on_drift_not_on_iid(
         is False
     )
     assert similarity.compact_due(spark, p_iid, 0.25, DRIFT) is True
+
+
+def test_write_refuses_protocol_mixing(spark, tmp_path, emb_halves):
+    """A rename-mode write over a pointer layout would land codes/meta
+    at the root where pointer resolution never looks (silently
+    invisible data); a pointer write over a rename layout strands the
+    root layout as shadow debris. Both directions must refuse."""
+    _, old, _ = emb_halves
+    enc, cents, books = similarity.ivfpq_index(old, n_clusters=4, m=8)
+
+    p1 = str(tmp_path / "ptr")
+    similarity.ivfpq_write(enc, cents, books, p1, swap_mode="pointer")
+    with pytest.raises(ValueError, match="pointer-mode index"):
+        similarity.ivfpq_write(enc, cents, books, p1)
+
+    p2 = str(tmp_path / "ren")
+    similarity.ivfpq_write(enc, cents, books, p2)
+    with pytest.raises(ValueError, match="rename-mode index"):
+        similarity.ivfpq_write(enc, cents, books, p2, swap_mode="pointer")
+
+    with pytest.raises(ValueError, match="swap_mode"):
+        similarity.ivfpq_write(
+            enc, cents, books, str(tmp_path / "x"), swap_mode="s3"
+        )

@@ -160,6 +160,12 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     # booleans — the rounded double never reaches the compared output
     "ann_ivfpq_stream_ingested": 1,
     "ann_index_build_reproducible": 1,
+    # r14: pointer-swap gate reuses the shared exact-topk CTE; the
+    # drift-trigger gate uses its drifted-corpus twin (same ROUND site,
+    # shifted flat CTE) — both emit a count + booleans only, so the
+    # rounded double never reaches the compared output
+    "ann_ivfpq_pointer_swap": 1,
+    "ann_compact_drift_trigger": 1,
     "ann_opq_persisted": 1,
     "ann_opq_topk": 1,
     "ann_lsh_topk": 1,
