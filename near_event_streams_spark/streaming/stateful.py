@@ -169,7 +169,15 @@ def make_session_func(gap_seconds: int):
                 start_us, last_us, n, total = ts, ts, 1, float(val)
             else:
                 # max(): a late-but-within-gap event must not move the
-                # session end backwards
+                # session end backwards; min(): one arriving BEFORE the
+                # open session's start (late within watermark) must
+                # extend the start to cover it — the session's span is
+                # the hull of its member events, matching the TWS
+                # sibling (session_timeout_tws) and F.session_window's
+                # merge semantics (r14 review: start was frozen at the
+                # first-SEEN event, so a late-but-covered member was
+                # counted yet outside the reported span)
+                start_us = min(start_us, ts)
                 last_us, n, total = max(last_us, ts), n + 1, total + float(val)
         state.update((start_us, last_us, n, total))
         # timeout when watermark passes the gap after the last event;

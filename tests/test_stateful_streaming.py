@@ -441,3 +441,44 @@ def test_session_timeout_gap_validation(spark):
         # non-streaming input / missing protobuf raise other errors
         # downstream of the parse — not this test's concern
         pass
+
+
+def test_sessionizer_late_member_extends_session_start(spark, tmp_path):
+    """r14 review: a late-but-within-gap event arriving BEFORE the open
+    session's start (across micro-batches, inside the watermark) was
+    counted into the session but the reported start stayed frozen at
+    the first-SEEN event — a member outside its own session's span.
+    The span must be the hull of member events (min start, max end),
+    matching session_timeout_tws and F.session_window merges."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b1.jsonl", [("u1", "click", 1.0, "2024-01-01 01:00:00")])
+    # late arrival 20s EARLIER, within the 60s gap and the 2h watermark
+    _write_batch(src, "b2.jsonl", [("u1", "click", 2.0, "2024-01-01 00:59:40")])
+    # other key far ahead: watermark (5:00 - 2h = 3:00) passes the
+    # session's last+gap -> event-time timeout flushes u1
+    _write_batch(src, "b3.jsonl", [("u2", "view", 8.0, "2024-01-01 05:00:00")])
+    _write_batch(src, "b4.jsonl", [("u2", "view", 16.0, "2024-01-01 05:30:00")])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: stateful.sessionize_stateful(
+            s, gap_seconds=60, watermark="2 hours"
+        ),
+        "sessions_late_member",
+    )
+    u1 = {
+        (
+            str(r["session_start"]),
+            str(r["session_end"]),
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in out.filter("key = 'u1'").collect()
+    }
+    assert (
+        "2024-01-01 00:59:40",
+        "2024-01-01 01:00:00",
+        2,
+        3.0,
+    ) in u1, u1
