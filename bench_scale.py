@@ -1309,12 +1309,15 @@ def run_ann_ingest() -> None:
     )
     paths = {
         k: tempfile.mkdtemp(prefix=f"nes_scale_annin_{k}_")
-        for k in ("plain", "idem")
+        for k in ("plain", "idem", "ptr")
     }
     walls = {}
     try:
-        for k in paths:
+        for k in ("plain", "idem"):
             similarity.ivfpq_write(enc, cents, books, paths[k])
+        similarity.ivfpq_write(
+            enc, cents, books, paths["ptr"], swap_mode="pointer"
+        )
         t0 = time.perf_counter()
         similarity.ivfpq_append(spark, paths["plain"], batch)
         walls["plain_append"] = time.perf_counter() - t0
@@ -1328,11 +1331,36 @@ def run_ann_ingest() -> None:
         t0 = time.perf_counter()
         state = similarity.ivfpq_recover(spark, paths["idem"])
         walls["recover_healthy"] = time.perf_counter() - t0
+        # pointer-protocol twin (r14): the same sink steps through the
+        # object-store-safe layout — per-batch costs must stay in the
+        # same class (the extra work is one small-object pointer GET
+        # per resolve), and the compact swap itself one pointer PUT +
+        # one prefix delete instead of two directory renames
+        t0 = time.perf_counter()
+        similarity.ivfpq_append(spark, paths["ptr"], batch, if_absent=True)
+        walls["ptr_if_absent_first"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        similarity.ivfpq_append(spark, paths["ptr"], batch, if_absent=True)
+        walls["ptr_if_absent_replay"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ptr_state = similarity.ivfpq_recover(spark, paths["ptr"])
+        walls["ptr_recover_healthy"] = time.perf_counter() - t0
+        corpus = emb.select("vec_id", "embedding")
+        t0 = time.perf_counter()
+        similarity.ivfpq_compact(spark, paths["idem"], corpus, seed=42)
+        walls["compact_rename_swap"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        similarity.ivfpq_compact(spark, paths["ptr"], corpus, seed=42)
+        walls["compact_pointer_swap"] = time.perf_counter() - t0
+        ptr_base = similarity.resolve_index_base(spark, paths["ptr"])
+        n_ptr = spark.read.parquet(ptr_base + "/codes").count()
     finally:
         for p in paths.values():
             shutil.rmtree(p, ignore_errors=True)
     emb.unpersist()
     assert state == "ok" and n_after == n_base + n_batch
+    assert ptr_state == "ok" and ptr_base.endswith("/v1")
+    assert n_ptr == n_base + n_batch
 
     report = {
         "metric": "ann_ingest_idempotence_tax",
@@ -1360,12 +1388,21 @@ def run_ann_ingest() -> None:
         f"| if_absent append, first delivery | {walls['if_absent_first']:.2f} |",
         f"| if_absent append, REDELIVERY (writes 0 rows) | {walls['if_absent_replay']:.2f} |",
         f"| ivfpq_recover, healthy layout (per-batch hygiene) | {walls['recover_healthy']:.3f} |",
+        f"| POINTER layout: if_absent first / replay | {walls['ptr_if_absent_first']:.2f} / {walls['ptr_if_absent_replay']:.2f} |",
+        f"| POINTER layout: recover, healthy | {walls['ptr_recover_healthy']:.3f} |",
+        f"| full compact, rename swap (2 dir renames) | {walls['compact_rename_swap']:.1f} |",
+        f"| full compact, pointer swap (1 PUT + prefix delete) | {walls['compact_pointer_swap']:.1f} |",
         "",
         f"First-delivery tax: {report['tax_first_delivery']}x the plain "
         "append — the price of surviving at-least-once redelivery "
         "without a registry. The redelivery itself costs one encode + "
         "anti-join and writes nothing; the healthy-recover check the "
-        "sink runs every batch is three existence RPCs.",
+        "sink runs every batch is three existence RPCs (plus one "
+        "small-object pointer GET under the r14 object-store-safe "
+        "pointer protocol, whose per-batch and compact-swap costs sit "
+        "in the same class as the rename protocol on local FS — on "
+        "S3-class stores the comparison inverts entirely, since the "
+        "rename 'swap' there is a full copy of the codes tree).",
         "",
     ]
     _append_named_section(
