@@ -153,6 +153,14 @@ def read_state_at(
     map, same pruned per-version scans as :func:`read_state`. Works
     until :func:`vacuum` retires the referenced bucket directories
     (``retain_versions`` is the time-travel horizon)."""
+    # COMMITTED versions only: a crash between a merge's manifest write
+    # and its _LATEST replace leaves a complete-looking orphan manifest
+    # one past the committed version (clobbered by the next commit,
+    # never read by read_state) — time travel must not read it either,
+    # or "as of version N" can return state no commit ever published
+    # (r14 review).
+    if version < 1 or version > current_version(path):
+        return None
     try:
         with open(_manifest_path(path, version)) as f:
             manifest = json.load(f)

@@ -338,3 +338,39 @@ def test_stream_into_prefix_bucketed_store(spark, tmp_path):
         for r in upsert.read_state(spark, path).collect()
     }
     assert got == {("a", "x", "v1"), ("a", "y", "v2")}
+
+
+def test_read_state_at_refuses_uncommitted_orphan_version(spark, tmp_path):
+    """r14 review: a crash between a merge's manifest write and its
+    _LATEST replace leaves a complete-looking orphan manifest one past
+    the committed version. read_state (latest) never sees it, and the
+    next commit clobbers it — but time travel opened the manifest file
+    directly, so "as of version 2" could return state no commit ever
+    published. It must return None until the version is committed."""
+    import shutil
+
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(_batch(spark, [("a", 1, "a1")]), path, ["k"], "seq")
+    # simulate the crash window: run a second merge, then roll the
+    # commit pointer back to v1 while leaving v2's dir+manifest intact
+    upsert.merge_upsert(_batch(spark, [("a", 2, "a2")]), path, ["k"], "seq")
+    with open(os.path.join(path, "_LATEST"), "w") as f:
+        f.write("1")
+    assert os.path.exists(os.path.join(path, "v2", "manifest.json"))
+    assert upsert.read_state_at(spark, path, 2) is None
+    assert upsert.read_state_at(spark, path, 0) is None
+    # the orphan is invisible to the latest read too
+    got = {
+        (r["k"], r["seq"], r["val"])
+        for r in upsert.read_state(spark, path).collect()
+    }
+    assert got == {("a", 1, "a1")}
+    # re-committing (the replayed batch) makes v2 readable again
+    upsert.merge_upsert(_batch(spark, [("a", 2, "a2")]), path, ["k"], "seq")
+    v2 = {
+        (r["k"], r["seq"], r["val"])
+        for r in upsert.read_state_at(spark, path, 2).collect()
+    }
+    assert v2 == {("a", 2, "a2")}
+    shutil.rmtree(path)
