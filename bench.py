@@ -604,17 +604,29 @@ if __name__ == "__main__":
     # `--solos`, `--ivfpq` — fell through the same way). Only a bare
     # invocation runs the suite.
     _argv = sys.argv[1:]
+    _USAGE = (
+        "usage: bench.py | bench.py --solo NAME | "
+        "bench.py --bands [N_SWEEPS] | bench.py --band-for NAME N_SOLOS"
+    )
+
+    def _int_arg(s: str, flag: str) -> int:
+        # a non-integer count must ERROR with the usage line, not a
+        # bare int() traceback (r14 advisory) — same strict-arg
+        # contract as the unrecognized-flag branch below
+        try:
+            return int(s)
+        except ValueError:
+            raise SystemExit(
+                f"{flag}: expected an integer count, got {s!r}\n{_USAGE}"
+            )
+
     if _argv[:1] == ["--solo"] and len(_argv) == 2:
         solo(_argv[1])
     elif _argv[:1] == ["--band-for"] and len(_argv) == 3:
-        band_for(_argv[1], int(_argv[2]))
+        band_for(_argv[1], _int_arg(_argv[2], "--band-for"))
     elif _argv[:1] == ["--bands"] and len(_argv) <= 2:
-        regen_bands(int(_argv[1]) if len(_argv) == 2 else 2)
+        regen_bands(_int_arg(_argv[1], "--bands") if len(_argv) == 2 else 2)
     elif _argv:
-        raise SystemExit(
-            f"unrecognized arguments: {' '.join(_argv)}\n"
-            "usage: bench.py | bench.py --solo NAME | "
-            "bench.py --bands [N_SWEEPS] | bench.py --band-for NAME N_SOLOS"
-        )
+        raise SystemExit(f"unrecognized arguments: {' '.join(_argv)}\n{_USAGE}")
     else:
         main()

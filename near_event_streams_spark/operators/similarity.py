@@ -769,7 +769,7 @@ def ivfpq_append(
     cells, not index size) — the same self-exclusion shape as the text
     ingest registry."""
     base = resolve_index_base(spark, path)
-    _, centroids, books = ivfpq_read(spark, base)
+    _, centroids, books = ivfpq_read(spark, base, _resolved=True)
     enc_new = ivfpq_encode(vectors, centroids, books, id_col, vec_col)
     _append_codes(spark, base, enc_new, if_absent)
 
@@ -789,6 +789,7 @@ def ivfpq_compact(
     rescale_cells: bool = False,
     opq: bool = False,
     drift_psi_threshold: float | None = None,
+    retain_versions: int = 1,
     _crash_before_swap: bool = False,
     _crash_between_renames: bool = False,
 ) -> dict:
@@ -842,9 +843,44 @@ def ivfpq_compact(
     protocol (S3A rename is a non-atomic client-side copy+delete; a
     single PUT is atomic). Both crash windows of both protocols are
     resolved mechanically by :func:`ivfpq_recover`.
+
+    ``retain_versions`` is the STALE-READER grace window (r14 verdict
+    #1): how many versions, counting the one this compact just made
+    live, survive the post-flip cleanup. The default ``1`` deletes the
+    superseded layout immediately — correct for a single-driver
+    lifecycle, but a CONCURRENT long-running probe job that resolved
+    the pointer before the flip then loses its files mid-scan, and
+    object stores (where pointer mode is mandatory) are exactly where
+    probe jobs run for hours. ``retain_versions=2`` keeps the
+    just-superseded version for one compact cycle; the NEXT compact
+    (or :func:`ivfpq_vacuum`, or :func:`ivfpq_recover` with the same
+    horizon) reclaims it — the same retained-versions + vacuum shape
+    as the upsert store (``streaming/upsert.vacuum``). Storage cost is
+    ``retain_versions ×`` the codes layout. Only POINTER mode turns
+    the retained version into true reader snapshot isolation (a
+    pre-flip reader's resolved ``v<N>`` paths never mutate); rename
+    mode's retained ``<path>.compact-old`` is a rollback copy, NOT
+    reader isolation — the swap renames the directory out from under a
+    mid-scan reader regardless (one more reason pointer mode is the
+    shared-store deployment default). Rename mode has exactly one
+    previous-version slot, so it supports horizons 1 (delete old
+    immediately — the pre-r15 behavior) and 2 (keep old until the next
+    compact's pre-clean); deeper horizons need the versioned pointer
+    layout and raise here.
     """
+    if retain_versions < 1:
+        raise ValueError(
+            f"retain_versions must be >= 1, got {retain_versions}"
+        )
     base = resolve_index_base(spark, path)
     pointer_mode = base != path.rstrip("/")
+    if not pointer_mode and retain_versions > 2:
+        raise ValueError(
+            f"retain_versions={retain_versions}: a rename-mode layout "
+            "has exactly one previous-version slot "
+            "(<path>.compact-old) — horizons deeper than 2 need the "
+            "versioned swap_mode='pointer' layout"
+        )
     gate = _compact_gate(
         spark, base, min_appended_frac, drift_psi_threshold
     )
@@ -945,16 +981,20 @@ def ivfpq_compact(
         # Pointer protocol (object stores): build the full retrained
         # index into the NEXT versioned prefix, flip the single-object
         # `_CURRENT` pointer (atomic PUT on S3-class stores), then
-        # delete the superseded version dir. A crash before the flip
-        # leaves the live version authoritative and a complete-but-
-        # unreferenced build beside it (discarded by ivfpq_recover,
-        # with the `discarded_retrain` signal — work lost, correctness
-        # not); a crash after the flip leaves only a stray old version
-        # dir (deleted by ivfpq_recover). At no point do probes see a
-        # partially-written layout: readers resolve through the
-        # pointer, and the pointer only ever names a COMPLETE build.
+        # delete every superseded version dir OUTSIDE the
+        # `retain_versions` horizon (versions inside it survive as the
+        # stale-reader grace window — see the docstring). A crash
+        # before the flip leaves the live version authoritative and a
+        # complete-but-unreferenced build beside it (discarded by
+        # ivfpq_recover, with the `discarded_retrain` signal — work
+        # lost, correctness not); a crash after the flip leaves only
+        # stray old version dirs (reclaimed by ivfpq_recover to the
+        # same horizon). At no point do probes see a partially-written
+        # layout: readers resolve through the pointer, and the pointer
+        # only ever names a COMPLETE build.
         ptr = _read_pointer(spark, path)
-        new_name = f"v{int(ptr[1:]) + 1}"
+        new_n = int(ptr[1:]) + 1
+        new_name = f"v{new_n}"
         new_base = path.rstrip("/") + "/" + new_name
         ivfpq_write(enc, cents, books, new_base, rot=rot)
         if _crash_before_swap:
@@ -970,7 +1010,14 @@ def ivfpq_compact(
             raise IOError(
                 "injected crash after pointer flip (test seam)"
             )
-        fs.delete(hpath(base), True)
+        # _list_versions-based cleanup, not a single delete of the
+        # just-superseded dir: earlier compacts run with a deeper
+        # horizon may have left several retained versions behind, and
+        # THIS compact's horizon decides which of them are now
+        # reclaimable
+        for n in _list_versions(spark, path):
+            if n <= new_n - retain_versions:
+                fs.delete(hpath(path.rstrip("/") + f"/v{n}"), True)
         live_base = new_base
     else:
         # Rename protocol: build the full retrained index in a SIDE
@@ -1016,7 +1063,14 @@ def ivfpq_compact(
             )
         if not fs.rename(hpath(tmp), hpath(path)):
             raise IOError(f"compact swap failed: {tmp} -> {path}")
-        fs.delete(hpath(old), True)
+        if retain_versions < 2:
+            fs.delete(hpath(old), True)
+        # retain_versions=2: `<path>.compact-old` survives as rename
+        # mode's one-cycle stale-reader grace window (an EXPLICIT
+        # contract since r15 — it used to exist only accidentally in
+        # the crash path) and is reclaimed by the next compact's
+        # pre-clean above, by ivfpq_vacuum, or by a default-horizon
+        # ivfpq_recover
         live_base = path.rstrip("/")
     return {
         "compacted": True,
@@ -1123,6 +1177,34 @@ def _compact_gate(
     if drift_psi_threshold is not None:
         psi = _cell_occupancy_psi(meta, cur)
         out["drift_psi"] = psi
+        if psi is None:
+            # The armed drift trigger is UNOBSERVABLE on this index
+            # (sidecar predates the r14 `cell_counts` baseline, or the
+            # baseline is degenerate). Silence here is the
+            # silently-inert-knob class r13 flagged on the sink's
+            # compact knobs: a drift-ONLY scheduler would never fire
+            # and the operator would discover the policy via an eroded
+            # index (r14 advisory).
+            if min_appended_frac is None:
+                raise ValueError(
+                    f"drift_psi_threshold={drift_psi_threshold} is the "
+                    f"ONLY armed compact trigger for {base}, but the "
+                    "index sidecar carries no usable cell_counts "
+                    "baseline (written by ivfpq_write since r14) — "
+                    "the scheduler would never fire. Rewrite/compact "
+                    "the index once to stamp the baseline, or arm "
+                    "min_appended_frac as the fallback trigger."
+                )
+            log.warning(
+                "_compact_gate(%s): drift_psi_threshold=%s is armed "
+                "but unobservable (sidecar has no usable cell_counts "
+                "baseline) — only the volume trigger "
+                "(min_appended_frac=%s) is live until a rewrite/"
+                "compact stamps the baseline",
+                base,
+                drift_psi_threshold,
+                min_appended_frac,
+            )
         due = due or (psi is not None and psi >= drift_psi_threshold)
     out["due"] = due
     return out
@@ -1151,9 +1233,19 @@ def compact_due(
     )["due"]
 
 
-def ivfpq_recover(spark, path: str) -> str:
+def ivfpq_recover(
+    spark, path: str, retain_versions: int = 1
+) -> str:
     """Crash recovery for :func:`ivfpq_compact`'s swap window, for BOTH
     swap protocols (auto-detected from the layout).
+
+    ``retain_versions`` mirrors :func:`ivfpq_compact`'s stale-reader
+    grace window: pass the SAME horizon the maintenance jobs compact
+    with, or recovery reclaims retained history those jobs
+    deliberately kept (the default ``1`` keeps only the live version —
+    the pre-r15 behavior). The horizon never protects versions NEWER
+    than the live pointer: those are unflipped retrains, not history,
+    and are always discarded (``ok_discarded_retrain``).
 
     **Rename protocol.** The compact sequence is: build
     ``<path>.compact-tmp`` fully (codes, then sidecar) → rename live
@@ -1201,6 +1293,10 @@ def ivfpq_recover(spark, path: str) -> str:
     before :func:`ivfpq_read` in any scheduler that may have died
     mid-compact; it is idempotent, and away from crash debris it costs
     a handful of existence RPCs and nothing else."""
+    if retain_versions < 1:
+        raise ValueError(
+            f"retain_versions must be >= 1, got {retain_versions}"
+        )
     fs, hpath = _hadoop_fs(spark, path)
     root = path.rstrip("/")
 
@@ -1220,7 +1316,8 @@ def ivfpq_recover(spark, path: str) -> str:
     ptr = _read_pointer(spark, root)
     if ptr is not None or versions:
         return _recover_pointer_layout(
-            spark, fs, hpath, root, ptr, versions, layout_readable
+            spark, fs, hpath, root, ptr, versions, layout_readable,
+            retain_versions,
         )
 
     tmp = root + ".compact-tmp"
@@ -1230,12 +1327,16 @@ def ivfpq_recover(spark, path: str) -> str:
         return layout_readable(tmp)
 
     if fs.exists(hpath(root + "/meta")):
-        if not fs.exists(hpath(tmp)) and not fs.exists(hpath(old)):
+        # within the horizon `.compact-old` is retained history
+        # (rename mode's one grace slot), not a stray to reclaim
+        reclaim_old = retain_versions < 2 and fs.exists(hpath(old))
+        if not fs.exists(hpath(tmp)) and not reclaim_old:
             return "ok"  # no strays: nothing destructive to validate for
         if layout_readable(root):
             discarded = fs.exists(hpath(tmp)) and tmp_complete()
             fs.delete(hpath(tmp), True)
-            fs.delete(hpath(old), True)
+            if reclaim_old:
+                fs.delete(hpath(old), True)
             if discarded:
                 log.warning(
                     "ivfpq_recover(%s): discarding a COMPLETE retrain "
@@ -1251,7 +1352,11 @@ def ivfpq_recover(spark, path: str) -> str:
         fs.delete(hpath(root), True)
         if not fs.rename(hpath(tmp), hpath(root)):
             raise IOError(f"recover failed: {tmp} -> {root}")
-        fs.delete(hpath(old), True)
+        # the crash happened mid-swap, so `.compact-old` holds the
+        # superseded version — within the horizon it stays as the
+        # grace copy, exactly as if the compact had finished
+        if retain_versions < 2:
+            fs.delete(hpath(old), True)
         return "promoted_tmp"
     if fs.exists(hpath(old + "/meta")):
         fs.delete(hpath(root), True)
@@ -1266,23 +1371,30 @@ def ivfpq_recover(spark, path: str) -> str:
 
 
 def _recover_pointer_layout(
-    spark, fs, hpath, root, ptr, versions, layout_readable
+    spark, fs, hpath, root, ptr, versions, layout_readable,
+    retain_versions,
 ) -> str:
     """Pointer-protocol half of :func:`ivfpq_recover` (see its
-    docstring for the state walk)."""
+    docstring for the state walk). ``retain_versions`` spares
+    superseded versions INSIDE the grace horizon from stray cleanup;
+    versions newer than the live pointer are unflipped retrains and
+    are never history, so the horizon does not apply to them."""
     live_n = (
         int(ptr[1:]) if ptr is not None and _VERSION_RE.match(ptr) else None
     )
     if live_n is not None and live_n in versions:
         live_base = f"{root}/v{live_n}"
-        strays = [n for n in versions if n != live_n]
-        if not strays:
+        newer = [n for n in versions if n > live_n]
+        reclaimable = [
+            n for n in versions if n <= live_n - retain_versions
+        ]
+        if not newer and not reclaimable:
             return "ok"  # nothing destructive to validate for
         if layout_readable(live_base):
             discarded = False
-            for n in strays:
+            for n in newer:
                 sb = f"{root}/v{n}"
-                if n > live_n and layout_readable(sb):
+                if layout_readable(sb):
                     discarded = True
                     log.warning(
                         "ivfpq_recover(%s): discarding COMPLETE "
@@ -1292,6 +1404,8 @@ def _recover_pointer_layout(
                         n,
                     )
                 fs.delete(hpath(sb), True)
+            for n in reclaimable:
+                fs.delete(hpath(f"{root}/v{n}"), True)
             return "ok_discarded_retrain" if discarded else "ok"
         # pointed-at version has a sidecar but is unreadable: fall
         # through to highest-complete resolution
@@ -1305,9 +1419,62 @@ def _recover_pointer_layout(
     keep = complete[0]
     _write_pointer(spark, root, f"v{keep}")
     for n in versions:
-        if n != keep:
-            fs.delete(hpath(f"{root}/v{n}"), True)
+        if n == keep:
+            continue
+        # retained history: COMPLETE versions inside the horizon below
+        # the repointed live survive; incomplete dirs are crash debris
+        # at any age (nothing can ever read them)
+        if n < keep and n > keep - retain_versions and n in complete:
+            continue
+        fs.delete(hpath(f"{root}/v{n}"), True)
     return "repointed"
+
+
+def ivfpq_vacuum(spark, path: str, retain_versions: int = 1) -> int:
+    """Reclaim superseded index versions OUTSIDE the grace horizon —
+    the explicit storage-cost lever for :func:`ivfpq_compact`'s
+    ``retain_versions`` window (the ANN twin of the upsert store's
+    ``streaming/upsert.vacuum``). Returns the number of version
+    layouts deleted.
+
+    * Pointer layout: deletes every ``v<N>`` with
+      ``N <= live - retain_versions`` (``retain_versions=1`` keeps
+      only the live version). Versions NEWER than the live pointer are
+      never touched — one may be a concurrent compact's in-flight
+      build; unflipped-retrain debris is :func:`ivfpq_recover`'s job,
+      which validates completeness before acting.
+    * Rename layout: ``retain_versions=1`` deletes the one grace slot
+      ``<path>.compact-old``; deeper horizons have nothing to reclaim.
+      ``<path>.compact-tmp`` is never touched for the same in-flight
+      reason.
+
+    Raises ``IOError`` on a garbled pointer (run :func:`ivfpq_recover`
+    first) rather than guessing which versions are live."""
+    if retain_versions < 1:
+        raise ValueError(
+            f"retain_versions must be >= 1, got {retain_versions}"
+        )
+    fs, hpath = _hadoop_fs(spark, path)
+    root = path.rstrip("/")
+    ptr = _read_pointer(spark, root)
+    if ptr is not None:
+        if not _VERSION_RE.match(ptr):
+            raise IOError(
+                f"garbled index pointer at {root}/{_POINTER_FILE}: "
+                f"{ptr[:64]!r} — run ivfpq_recover before vacuuming"
+            )
+        live_n = int(ptr[1:])
+        removed = 0
+        for n in _list_versions(spark, root):
+            if n <= live_n - retain_versions:
+                fs.delete(hpath(f"{root}/v{n}"), True)
+                removed += 1
+        return removed
+    old = root + ".compact-old"
+    if retain_versions < 2 and fs.exists(hpath(old)):
+        fs.delete(hpath(old), True)
+        return 1
+    return 0
 
 
 def ivfpq_write(
@@ -1467,8 +1634,24 @@ def _write_layout(
     ).parquet(path + "/meta")
 
 
+def _load_layout(spark, base: str):
+    """(codes frame, sidecar row) of one RESOLVED layout directory —
+    the shared body of :func:`ivfpq_read` and :func:`opq_read`, so the
+    OPQ reader costs exactly one sidecar collect (it used to read the
+    meta parquet twice: once inside ivfpq_read and once for the
+    rotation — a second footer GET per probe on S3-class stores)."""
+    enc = spark.read.parquet(base + "/codes").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        "codes",
+        "vec_norm",
+    )
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    return enc, meta
+
+
 def ivfpq_read(
-    spark, path: str, _allow_rot: bool = False
+    spark, path: str, _allow_rot: bool = False, _resolved: bool = False
 ) -> tuple[DataFrame, list[list[float]], np.ndarray]:
     """Load a persisted IVF-PQ index (see :func:`ivfpq_write`) into the
     ``(enc, centroids, books)`` triple :func:`ivfpq_topk` accepts via
@@ -1487,15 +1670,16 @@ def ivfpq_read(
 
     Pointer-mode layouts (``swap_mode="pointer"``) resolve through the
     ``_CURRENT`` file transparently — callers never see version
-    dirs."""
-    path = resolve_index_base(spark, path)
-    enc = spark.read.parquet(path + "/codes").select(
-        "vec_id",
-        F.col("cluster").cast("int").alias("cluster"),
-        "codes",
-        "vec_norm",
-    )
-    meta = spark.read.parquet(path + "/meta").collect()[0]
+    dirs. ``_resolved=True`` (internal) skips that resolution when the
+    caller already holds the resolved base — append/compact resolve
+    once up front, and re-resolving costs a ``_CURRENT`` existence
+    check that is a real GET per call on S3-class stores (r14
+    advisory)."""
+    if not _resolved:
+        path = resolve_index_base(spark, path)
+    else:
+        path = path.rstrip("/")
+    enc, meta = _load_layout(spark, path)
     if (
         not _allow_rot
         and "rot" in meta.__fields__
@@ -1773,23 +1957,29 @@ def opq_write(
 
 
 def opq_read(
-    spark, path: str
+    spark, path: str, _resolved: bool = False
 ) -> tuple[DataFrame, list[list[float]], np.ndarray, np.ndarray]:
     """Load a persisted OPQ index (see :func:`opq_write`) into the
     ``(enc, centroids, rot, books)`` 4-tuple ``opq_topk`` accepts via
     ``index=``. Raises ``ValueError`` when pointed at a plain IVF-PQ
     layout (no rotation in the sidecar) — probing PQ codes with OPQ
-    math would silently return wrong distances."""
-    path = resolve_index_base(spark, path)
-    enc, centroids, books = ivfpq_read(spark, path, _allow_rot=True)
-    meta = spark.read.parquet(path + "/meta").collect()[0]
+    math would silently return wrong distances. ``_resolved`` as in
+    :func:`ivfpq_read`; one pointer resolution and ONE sidecar collect
+    total (r14 advisory: this used to resolve twice and read the meta
+    parquet twice per call)."""
+    if not _resolved:
+        path = resolve_index_base(spark, path)
+    else:
+        path = path.rstrip("/")
+    enc, meta = _load_layout(spark, path)
     if "rot" not in meta.__fields__ or meta["rot"] is None:
         raise ValueError(
             f"{path} holds a plain IVF-PQ index (no rotation sidecar); "
             "read it with ivfpq_read"
         )
+    books = np.asarray(meta["books"], dtype=np.float64)
     rot = np.asarray(meta["rot"], dtype=np.float64)
-    return enc, centroids, rot, books
+    return enc, meta["centroids"], rot, books
 
 
 def opq_append(
@@ -1806,7 +1996,7 @@ def opq_append(
     layout; existing rows never touched. ``if_absent=True`` is the
     same replay-idempotent anti-join (pruned to touched cells)."""
     base = resolve_index_base(spark, path)
-    _, centroids, rot, books = opq_read(spark, base)
+    _, centroids, rot, books = opq_read(spark, base, _resolved=True)
     enc_new = opq_encode(vectors, centroids, rot, books, id_col, vec_col)
     _append_codes(spark, base, enc_new, if_absent)
 
@@ -1825,6 +2015,7 @@ def opq_compact(
     vec_col: str = "embedding",
     rescale_cells: bool = False,
     drift_psi_threshold: float | None = None,
+    retain_versions: int = 1,
     _crash_before_swap: bool = False,
     _crash_between_renames: bool = False,
 ) -> dict:
@@ -1834,7 +2025,8 @@ def opq_compact(
     pointer, auto-detected (recoverable via :func:`ivfpq_recover` —
     the layouts are identical apart from the sidecar's rotation
     column). Same ``min_appended_frac`` / ``drift_psi_threshold``
-    scheduling and ``rescale_cells`` geometry tracking."""
+    scheduling, ``rescale_cells`` geometry tracking, and
+    ``retain_versions`` stale-reader grace window."""
     return ivfpq_compact(
         spark,
         path,
@@ -1850,6 +2042,7 @@ def opq_compact(
         rescale_cells=rescale_cells,
         opq=True,
         drift_psi_threshold=drift_psi_threshold,
+        retain_versions=retain_versions,
         _crash_before_swap=_crash_before_swap,
         _crash_between_renames=_crash_between_renames,
     )

@@ -1731,6 +1731,110 @@ FROM ranked WHERE rank <= 5
 )
 
 
+def ann_index_version_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stale-reader safety for the pointer-swap maintenance loop (r14
+    verdict Next #1): pointer-mode compact used to delete the
+    superseded ``v<N>`` immediately after the ``_CURRENT`` flip, so a
+    CONCURRENT long-running probe job that resolved the pointer
+    pre-flip lost its files mid-scan — and object stores, where
+    pointer mode is mandatory, are exactly where probe jobs run for
+    hours. ``retain_versions`` keeps the last K versions (Delta/
+    Iceberg-style retained-versions + vacuum, the same shape as the
+    repo's upsert store); version-dir paths never mutate, so a
+    pre-flip reader gets true snapshot isolation.
+
+    Gated, through the PRODUCTION ``foreachBatch`` sink body with
+    ``retain_versions=2``: (a) a reader that resolved the live base
+    BEFORE a sink-scheduled compact re-reads the SAME row count from
+    that base after the flip (its scan finishes); (b) the next
+    compact's horizon sweep reclaims the now-out-of-horizon version
+    (exactly [v1, v2] remain); (c) ``ivfpq_vacuum`` at horizon 1 pins
+    the storage lever (one version reclaimed, live untouched); (d)
+    the usual recall bar on the final index, which holds the full
+    corpus."""
+    from near_event_streams_spark.streaming import ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 4 <= 1)
+    b1 = emb.filter(F.col("vec_id") % 4 == 2).select("vec_id", "embedding")
+    b2 = emb.filter(F.col("vec_id") % 4 == 3).select("vec_id", "embedding")
+    root = _ivfpq_scratch_dir(sf_dir, tag="ivfpq_retain")
+    idx, lake = root + "/idx", root + "/lake"
+
+    ann_ingest.seed_ann_index(
+        seed, idx, lake, n_clusters=16, m=8, ks=256, seed=42,
+        swap_mode="pointer",
+    )
+    # volume-triggered compacts (each batch appends ~1/3 then ~1/4 of
+    # the corpus, both over the 0.2 threshold) with the r15 two-cycle
+    # grace window
+    sink = ann_ingest.ann_index_ingest_sink(
+        idx, lake, min_appended_frac=0.2, retain_versions=2
+    )
+
+    # the concurrent reader resolves the live base BEFORE batch 0's
+    # compact flips the pointer
+    pre_base = similarity.resolve_index_base(spark, idx)
+    n_pre = spark.read.parquet(pre_base + "/codes").count()
+    n_b1 = b1.count()
+    sink(b1, 0)  # append + compact -> v1 live, v0 retained in-horizon
+    flipped = similarity.resolve_index_base(spark, idx) != pre_base
+    # the reader finishes its scan against the PRE-FLIP base: the
+    # retained layout holds exactly seed + batch-0 rows (the sink
+    # appends into the live version BEFORE the compact flips — normal
+    # live operation, and precisely the state a pre-flip resolver
+    # must keep seeing)
+    reader_survived = (
+        spark.read.parquet(pre_base + "/codes").count() == n_pre + n_b1
+    )
+    sink(b2, 1)  # append + compact -> v2 live, v1 retained, v0 swept
+    horizon_swept = similarity._list_versions(spark, idx) == [1, 2]
+    vacuumed = similarity.ivfpq_vacuum(spark, idx, retain_versions=1) == 1
+    single_after_vacuum = len(similarity._list_versions(spark, idx)) == 1
+
+    idx_t = similarity.ivfpq_read(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ivfpq_topk(
+        queries, emb, k=5, nprobe=16, refine=8, index=idx_t
+    )
+    gate = _ann_recall_invariant(exact, approx, min_recall=0.8)
+    n_emb = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    n_idx = idx_t[0].agg(F.count(F.lit(1)).alias("n_idx"))
+    return (
+        gate.crossJoin(n_emb)
+        .crossJoin(n_idx)
+        .select(
+            "n_exact_pairs",
+            "recall_ok",
+            F.lit(
+                bool(
+                    flipped
+                    and reader_survived
+                    and horizon_swept
+                    and vacuumed
+                    and single_after_vacuum
+                )
+            ).alias("retention_walk_ok"),
+            (F.col("n_idx") == F.col("n_emb")).alias(
+                "ingested_holds_full_corpus"
+            ),
+        )
+    )
+
+
+_ANN_VERSION_RETENTION_SQL = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS retention_walk_ok,
+       TRUE AS ingested_holds_full_corpus
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
 def ann_opq_topk_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-OPQ approximate top-k result list (detail view; cosines are
     exact because the shortlist is re-scored on full vectors)."""
@@ -4154,6 +4258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_build_reproducible": ann_index_build_reproducible,
     "ann_ivfpq_pointer_swap": ann_ivfpq_pointer_swap,
     "ann_compact_drift_trigger": ann_compact_drift_trigger,
+    "ann_index_version_retention": ann_index_version_retention,
     "ann_opq_persisted": ann_opq_persisted,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
@@ -4228,6 +4333,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_index_build_reproducible": _ANN_BUILD_REPRO_SQL,
     "ann_ivfpq_pointer_swap": _ANN_POINTER_SWAP_SQL,
     "ann_compact_drift_trigger": _ANN_DRIFT_TRIGGER_SQL,
+    "ann_index_version_retention": _ANN_VERSION_RETENTION_SQL,
     "ann_opq_persisted": _ANN_OPQ_PERSISTED_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,

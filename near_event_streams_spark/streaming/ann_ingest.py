@@ -122,6 +122,7 @@ def ann_index_ingest_sink(
     lake_compact_every: int | None = None,
     compact_check_every: int = 1,
     drift_psi_threshold: float | None = None,
+    retain_versions: int = 1,
 ):
     """Return the ``foreachBatch`` sink body for streaming ANN-index
     ingest: recover → lake-land → idempotent append → scheduled
@@ -142,6 +143,16 @@ def ann_index_ingest_sink(
     (the classic "action" band) is a sane starting point, and iid
     appends sit well below it (tests pin both sides). Either trigger
     alone may be armed.
+    ``retain_versions`` is the stale-reader grace window for the
+    scheduled compacts (r15): superseded index versions survive that
+    many swap cycles so a CONCURRENT probe job that resolved the
+    pointer pre-flip can finish its scan (pointer layouts get true
+    snapshot isolation; see :func:`similarity.ivfpq_compact`). The
+    sink passes the same horizon to its top-of-batch
+    :func:`similarity.ivfpq_recover`, so recovery never reclaims
+    history the compacts deliberately kept; reclamation happens at
+    the next compact's horizon sweep (or an out-of-band
+    :func:`similarity.ivfpq_vacuum`).
     ``lake_compact_every`` folds the lake's closed ``batch_id=N`` dirs
     into size-targeted files every that-many batches (the 24/7
     small-files countermeasure, same transactional
@@ -182,7 +193,9 @@ def ann_index_ingest_sink(
         # next due check) — operators should see that wasted work in
         # the logs, not infer it from a duplicate retrain (r13
         # verdict #5; ivfpq_recover also warns internally).
-        healed = similarity.ivfpq_recover(spark, index_path)
+        healed = similarity.ivfpq_recover(
+            spark, index_path, retain_versions=retain_versions
+        )
         if healed != "ok":
             similarity.log.info(
                 "ann ingest batch %s: index recovery at %s -> %s",
@@ -237,6 +250,7 @@ def ann_index_ingest_sink(
                 id_col=id_col,
                 vec_col=vec_col,
                 drift_psi_threshold=drift_psi_threshold,
+                retain_versions=retain_versions,
             )
         ingest_mod._maybe_compact_corpus(
             spark, lake_dir, batch_id, lake_compact_every
@@ -259,6 +273,7 @@ def start_ann_index_ingest(
     lake_compact_every: int | None = None,
     compact_check_every: int = 1,
     drift_psi_threshold: float | None = None,
+    retain_versions: int = 1,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Run the streaming ANN-index ingest loop: each micro-batch of
@@ -283,6 +298,7 @@ def start_ann_index_ingest(
                 lake_compact_every=lake_compact_every,
                 compact_check_every=compact_check_every,
                 drift_psi_threshold=drift_psi_threshold,
+                retain_versions=retain_versions,
             )
         )
     )

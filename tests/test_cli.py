@@ -165,3 +165,24 @@ def test_bench_unknown_flag_errors_fast():
         )
         assert proc.returncode != 0, argv
         assert "usage:" in (proc.stderr + proc.stdout), argv
+
+
+def test_bench_non_integer_count_errors_with_usage():
+    """r14 advisory: `--bands q1` / `--band-for NAME x` died with a
+    bare int() ValueError traceback instead of the usage message the
+    strict-arg handling otherwise guarantees."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for argv in (["--bands", "q1"], ["--band-for", "q1", "nope"]):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(root, "bench.py"), *argv],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        assert proc.returncode != 0, argv
+        assert "usage:" in (proc.stderr + proc.stdout), argv
+        assert "Traceback" not in proc.stderr, argv

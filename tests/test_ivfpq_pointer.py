@@ -369,12 +369,15 @@ def test_drift_trigger_fires_on_drift_not_on_iid(
         .write.mode("overwrite")
         .parquet(p_iid + "/meta")
     )
-    # volume trigger still decides; drift trigger silently unavailable
-    assert (
+    # drift-ONLY scheduler: the armed trigger is UNOBSERVABLE on this
+    # sidecar, and `due=False forever` would be a silently-inert knob
+    # (r14 advisory) — the gate must refuse, not stall
+    with pytest.raises(ValueError, match="cell_counts"):
         similarity.compact_due(spark, p_iid, None, drift_psi_threshold=DRIFT)
-        is False
-    )
+    # with the volume fallback armed the gate proceeds (drift side
+    # logged as unobservable) and volume decides
     assert similarity.compact_due(spark, p_iid, 0.25, DRIFT) is True
+    assert similarity.compact_due(spark, p_iid, 0.95, DRIFT) is False
 
 
 def test_write_refuses_protocol_mixing(spark, tmp_path, emb_halves):
@@ -399,3 +402,160 @@ def test_write_refuses_protocol_mixing(spark, tmp_path, emb_halves):
         similarity.ivfpq_write(
             enc, cents, books, str(tmp_path / "x"), swap_mode="s3"
         )
+
+
+# ---------------------------------------------------------------------------
+# retain_versions: the stale-reader grace window (r14 verdict Next #1)
+# ---------------------------------------------------------------------------
+
+
+def test_pointer_retention_concurrent_reader_survives_compact(
+    spark, tmp_path, emb_halves
+):
+    """A long-running probe job resolves the pointer ONCE and then
+    scans for hours; pointer-mode compact used to delete the
+    superseded version dir immediately after the flip, yanking the
+    reader's files mid-scan. With retain_versions=2 the pre-flip base
+    stays fully readable for one compact cycle (true snapshot
+    isolation: version-dir paths never mutate), and the NEXT compact's
+    horizon sweep reclaims it."""
+    emb, old, new = emb_halves
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    p = str(tmp_path / "ptr_retain")
+    similarity.ivfpq_write(enc, cents, books, p, swap_mode="pointer")
+    similarity.ivfpq_append(spark, p, new.select("vec_id", "embedding"))
+
+    # the concurrent reader: resolves the live base BEFORE the compact
+    pre_base = similarity.resolve_index_base(spark, p)
+    assert pre_base == p + "/v0"
+    pre_rows = _codes_rows(spark, pre_base)
+
+    res = similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=2)
+    assert res["compacted"]
+    assert similarity.resolve_index_base(spark, p) == p + "/v1"
+    assert similarity._list_versions(spark, p) == [0, 1]
+    # the reader finishes its scan against the PRE-FLIP base: every
+    # file it resolved is still there, byte-identical
+    assert _codes_rows(spark, pre_base) == pre_rows
+    # and the retained layout is a complete index, not a husk
+    idx_old = similarity.ivfpq_read(spark, pre_base, _resolved=True)
+    assert idx_old[0].count() == len(pre_rows)
+
+    # the NEXT compact's horizon sweep reclaims v0 (live v2 + grace v1)
+    res2 = similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=2)
+    assert res2["compacted"]
+    assert similarity._list_versions(spark, p) == [1, 2]
+    # default horizon (1) reclaims everything but live
+    res3 = similarity.ivfpq_compact(spark, p, emb, seed=42)
+    assert res3["compacted"]
+    assert similarity._list_versions(spark, p) == [3]
+
+
+def test_ivfpq_vacuum_pins_the_horizon(spark, tmp_path, emb_halves):
+    """ivfpq_vacuum is the explicit storage lever: it reclaims exactly
+    the versions outside retain_versions, never the live one, and
+    never versions newer than the pointer (a concurrent compact's
+    in-flight build)."""
+    emb, old, _ = emb_halves
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    p = str(tmp_path / "ptr_vac")
+    similarity.ivfpq_write(enc, cents, books, p, swap_mode="pointer")
+    for _ in range(3):  # v1, v2, v3 — deep history via wide horizon
+        similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=10)
+    assert similarity._list_versions(spark, p) == [0, 1, 2, 3]
+
+    # an in-flight newer build (concurrent compact mid-write): vacuum
+    # must not touch it
+    enc2, c2, b2 = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=7
+    )
+    similarity.ivfpq_write(enc2, c2, b2, p + "/v9")
+
+    assert similarity.ivfpq_vacuum(spark, p, retain_versions=3) == 1  # v0
+    assert similarity._list_versions(spark, p) == [1, 2, 3, 9]
+    assert similarity.ivfpq_vacuum(spark, p, retain_versions=1) == 2  # v1,v2
+    assert similarity._list_versions(spark, p) == [3, 9]
+    assert similarity.ivfpq_vacuum(spark, p) == 0  # idempotent
+    # live untouched and still readable throughout
+    assert similarity.resolve_index_base(spark, p) == p + "/v3"
+    similarity.ivfpq_read(spark, p)
+    with pytest.raises(ValueError, match="retain_versions"):
+        similarity.ivfpq_vacuum(spark, p, retain_versions=0)
+
+
+def test_recover_respects_retention_horizon(spark, tmp_path, emb_halves):
+    """ivfpq_recover with the maintenance jobs' horizon keeps retained
+    history; the horizon never protects an unflipped retrain (newer
+    than the pointer), which is always discarded with the visible
+    signal."""
+    emb, old, _ = emb_halves
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    p = str(tmp_path / "ptr_rec_ret")
+    similarity.ivfpq_write(enc, cents, books, p, swap_mode="pointer")
+    similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=2)
+    assert similarity._list_versions(spark, p) == [0, 1]
+
+    # same-horizon recover: retained v0 survives
+    assert similarity.ivfpq_recover(spark, p, retain_versions=2) == "ok"
+    assert similarity._list_versions(spark, p) == [0, 1]
+
+    # a finished-but-unflipped retrain beside the retained history is
+    # STILL discarded under any horizon — it is not history
+    crashed = False
+    try:
+        similarity.ivfpq_compact(
+            spark, p, emb, seed=42, retain_versions=2,
+            _crash_before_swap=True,
+        )
+    except IOError:
+        crashed = True
+    assert crashed
+    assert similarity._list_versions(spark, p) == [0, 1, 2]
+    assert (
+        similarity.ivfpq_recover(spark, p, retain_versions=2)
+        == "ok_discarded_retrain"
+    )
+    assert similarity._list_versions(spark, p) == [0, 1]
+
+    # default-horizon recover reclaims the grace copy (the documented
+    # pre-r15 behavior)
+    assert similarity.ivfpq_recover(spark, p) == "ok"
+    assert similarity._list_versions(spark, p) == [1]
+
+
+def test_rename_mode_grace_slot_and_vacuum(spark, tmp_path, emb_halves):
+    """Rename mode's one previous-version slot: retain_versions=2
+    keeps <path>.compact-old as a complete rollback copy (an explicit
+    contract since r15), the next compact's pre-clean replaces it,
+    vacuum reclaims it, and horizons deeper than the slot refuse."""
+    emb, old, new = emb_halves
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    p = str(tmp_path / "ren_retain")
+    similarity.ivfpq_write(enc, cents, books, p)
+    similarity.ivfpq_append(spark, p, new.select("vec_id", "embedding"))
+    pre_rows = _codes_rows(spark, p)
+
+    with pytest.raises(ValueError, match="pointer"):
+        similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=3)
+
+    res = similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=2)
+    assert res["compacted"]
+    hp, fs = _hfs(spark, p)
+    assert fs.exists(hp(p + ".compact-old"))
+    # the rollback copy is the COMPLETE pre-compact index
+    assert _codes_rows(spark, p + ".compact-old") == pre_rows
+    # recover at the same horizon leaves the grace copy alone
+    assert similarity.ivfpq_recover(spark, p, retain_versions=2) == "ok"
+    assert fs.exists(hp(p + ".compact-old"))
+    # vacuum reclaims it at the default horizon
+    assert similarity.ivfpq_vacuum(spark, p) == 1
+    assert not fs.exists(hp(p + ".compact-old"))
+    assert similarity.ivfpq_vacuum(spark, p) == 0

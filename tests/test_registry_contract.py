@@ -166,6 +166,10 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     # rounded double never reaches the compared output
     "ann_ivfpq_pointer_swap": 1,
     "ann_compact_drift_trigger": 1,
+    # r15: retention gate reuses the shared exact-topk CTE; emits a
+    # count + booleans only, so the rounded double never reaches the
+    # compared output
+    "ann_index_version_retention": 1,
     "ann_opq_persisted": 1,
     "ann_opq_topk": 1,
     "ann_lsh_topk": 1,
