@@ -155,30 +155,41 @@ def make_session_func(gap_seconds: int):
             return
 
         rows = pd.concat(list(pdfs)).sort_values("ts_us")
-        start_us = last_us = None
-        n, total = 0, 0.0
+        # Sorted interval sweep over {open-session span} ∪ {each event
+        # as a point interval}, merging neighbors within gap — the
+        # F.session_window merge semantics. This replaces the r14
+        # hull-merge, whose merge test (ts - last_us <= gap) was
+        # vacuously true for any ts < last_us: a late event arriving
+        # MORE than gap before the open session's start was absorbed
+        # into it, so the reported span could contain an internal
+        # silence longer than the gap — session_window would emit that
+        # event as its own session (r14 advisory). Late events within
+        # the watermark now merge only with spans they are genuinely
+        # within gap of; mutually-adjacent stragglers coalesce with
+        # each other (the batch is sorted, so the sweep sees them in
+        # order).
+        intervals = []
         if state.exists:
-            start_us, last_us, n, total = state.get
-        closed = []
+            intervals.append(list(state.get))
         for ts, val in zip(rows["ts_us"], rows["value"]):
-            ts = int(ts)
-            if start_us is None:
-                start_us, last_us, n, total = ts, ts, 1, float(val)
-            elif ts - last_us > gap_us:
-                closed.append((start_us, last_us, n, total))
-                start_us, last_us, n, total = ts, ts, 1, float(val)
+            intervals.append([int(ts), int(ts), 1, float(val)])
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged = [intervals[0]]
+        for iv in intervals[1:]:
+            cur = merged[-1]
+            if iv[0] - cur[1] <= gap_us:
+                cur[1] = max(cur[1], iv[1])
+                cur[2] += iv[2]
+                cur[3] += iv[3]
             else:
-                # max(): a late-but-within-gap event must not move the
-                # session end backwards; min(): one arriving BEFORE the
-                # open session's start (late within watermark) must
-                # extend the start to cover it — the session's span is
-                # the hull of its member events, matching the TWS
-                # sibling (session_timeout_tws) and F.session_window's
-                # merge semantics (r14 review: start was frozen at the
-                # first-SEEN event, so a late-but-covered member was
-                # counted yet outside the reported span)
-                start_us = min(start_us, ts)
-                last_us, n, total = max(last_us, ts), n + 1, total + float(val)
+                merged.append(iv)
+        # every interval but the LATEST is already gap-separated from
+        # its successor and closes now (append output can't retract an
+        # emit, so — as before this change — a later-batch straggler
+        # cannot reopen it); the latest rides in state until a new
+        # event closes it or the event-time timeout fires
+        *closed, open_iv = merged
+        start_us, last_us, n, total = open_iv
         state.update((start_us, last_us, n, total))
         # timeout when watermark passes the gap after the last event;
         # clamped because Spark rejects timeouts at/behind the current

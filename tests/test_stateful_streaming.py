@@ -482,3 +482,54 @@ def test_sessionizer_late_member_extends_session_start(spark, tmp_path):
         2,
         3.0,
     ) in u1, u1
+
+
+def test_sessionizer_straggler_beyond_gap_is_own_session(spark, tmp_path):
+    """r14 advisory: the merge branch fired for ANY ts < last_us, so a
+    late event arriving MORE than gap before the open session's start
+    (but inside the watermark) was absorbed — the reported span then
+    contained an internal silence longer than the gap, where
+    F.session_window would emit that event as its own session. The
+    sweep now merges only genuinely-within-gap neighbors, and
+    mutually-adjacent stragglers coalesce with each other."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b1.jsonl", [("u1", "click", 1.0, "2024-01-01 01:00:00")])
+    # two stragglers ~25 min before the open session: far beyond the
+    # 60s gap (must NOT merge with it), 10s apart from each other
+    # (MUST coalesce into one 2-event session)
+    _write_batch(
+        src,
+        "b2.jsonl",
+        [
+            ("u1", "click", 2.0, "2024-01-01 00:35:00"),
+            ("u1", "click", 4.0, "2024-01-01 00:35:10"),
+        ],
+    )
+    # u2 far ahead: watermark (5:00 - 2h = 3:00) flushes u1's open
+    # session via the event-time timeout
+    _write_batch(src, "b3.jsonl", [("u2", "view", 8.0, "2024-01-01 05:00:00")])
+    _write_batch(src, "b4.jsonl", [("u2", "view", 16.0, "2024-01-01 05:30:00")])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: stateful.sessionize_stateful(
+            s, gap_seconds=60, watermark="2 hours"
+        ),
+        "sessions_straggler",
+    )
+    u1 = {
+        (
+            str(r["session_start"]),
+            str(r["session_end"]),
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in out.filter("key = 'u1'").collect()
+    }
+    assert u1 == {
+        # the straggler pair: one closed 2-event session, gap-separated
+        ("2024-01-01 00:35:00", "2024-01-01 00:35:10", 2, 6.0),
+        # the original event: untouched span, flushed by the timeout
+        ("2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, 1.0),
+    }, u1
