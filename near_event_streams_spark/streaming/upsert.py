@@ -143,16 +143,31 @@ def _read_manifest(path: str) -> tuple[int, dict[str, int]]:
         return v, {str(k): int(x) for k, x in json.load(f).items()}
 
 
+class VersionRetiredError(LookupError):
+    """A time-travel read named a version that WAS committed but whose
+    bucket data has been reclaimed by :func:`vacuum` — the request was
+    valid, the retention horizon has simply passed. Distinct from the
+    ``None`` a never-committed version returns, so an audit job can
+    tell "you asked for a version that never existed" from "raise the
+    store's ``retain_versions`` if you need to look this far back"
+    (r14 review: both used to come back as ``None``)."""
+
+
 def read_state_at(
     spark: SparkSession, path: str, version: int
 ) -> DataFrame | None:
-    """TIME-TRAVEL read: the committed state AS OF ``version`` (None
-    when that version has no manifest / no buckets). Every commit
-    writes a full manifest snapshot (`_manifest_path`), so historical
-    reads need no log replay — just the as-of manifest's bucket→version
-    map, same pruned per-version scans as :func:`read_state`. Works
-    until :func:`vacuum` retires the referenced bucket directories
-    (``retain_versions`` is the time-travel horizon)."""
+    """TIME-TRAVEL read: the committed state AS OF ``version``. Every
+    commit writes a full manifest snapshot (`_manifest_path`), so
+    historical reads need no log replay — just the as-of manifest's
+    bucket→version map, same pruned per-version scans as
+    :func:`read_state`.
+
+    Returns ``None`` when ``version`` was NEVER committed (out of the
+    committed range, or its manifest is missing). Raises
+    :class:`VersionRetiredError` when the version was committed but
+    :func:`vacuum` has reclaimed buckets it references —
+    ``retain_versions`` is the time-travel horizon, and a horizon miss
+    is a different condition from an invalid request."""
     # COMMITTED versions only: a crash between a merge's manifest write
     # and its _LATEST replace leaves a complete-looking orphan manifest
     # one past the committed version (clobbered by the next commit,
@@ -167,14 +182,19 @@ def read_state_at(
     except OSError:
         return None
     # Past the vacuum horizon a manifest can survive while some of its
-    # referenced bucket dirs are already reclaimed — surface that as a
-    # clean "version no longer readable" None instead of a partial
-    # (silently wrong) scan or a deep Spark path error.
+    # referenced bucket dirs are already reclaimed — surface that as
+    # an explicit retirement instead of a partial (silently wrong)
+    # scan, a deep Spark path error, or the never-committed None.
     for bucket, v in manifest.items():
         if not os.path.isdir(
             os.path.join(path, f"v{int(v)}", f"{_BUCKET}={bucket}")
         ):
-            return None
+            raise VersionRetiredError(
+                f"version {version} of {path} was committed but bucket "
+                f"{bucket} (owned by v{int(v)}) has been reclaimed by "
+                "vacuum — the store's retain_versions horizon no "
+                "longer covers it"
+            )
     return _read_buckets(spark, path, manifest)
 
 

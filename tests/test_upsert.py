@@ -233,9 +233,13 @@ def test_read_state_at_time_travels_across_commits(spark, tmp_path):
 def test_time_travel_horizon_is_vacuum(spark, tmp_path):
     """retain_versions IS the time-travel horizon: after vacuum
     reclaims a superseded bucket, the old version's manifest still
-    exists but `read_state_at` must report it cleanly unreadable
-    (None) — never a partial scan or a raw path error — while the
-    retained latest version stays fully readable."""
+    exists but `read_state_at` must raise VersionRetiredError — never
+    a partial scan, a raw path error, or the never-committed None
+    (r14 review: an audit job must be able to tell an invalid request
+    from an expired horizon) — while the retained latest version stays
+    fully readable."""
+    import pytest
+
     path = str(tmp_path / "state")
     os.makedirs(path)
     upsert.merge_upsert(
@@ -248,8 +252,11 @@ def test_time_travel_horizon_is_vacuum(spark, tmp_path):
     assert upsert.read_state_at(spark, path, 1) is not None
     removed = upsert.vacuum(path, retain_versions=1)
     assert removed >= 1
-    # horizon passed: v1 gone (cleanly), latest intact
-    assert upsert.read_state_at(spark, path, 1) is None
+    # horizon passed: v1 retired (explicitly), latest intact,
+    # never-committed still None
+    with pytest.raises(upsert.VersionRetiredError, match="retain_versions"):
+        upsert.read_state_at(spark, path, 1)
+    assert upsert.read_state_at(spark, path, 99) is None
     v2 = upsert.read_state_at(spark, path, 2)
     got = {(r["k"], r["seq"], r["val"]) for r in v2.collect()}
     assert got == {("a", 2, "a2"), ("b", 1, "b1")}
