@@ -1553,8 +1553,13 @@ def ivfpq_write(
         )
     if swap_mode == "pointer":
         # next version = current+1 when overwriting a live pointer
-        # layout (stale version dirs are deleted after the flip), v0
-        # on a fresh path
+        # layout, v0 on a fresh path. A re-seed is a RESET: every
+        # other version dir is deleted after the flip, ignoring any
+        # retention horizon the maintenance compacts were run with —
+        # retained history of an index being thrown away and rebuilt
+        # is not history. Don't re-seed under concurrent readers;
+        # scheduled retrains (ivfpq_compact retain_versions) are the
+        # reader-safe path.
         ptr = _read_pointer(spark, path)
         cur = (
             int(ptr[1:])
