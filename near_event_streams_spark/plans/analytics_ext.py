@@ -4677,6 +4677,99 @@ FROM both_v GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def time_travel_retirement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 time-travel RETIREMENT contract, driver-gated
+    (``streaming/upsert.read_state_at`` + ``vacuum``): three MERGE
+    commits (base evens at v1, %4 re-price at v2, odd inserts at v3),
+    then ``vacuum(retain_versions=2)`` — v1's superseded copies of the
+    buckets v2 rewrote fall outside every retained manifest and are
+    reclaimed, so:
+
+    * ``read_state_at(path, 1)`` must raise ``VersionRetiredError``
+      (the version WAS committed; the horizon passed) — NOT return
+      the never-committed ``None`` (r14 review: audit jobs could not
+      tell an invalid request from an expired horizon);
+    * ``read_state_at(path, 99)`` stays ``None`` (never committed);
+    * v2 and v3 — the whole retained horizon — stay exactly readable,
+      pinned by the same per-version rollup as ``time_travel_orders``
+      (the oracle reconstructs both relationally).
+
+    Store builds in a fresh per-call scratch dir."""
+    from near_event_streams_spark.streaming import upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "seq", F.lit(1).cast("long")
+    )
+    upd = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    ins = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "seq", F.lit(3).cast("long")
+    )
+    path = _scratch_dir("timetravel_retire", sf_dir)
+    upsert.merge_upsert(base, path, key_cols=["o_orderkey"], seq_col="seq")
+    upsert.merge_upsert(upd, path, key_cols=["o_orderkey"], seq_col="seq")
+    upsert.merge_upsert(ins, path, key_cols=["o_orderkey"], seq_col="seq")
+    reclaimed = upsert.vacuum(path, retain_versions=2)
+
+    retired_raises = False
+    try:
+        upsert.read_state_at(spark, path, 1)
+    except upsert.VersionRetiredError:
+        retired_raises = True
+    never_committed_none = upsert.read_state_at(spark, path, 99) is None
+
+    v2 = upsert.read_state_at(spark, path, 2)
+    v3 = upsert.read_state_at(spark, path, 3)
+    both = v2.withColumn("version", F.lit(2).cast("int")).unionByName(
+        v3.withColumn("version", F.lit(3).cast("int"))
+    )
+    return (
+        both.groupBy("version", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.sum("seq").alias("sum_seq"),
+        )
+        .withColumn(
+            "retired_raises", F.lit(bool(retired_raises and reclaimed > 0))
+        )
+        .withColumn("never_committed_none", F.lit(bool(never_committed_none)))
+        .orderBy("version", "o_orderstatus")
+    )
+
+
+TIME_TRAVEL_RETIRE_SQL = """
+WITH v2 AS (
+  SELECT o_orderstatus, o_totalprice, 1 AS seq
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 4 != 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice + 100.0, 2 AS seq
+  FROM orders WHERE o_orderkey % 4 = 0
+), v3 AS (
+  SELECT * FROM v2
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice, 3 AS seq
+  FROM orders WHERE o_orderkey % 2 = 1
+), both_v AS (
+  SELECT 2 AS version, * FROM v2
+  UNION ALL
+  SELECT 3 AS version, * FROM v3
+)
+SELECT CAST(version AS INT) AS version, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(SUM(seq) AS BIGINT) AS sum_seq,
+       TRUE AS retired_raises,
+       TRUE AS never_committed_none
+FROM both_v GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def pruned_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BUCKET-PRUNED point-lookup probe through the versioned store
     (``streaming/upsert.read_state_pruned``), driver-gated: the same
@@ -5467,6 +5560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert_orders": merge_upsert_orders,
     "pruned_probe_orders": pruned_probe_orders,
     "time_travel_orders": time_travel_orders,
+    "time_travel_retirement": time_travel_retirement,
     "unpivot_stack_metrics": unpivot_stack_metrics,
     "trend_per_event_type": trend_per_event_type,
     "hierarchy_subtree_rollup": hierarchy_subtree_rollup,
@@ -5565,6 +5659,7 @@ ORACLE_SQL: dict[str, str] = {
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "pruned_probe_orders": PRUNED_PROBE_SQL,
     "time_travel_orders": TIME_TRAVEL_SQL,
+    "time_travel_retirement": TIME_TRAVEL_RETIRE_SQL,
     "unpivot_stack_metrics": UNPIVOT_SQL,
     "trend_per_event_type": TREND_SQL,
     "hierarchy_subtree_rollup": HIERARCHY_SQL,

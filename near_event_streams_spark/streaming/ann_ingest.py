@@ -165,6 +165,13 @@ def ann_index_ingest_sink(
             "(0 would divide-by-zero inside the sink and kill the "
             "stream; use min_appended_frac=None to disable compaction)"
         )
+    if retain_versions < 1:
+        # fail at sink CONSTRUCTION, not at batch 0's recover call —
+        # a bad horizon must not start a stream it will immediately
+        # kill (same early-validation contract as compact_check_every)
+        raise ValueError(
+            f"retain_versions must be >= 1, got {retain_versions}"
+        )
     if (
         min_appended_frac is None
         and drift_psi_threshold is None

@@ -180,7 +180,18 @@ def read_state_at(
         with open(_manifest_path(path, version)) as f:
             manifest = json.load(f)
     except OSError:
-        return None
+        # the version is IN the committed range (the _LATEST counter
+        # proves a commit published it), so a missing manifest means
+        # vacuum reclaimed the whole version dir — manifest.json lives
+        # inside it (r15 review: the first cut of this contract only
+        # caught the partial case below, and a fully-reclaimed version
+        # still read as the never-committed None)
+        raise VersionRetiredError(
+            f"version {version} of {path} was committed but its "
+            "version directory (including the manifest) has been "
+            "reclaimed by vacuum — the store's retain_versions "
+            "horizon no longer covers it"
+        )
     # Past the vacuum horizon a manifest can survive while some of its
     # referenced bucket dirs are already reclaimed — surface that as
     # an explicit retirement instead of a partial (silently wrong)

@@ -381,3 +381,26 @@ def test_read_state_at_refuses_uncommitted_orphan_version(spark, tmp_path):
     }
     assert v2 == {("a", 2, "a2")}
     shutil.rmtree(path)
+
+
+def test_fully_reclaimed_version_also_raises_retired(spark, tmp_path):
+    """r15 review: vacuum deletes a version dir WHOLE when no retained
+    manifest references any of its buckets — taking manifest.json with
+    it — and read_state_at then hit OSError and returned the
+    never-committed None. Any version <= current_version was provably
+    committed (the _LATEST counter is the proof), so a missing
+    manifest in range is retirement, not an invalid request."""
+    import pytest
+
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    # ONE key -> v2 rewrites v1's only bucket; nothing in v1 stays live
+    upsert.merge_upsert(_batch(spark, [("a", 1, "a1")]), path, ["k"], "seq")
+    upsert.merge_upsert(_batch(spark, [("a", 2, "a2")]), path, ["k"], "seq")
+    assert upsert.vacuum(path, retain_versions=1) >= 1
+    assert not os.path.isdir(os.path.join(path, "v1"))  # dir fully gone
+    with pytest.raises(upsert.VersionRetiredError, match="retain_versions"):
+        upsert.read_state_at(spark, path, 1)
+    assert upsert.read_state_at(spark, path, 99) is None
+    got = {(r["k"], r["val"]) for r in upsert.read_state_at(spark, path, 2).collect()}
+    assert got == {("a", "a2")}
