@@ -357,6 +357,12 @@ def test_sink_rejects_inert_compaction_knobs(tmp_path):
             str(tmp_path / "l"),
             compact_check_every=4,
         )
+    # a bad retention horizon fails at CONSTRUCTION, not at batch 0's
+    # recover call mid-stream (r15)
+    with pytest.raises(ValueError, match="retain_versions"):
+        ann_ingest.ann_index_ingest_sink(
+            str(tmp_path / "i"), str(tmp_path / "l"), retain_versions=0
+        )
 
 
 def test_compact_does_not_resurrect_cross_batch_duplicates(
