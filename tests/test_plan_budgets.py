@@ -206,6 +206,9 @@ ROUND7_BUDGETS = {
     # two pruned store scans + status agg + presentation sort; bucket
     # store reads are unioned file scans, not shuffles
     "time_travel_orders": 2,
+    # same shape, retained-horizon versions: two pruned store scans
+    # (v2, v3) + status agg + presentation sort (r15)
+    "time_travel_retirement": 2,
     # degree-oriented wedge join: e/deg/oriented persisted (diamond
     # reuse), 7 executing exchanges outside the caches + 3 cache-fill
     # bodies. The r7 counter fix (dedent + id-strip cache keys) makes
