@@ -179,13 +179,18 @@ def read_state_at(
     try:
         with open(_manifest_path(path, version)) as f:
             manifest = json.load(f)
-    except OSError:
+    except FileNotFoundError:
         # the version is IN the committed range (the _LATEST counter
-        # proves a commit published it), so a missing manifest means
+        # proves a commit published it), so a MISSING manifest means
         # vacuum reclaimed the whole version dir — manifest.json lives
         # inside it (r15 review: the first cut of this contract only
         # caught the partial case below, and a fully-reclaimed version
-        # still read as the never-committed None)
+        # still read as the never-committed None). Only absence means
+        # retired: EACCES or a transient I/O error propagates as the
+        # OSError it is, same refuse-to-masquerade contract as
+        # current_version — telling an audit job "retention horizon
+        # passed" when the store is merely unreadable would send it
+        # chasing the wrong remediation (r15 review).
         raise VersionRetiredError(
             f"version {version} of {path} was committed but its "
             "version directory (including the manifest) has been "
@@ -197,9 +202,13 @@ def read_state_at(
     # an explicit retirement instead of a partial (silently wrong)
     # scan, a deep Spark path error, or the never-committed None.
     for bucket, v in manifest.items():
-        if not os.path.isdir(
-            os.path.join(path, f"v{int(v)}", f"{_BUCKET}={bucket}")
-        ):
+        # stat + FileNotFoundError, not os.path.isdir: isdir() swallows
+        # EACCES/transient I/O as False, which would read as "retired"
+        # — only genuine absence means vacuum reclaimed it.
+        bucket_dir = os.path.join(path, f"v{int(v)}", f"{_BUCKET}={bucket}")
+        try:
+            os.stat(bucket_dir)
+        except FileNotFoundError:
             raise VersionRetiredError(
                 f"version {version} of {path} was committed but bucket "
                 f"{bucket} (owned by v{int(v)}) has been reclaimed by "

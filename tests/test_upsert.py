@@ -404,3 +404,30 @@ def test_fully_reclaimed_version_also_raises_retired(spark, tmp_path):
     assert upsert.read_state_at(spark, path, 99) is None
     got = {(r["k"], r["val"]) for r in upsert.read_state_at(spark, path, 2).collect()}
     assert got == {("a", "a2")}
+
+
+def test_unreadable_manifest_is_not_retirement(spark, tmp_path):
+    """r15 advice: read_state_at mapped ANY OSError on the manifest
+    read (EACCES, transient I/O) to VersionRetiredError, telling audit
+    jobs a committed version was vacuumed when the store may simply be
+    unreadable — contradicting current_version's refuse-to-masquerade
+    contract. Only FileNotFoundError means retired; any other OSError
+    propagates as itself. (Pinned with IsADirectoryError since the
+    suite runs as root, where chmod-based EACCES doesn't bite.)"""
+    import pytest
+    import shutil
+
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    upsert.merge_upsert(_batch(spark, [("a", 1, "a1")]), path, ["k"], "seq")
+    # Replace v1's manifest FILE with a DIRECTORY: open() raises
+    # IsADirectoryError — an OSError that is not FileNotFoundError,
+    # standing in for "store unreadable, not reclaimed".
+    manifest = os.path.join(path, "v1", "manifest.json")
+    os.remove(manifest)
+    os.makedirs(manifest)
+    with pytest.raises(IsADirectoryError):
+        upsert.read_state_at(spark, path, 1)
+    # restore and prove the version was never retired
+    os.rmdir(manifest)
+    shutil.rmtree(path)
