@@ -744,6 +744,63 @@ def _list_versions(spark, path: str) -> list[int]:
     return sorted(out)
 
 
+def _meta_horizon(meta) -> int | None:
+    """Persisted ``retain_versions`` horizon from a collected sidecar
+    row — None on legacy (pre-r16) sidecars that never recorded one.
+    Written by :func:`ivfpq_write` / every compact since r16 so that
+    :func:`ivfpq_recover` and :func:`ivfpq_vacuum` can default to the
+    horizon the maintenance jobs actually compact with, instead of a
+    per-call knob every caller must repeat (r15 verdict #2 / advice:
+    a recovery path that silently narrows a durability guarantee when
+    an operator forgets a flag is the knob-drift class r13/r14 kept
+    killing)."""
+    if (
+        "retain_versions" in meta.__fields__
+        and meta["retain_versions"] is not None
+    ):
+        return int(meta["retain_versions"])
+    return None
+
+
+def _sidecar_horizon(spark, base: str) -> int | None:
+    """Persisted horizon read straight from one layout directory's
+    sidecar; None when the sidecar is unreadable (crash debris — the
+    caller decides whether that falls back or refuses) or legacy."""
+    try:
+        return _meta_horizon(
+            spark.read.parquet(base + "/meta").collect()[0]
+        )
+    except Exception:
+        return None
+
+
+def _resolve_horizon(
+    arg: int | None, persisted: int | None, op: str, path: str
+) -> int:
+    """Effective retention horizon for one maintenance call: an
+    explicit ``arg`` wins — WARNING when it is narrower than the
+    persisted horizon, because it is about to reclaim history the
+    scheduled compacts deliberately kept — else the persisted value,
+    else 1 (the pre-r16 default, so legacy layouts keep their old
+    behavior until a write/compact stamps a horizon)."""
+    if arg is None:
+        return persisted if persisted is not None else 1
+    if persisted is not None and arg < persisted:
+        log.warning(
+            "%s(%s): explicit retain_versions=%d is NARROWER than the "
+            "persisted horizon %d this index's maintenance jobs "
+            "compact with — reclaiming retained history the compacts "
+            "deliberately kept (stale readers inside the persisted "
+            "grace window may lose files). Omit the argument to honor "
+            "the persisted horizon.",
+            op,
+            path,
+            arg,
+            persisted,
+        )
+    return arg
+
+
 def ivfpq_append(
     spark,
     path: str,
@@ -789,7 +846,7 @@ def ivfpq_compact(
     rescale_cells: bool = False,
     opq: bool = False,
     drift_psi_threshold: float | None = None,
-    retain_versions: int = 1,
+    retain_versions: int | None = None,
     _crash_before_swap: bool = False,
     _crash_between_renames: bool = False,
 ) -> dict:
@@ -832,7 +889,9 @@ def ivfpq_compact(
     appended rows' coarse-cell occupancy PSI vs the at-write occupancy
     reaches the threshold, even below ``min_appended_frac``. Returns
     ``{"compacted": bool, "appended_frac": float|None, "n_rows": int,
-    "n_clusters": int, "drift_psi": float|None}``.
+    "n_clusters": int, "drift_psi": float|None,
+    "retain_versions": int}`` (the EFFECTIVE horizon this call ran
+    with, after persisted-value resolution).
 
     Swap protocol is AUTO-DETECTED from the layout: a rename-mode
     index (the :func:`ivfpq_write` default) rebuilds into a side dir
@@ -846,12 +905,20 @@ def ivfpq_compact(
 
     ``retain_versions`` is the STALE-READER grace window (r14 verdict
     #1): how many versions, counting the one this compact just made
-    live, survive the post-flip cleanup. The default ``1`` deletes the
-    superseded layout immediately — correct for a single-driver
-    lifecycle, but a CONCURRENT long-running probe job that resolved
-    the pointer before the flip then loses its files mid-scan, and
-    object stores (where pointer mode is mandatory) are exactly where
-    probe jobs run for hours. ``retain_versions=2`` keeps the
+    live, survive the post-flip cleanup. Since r16 the horizon is
+    PERSISTED in the sidecar: the default ``None`` resolves to the
+    value recorded at seed time / by the previous compact (legacy
+    pre-r16 sidecars resolve to 1), the effective horizon is stamped
+    into the retrained layout's sidecar, and an explicit argument
+    narrower than the persisted one WARNS before it takes effect —
+    one maintenance job with a forgotten flag can no longer silently
+    reclaim grace history the others kept (r15 verdict #2).
+    ``retain_versions=1`` deletes the superseded layout immediately —
+    correct for a single-driver lifecycle, but a CONCURRENT
+    long-running probe job that resolved the pointer before the flip
+    then loses its files mid-scan, and object stores (where pointer
+    mode is mandatory) are exactly where probe jobs run for hours.
+    ``retain_versions=2`` keeps the
     just-superseded version for one compact cycle; the NEXT compact
     (or :func:`ivfpq_vacuum`, or :func:`ivfpq_recover` with the same
     horizon) reclaims it — the same retained-versions + vacuum shape
@@ -868,13 +935,17 @@ def ivfpq_compact(
     compact's pre-clean); deeper horizons need the versioned pointer
     layout and raise here.
     """
-    if retain_versions < 1:
+    if retain_versions is not None and retain_versions < 1:
         raise ValueError(
             f"retain_versions must be >= 1, got {retain_versions}"
         )
     base = resolve_index_base(spark, path)
     pointer_mode = base != path.rstrip("/")
-    if not pointer_mode and retain_versions > 2:
+    if (
+        retain_versions is not None
+        and not pointer_mode
+        and retain_versions > 2
+    ):
         raise ValueError(
             f"retain_versions={retain_versions}: a rename-mode layout "
             "has exactly one previous-version slot "
@@ -885,6 +956,12 @@ def ivfpq_compact(
         spark, base, min_appended_frac, drift_psi_threshold
     )
     meta = gate["meta"]
+    # the sidecar is already collected — resolving the persisted
+    # horizon costs nothing here; a persisted rename-mode horizon can
+    # never exceed 2 (ivfpq_write validates at stamp time)
+    retain_versions = _resolve_horizon(
+        retain_versions, _meta_horizon(meta), "ivfpq_compact", path
+    )
     has_rot = "rot" in meta.__fields__ and meta["rot"] is not None
     if has_rot and not opq:
         raise ValueError(
@@ -919,6 +996,7 @@ def ivfpq_compact(
             "n_rows": gate["n_cur"],
             "n_clusters": len(meta["centroids"]),
             "drift_psi": gate["drift_psi"],
+            "retain_versions": retain_versions,
         }
     if n_clusters is None:
         if rescale_cells:
@@ -939,6 +1017,7 @@ def ivfpq_compact(
                     "n_rows": gate["n_cur"],
                     "n_clusters": len(meta["centroids"]),
                     "drift_psi": gate["drift_psi"],
+                    "retain_versions": retain_versions,
                 }
             # √n, floored at MLlib's minimum of 2, capped by (a) the
             # corpus row count (KMeans must not want more centers than
@@ -996,7 +1075,12 @@ def ivfpq_compact(
         new_n = int(ptr[1:]) + 1
         new_name = f"v{new_n}"
         new_base = path.rstrip("/") + "/" + new_name
-        ivfpq_write(enc, cents, books, new_base, rot=rot)
+        # _write_layout, not ivfpq_write: this is the INNER layout of a
+        # pointer index (a version dir carries no _CURRENT of its own),
+        # and the effective horizon — possibly > 2 — must be stamped
+        # into its sidecar, which ivfpq_write's rename-mode seed
+        # validation would refuse
+        _write_layout(enc, cents, books, new_base, rot, retain_versions)
         if _crash_before_swap:
             # test seam: finished retrain, pointer NOT yet flipped —
             # the pointer twin of rename-mode's before-first-rename
@@ -1040,7 +1124,7 @@ def ivfpq_compact(
         # mode, r11 advisory).
         tmp = path.rstrip("/") + ".compact-tmp"
         old = path.rstrip("/") + ".compact-old"
-        ivfpq_write(enc, cents, books, tmp, rot=rot)
+        _write_layout(enc, cents, books, tmp, rot, retain_versions)
         if _crash_before_swap:
             # test seam: finished retrain at tmp, live untouched —
             # replayed schedulers re-fire the compact; the work is
@@ -1069,8 +1153,9 @@ def ivfpq_compact(
         # mode's one-cycle stale-reader grace window (an EXPLICIT
         # contract since r15 — it used to exist only accidentally in
         # the crash path) and is reclaimed by the next compact's
-        # pre-clean above, by ivfpq_vacuum, or by a default-horizon
-        # ivfpq_recover
+        # pre-clean above, by an explicitly-narrower ivfpq_vacuum, or
+        # by an explicitly-narrower ivfpq_recover (default-horizon
+        # calls honor the persisted horizon since r16)
         live_base = path.rstrip("/")
     return {
         "compacted": True,
@@ -1078,6 +1163,7 @@ def ivfpq_compact(
         "n_rows": spark.read.parquet(live_base + "/codes").count(),
         "n_clusters": n_clusters,
         "drift_psi": gate["drift_psi"],
+        "retain_versions": retain_versions,
     }
 
 
@@ -1234,18 +1320,27 @@ def compact_due(
 
 
 def ivfpq_recover(
-    spark, path: str, retain_versions: int = 1
+    spark, path: str, retain_versions: int | None = None
 ) -> str:
     """Crash recovery for :func:`ivfpq_compact`'s swap window, for BOTH
     swap protocols (auto-detected from the layout).
 
     ``retain_versions`` mirrors :func:`ivfpq_compact`'s stale-reader
-    grace window: pass the SAME horizon the maintenance jobs compact
-    with, or recovery reclaims retained history those jobs
-    deliberately kept (the default ``1`` keeps only the live version —
-    the pre-r15 behavior). The horizon never protects versions NEWER
-    than the live pointer: those are unflipped retrains, not history,
-    and are always discarded (``ok_discarded_retrain``).
+    grace window. The default ``None`` reads the horizon PERSISTED in
+    the sidecar (r16 — stamped by :func:`ivfpq_write` and every
+    compact), so a no-argument recovery can never reclaim retained
+    history the maintenance jobs deliberately kept; the r15 docstring
+    had to WARN about exactly that footgun, which is the
+    silently-inert-knob class this repo keeps killing. Legacy
+    (pre-r16) sidecars without a stamp resolve to 1 — the old
+    behavior — until a write/compact records one. An explicit argument
+    overrides the persisted horizon, with a WARNING when it is
+    narrower (it is about to reclaim protected history). The horizon
+    never protects versions NEWER than the live pointer: those are
+    unflipped retrains, not history, and are always discarded
+    (``ok_discarded_retrain``). On a healthy layout with no history
+    and no strays the horizon is never needed, so the fast path stays
+    a handful of existence RPCs — no sidecar read.
 
     **Rename protocol.** The compact sequence is: build
     ``<path>.compact-tmp`` fully (codes, then sidecar) → rename live
@@ -1293,7 +1388,7 @@ def ivfpq_recover(
     before :func:`ivfpq_read` in any scheduler that may have died
     mid-compact; it is idempotent, and away from crash debris it costs
     a handful of existence RPCs and nothing else."""
-    if retain_versions < 1:
+    if retain_versions is not None and retain_versions < 1:
         raise ValueError(
             f"retain_versions must be >= 1, got {retain_versions}"
         )
@@ -1327,12 +1422,27 @@ def ivfpq_recover(
         return layout_readable(tmp)
 
     if fs.exists(hpath(root + "/meta")):
-        # within the horizon `.compact-old` is retained history
-        # (rename mode's one grace slot), not a stray to reclaim
-        reclaim_old = retain_versions < 2 and fs.exists(hpath(old))
-        if not fs.exists(hpath(tmp)) and not reclaim_old:
-            return "ok"  # no strays: nothing destructive to validate for
+        old_exists = fs.exists(hpath(old))
+        if not fs.exists(hpath(tmp)) and not old_exists:
+            # healthy fast path: no strays and no grace slot — nothing
+            # to decide, no sidecar read
+            return "ok"
         if layout_readable(root):
+            # `.compact-old` within the horizon is retained history
+            # (rename mode's one grace slot), not a stray: the default
+            # None resolves the PERSISTED horizon from the live
+            # sidecar (one KB read, taken only when old exists — the
+            # no-slot loop above never pays it); an explicit narrower
+            # horizon reclaims, loudly
+            reclaim_old = old_exists and (
+                _resolve_horizon(
+                    retain_versions,
+                    _sidecar_horizon(spark, root),
+                    "ivfpq_recover",
+                    path,
+                )
+                < 2
+            )
             discarded = fs.exists(hpath(tmp)) and tmp_complete()
             fs.delete(hpath(tmp), True)
             if reclaim_old:
@@ -1354,8 +1464,19 @@ def ivfpq_recover(
             raise IOError(f"recover failed: {tmp} -> {root}")
         # the crash happened mid-swap, so `.compact-old` holds the
         # superseded version — within the horizon it stays as the
-        # grace copy, exactly as if the compact had finished
-        if retain_versions < 2:
+        # grace copy, exactly as if the compact had finished. The
+        # promoted layout's sidecar carries the crashed compact's OWN
+        # effective horizon, so the default-None recover finishes the
+        # swap with exactly the cleanup that compact would have done.
+        if (
+            _resolve_horizon(
+                retain_versions,
+                _sidecar_horizon(spark, root),
+                "ivfpq_recover",
+                path,
+            )
+            < 2
+        ):
             fs.delete(hpath(old), True)
         return "promoted_tmp"
     if fs.exists(hpath(old + "/meta")):
@@ -1378,18 +1499,35 @@ def _recover_pointer_layout(
     docstring for the state walk). ``retain_versions`` spares
     superseded versions INSIDE the grace horizon from stray cleanup;
     versions newer than the live pointer are unflipped retrains and
-    are never history, so the horizon does not apply to them."""
+    are never history, so the horizon does not apply to them. With the
+    default ``None`` the horizon is resolved from the live version's
+    PERSISTED stamp — read only when older versions actually exist, so
+    the healthy no-history recover call stays at existence-RPC cost
+    (the per-batch sink path; under a grace window one retained
+    version is always present and the resolution costs one KB sidecar
+    read per batch, the same read the sink's append already pays)."""
     live_n = (
         int(ptr[1:]) if ptr is not None and _VERSION_RE.match(ptr) else None
     )
     if live_n is not None and live_n in versions:
         live_base = f"{root}/v{live_n}"
         newer = [n for n in versions if n > live_n]
-        reclaimable = [
-            n for n in versions if n <= live_n - retain_versions
-        ]
-        if not newer and not reclaimable:
+        older = [n for n in versions if n < live_n]
+        if not newer and not older:
             return "ok"  # nothing destructive to validate for
+        horizon = (
+            _resolve_horizon(
+                retain_versions,
+                _sidecar_horizon(spark, live_base),
+                "ivfpq_recover",
+                root,
+            )
+            if older
+            else (retain_versions or 1)
+        )
+        reclaimable = [n for n in older if n <= live_n - horizon]
+        if not newer and not reclaimable:
+            return "ok"
         if layout_readable(live_base):
             discarded = False
             for n in newer:
@@ -1417,6 +1555,15 @@ def _recover_pointer_layout(
             "(pointer missing/garbled and no complete version dir)"
         )
     keep = complete[0]
+    # the repoint path is already reading sidecars (layout validation),
+    # so the default-None horizon resolves from the repointed live's
+    # OWN stamp — the horizon its maintenance jobs ran with
+    horizon = _resolve_horizon(
+        retain_versions,
+        _sidecar_horizon(spark, f"{root}/v{keep}"),
+        "ivfpq_recover",
+        root,
+    )
     _write_pointer(spark, root, f"v{keep}")
     for n in versions:
         if n == keep:
@@ -1424,54 +1571,96 @@ def _recover_pointer_layout(
         # retained history: COMPLETE versions inside the horizon below
         # the repointed live survive; incomplete dirs are crash debris
         # at any age (nothing can ever read them)
-        if n < keep and n > keep - retain_versions and n in complete:
+        if n < keep and n > keep - horizon and n in complete:
             continue
         fs.delete(hpath(f"{root}/v{n}"), True)
     return "repointed"
 
 
-def ivfpq_vacuum(spark, path: str, retain_versions: int = 1) -> int:
+def ivfpq_vacuum(
+    spark, path: str, retain_versions: int | None = None
+) -> int:
     """Reclaim superseded index versions OUTSIDE the grace horizon —
     the explicit storage-cost lever for :func:`ivfpq_compact`'s
     ``retain_versions`` window (the ANN twin of the upsert store's
     ``streaming/upsert.vacuum``). Returns the number of version
     layouts deleted.
 
+    The default ``None`` vacuums to the horizon PERSISTED in the live
+    sidecar (r16 — stamped at seed/compact; legacy pre-r16 sidecars
+    resolve to 1), so an out-of-band vacuum run with defaults can no
+    longer silently reclaim grace history the scheduled compacts
+    deliberately kept (the r15-advice footgun). An explicit argument
+    overrides, WARNING when narrower than the persisted horizon; with
+    the default, an UNREADABLE live sidecar raises ``IOError`` (run
+    :func:`ivfpq_recover` first) instead of guessing a horizon and
+    deleting history under crash debris.
+
     * Pointer layout: deletes every ``v<N>`` with
-      ``N <= live - retain_versions`` (``retain_versions=1`` keeps
-      only the live version). Versions NEWER than the live pointer are
-      never touched — one may be a concurrent compact's in-flight
-      build; unflipped-retrain debris is :func:`ivfpq_recover`'s job,
-      which validates completeness before acting.
-    * Rename layout: ``retain_versions=1`` deletes the one grace slot
+      ``N <= live - horizon`` (horizon 1 keeps only the live
+      version). Versions NEWER than the live pointer are never
+      touched — one may be a concurrent compact's in-flight build;
+      unflipped-retrain debris is :func:`ivfpq_recover`'s job, which
+      validates completeness before acting.
+    * Rename layout: horizon 1 deletes the one grace slot
       ``<path>.compact-old``; deeper horizons have nothing to reclaim.
       ``<path>.compact-tmp`` is never touched for the same in-flight
       reason.
 
     Raises ``IOError`` on a garbled pointer (run :func:`ivfpq_recover`
     first) rather than guessing which versions are live."""
-    if retain_versions < 1:
+    if retain_versions is not None and retain_versions < 1:
         raise ValueError(
             f"retain_versions must be >= 1, got {retain_versions}"
         )
     fs, hpath = _hadoop_fs(spark, path)
     root = path.rstrip("/")
     ptr = _read_pointer(spark, root)
+    live_base = root
+    if ptr is not None and not _VERSION_RE.match(ptr):
+        raise IOError(
+            f"garbled index pointer at {root}/{_POINTER_FILE}: "
+            f"{ptr[:64]!r} — run ivfpq_recover before vacuuming"
+        )
     if ptr is not None:
-        if not _VERSION_RE.match(ptr):
-            raise IOError(
-                f"garbled index pointer at {root}/{_POINTER_FILE}: "
-                f"{ptr[:64]!r} — run ivfpq_recover before vacuuming"
-            )
+        live_base = f"{root}/{ptr}"
+    # one KB sidecar read per vacuum: resolves the persisted horizon
+    # for the default AND powers the narrower-than-persisted warning
+    # for explicit calls. Vacuum is a scheduled maintenance op, not a
+    # per-batch hot path, so the read is cheap relative to its job.
+    # It also distinguishes "legacy sidecar" (readable, no stamp ->
+    # pre-r16 default 1) from "unreadable live layout" (default-run
+    # refuses: vacuuming under crash debris with a guessed horizon
+    # could delete the only complete copies' history).
+    persisted = None
+    meta_readable = False
+    try:
+        rows = spark.read.parquet(live_base + "/meta").collect()
+        if rows:
+            meta_readable = True
+            persisted = _meta_horizon(rows[0])
+    except Exception:
+        pass
+    if retain_versions is None and not meta_readable:
+        raise IOError(
+            f"cannot resolve the persisted retain_versions horizon "
+            f"at {live_base} (live sidecar missing or unreadable) — "
+            "run ivfpq_recover first, or pass an explicit "
+            "retain_versions"
+        )
+    horizon = _resolve_horizon(
+        retain_versions, persisted, "ivfpq_vacuum", path
+    )
+    if ptr is not None:
         live_n = int(ptr[1:])
         removed = 0
         for n in _list_versions(spark, root):
-            if n <= live_n - retain_versions:
+            if n <= live_n - horizon:
                 fs.delete(hpath(f"{root}/v{n}"), True)
                 removed += 1
         return removed
     old = root + ".compact-old"
-    if retain_versions < 2 and fs.exists(hpath(old)):
+    if horizon < 2 and fs.exists(hpath(old)):
         fs.delete(hpath(old), True)
         return 1
     return 0
@@ -1484,6 +1673,7 @@ def ivfpq_write(
     path: str,
     rot: np.ndarray | None = None,
     swap_mode: str = "rename",
+    retain_versions: int | None = None,
 ) -> None:
     """Persist an IVF-PQ index built by :func:`ivfpq_index` — at
     production scale the index is built ONCE and probed for months, so
@@ -1505,7 +1695,9 @@ def ivfpq_write(
       uses to measure the appended fraction), and the per-cell
       occupancy at write time (``cell_counts`` — the baseline the r14
       drift trigger compares appended-row routing against; same
-      footer scan that produces ``n_rows``). When ``rot`` is given
+      footer scan that produces ``n_rows``), and the persisted
+      retention horizon (``retain_versions``, r16 — see below). When
+      ``rot`` is given
       (the OPQ path, :func:`opq_write`), the dim×dim rotation rides
       along as one extra sidecar column.
 
@@ -1522,11 +1714,37 @@ def ivfpq_write(
       directory "rename" is a non-atomic client-side copy+delete, so
       the rename protocol's crash guarantee does not hold there
       (SCALE.md r13; built r14 per the verdict).
+
+    ``retain_versions`` seeds the PERSISTED retention horizon (r16):
+    the sidecar records it, and every downstream maintenance call —
+    :func:`ivfpq_compact`, :func:`ivfpq_recover`, :func:`ivfpq_vacuum`
+    and the streaming ingest sink — defaults to the persisted value,
+    so one job passing a different flag can no longer silently reclaim
+    history another kept. Default ``None`` resolves to **2 in pointer
+    mode** (one compact cycle of stale-reader grace — pointer mode
+    exists for shared object stores, exactly where long probe jobs
+    hold pre-flip paths; storage cost is one codes copy, ~0.02% of the
+    indexed lake per SCALE.md r15) and **1 in rename mode** (the
+    retained ``.compact-old`` is a rollback copy, not reader
+    isolation, so delete-immediately stays the single-driver default).
     """
     if swap_mode not in ("rename", "pointer"):
         raise ValueError(
             f"ivfpq_write: swap_mode={swap_mode!r} (want 'rename' or "
             "'pointer')"
+        )
+    if retain_versions is None:
+        retain_versions = 2 if swap_mode == "pointer" else 1
+    if retain_versions < 1:
+        raise ValueError(
+            f"retain_versions must be >= 1, got {retain_versions}"
+        )
+    if swap_mode == "rename" and retain_versions > 2:
+        raise ValueError(
+            f"retain_versions={retain_versions}: a rename-mode layout "
+            "has exactly one previous-version slot "
+            "(<path>.compact-old) — horizons deeper than 2 need the "
+            "versioned swap_mode='pointer' layout"
         )
     spark = enc.sparkSession
     # Refuse PROTOCOL MIXING at one path: a rename write under a live
@@ -1568,7 +1786,8 @@ def ivfpq_write(
         )
         new_name = f"v{cur + 1}" if cur is not None else "v0"
         _write_layout(
-            enc, centroids, books, path.rstrip("/") + "/" + new_name, rot
+            enc, centroids, books, path.rstrip("/") + "/" + new_name,
+            rot, retain_versions,
         )
         _write_pointer(spark, path, new_name)
         fs, hp = _hadoop_fs(spark, path)
@@ -1576,7 +1795,7 @@ def ivfpq_write(
             if f"v{n}" != new_name:
                 fs.delete(hp(path.rstrip("/") + f"/v{n}"), True)
         return
-    _write_layout(enc, centroids, books, path, rot)
+    _write_layout(enc, centroids, books, path, rot, retain_versions)
 
 
 def _write_layout(
@@ -1585,6 +1804,7 @@ def _write_layout(
     books: np.ndarray,
     path: str,
     rot: np.ndarray | None,
+    retain_versions: int,
 ) -> None:
     """Write one codes+meta layout directly at ``path`` (the shared
     body of both swap modes — pointer mode points ``path`` inside a
@@ -1625,11 +1845,12 @@ def _write_layout(
         ],
         n_rows,
         cell_counts,
+        int(retain_versions),
     )
     schema = (
         "m int, ks int, centroids array<array<double>>, "
         "books array<array<array<double>>>, n_rows bigint, "
-        "cell_counts array<bigint>"
+        "cell_counts array<bigint>, retain_versions int"
     )
     if rot is not None:
         row = row + ([[float(x) for x in r] for r in np.asarray(rot)],)
@@ -1951,14 +2172,18 @@ def opq_write(
     books: np.ndarray,
     path: str,
     swap_mode: str = "rename",
+    retain_versions: int | None = None,
 ) -> None:
     """Persist an OPQ index built by :func:`opq_index` — the same
     cluster-partitioned codes layout and KB-sized sidecar as
-    :func:`ivfpq_write` (including ``swap_mode``), with the dim×dim
-    rotation carried as one extra sidecar column (``rot``); probes
-    read back through :func:`opq_read` and hand the 4-tuple to
-    ``opq_topk(index=...)``."""
-    ivfpq_write(enc, centroids, books, path, rot=rot, swap_mode=swap_mode)
+    :func:`ivfpq_write` (including ``swap_mode`` and the persisted
+    ``retain_versions`` horizon), with the dim×dim rotation carried as
+    one extra sidecar column (``rot``); probes read back through
+    :func:`opq_read` and hand the 4-tuple to ``opq_topk(index=...)``."""
+    ivfpq_write(
+        enc, centroids, books, path, rot=rot, swap_mode=swap_mode,
+        retain_versions=retain_versions,
+    )
 
 
 def opq_read(
@@ -2020,7 +2245,7 @@ def opq_compact(
     vec_col: str = "embedding",
     rescale_cells: bool = False,
     drift_psi_threshold: float | None = None,
-    retain_versions: int = 1,
+    retain_versions: int | None = None,
     _crash_before_swap: bool = False,
     _crash_between_renames: bool = False,
 ) -> dict:

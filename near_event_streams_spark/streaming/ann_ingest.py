@@ -66,6 +66,7 @@ def seed_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     swap_mode: str = "rename",
+    retain_versions: int | None = None,
 ) -> None:
     """Bootstrap the ingest loop: land the initial corpus in the lake
     (partition ``batch_id=-1`` — before every stream batch) and build +
@@ -75,7 +76,12 @@ def seed_ann_index(
     :func:`similarity.ivfpq_write`): ``"rename"`` on atomic-rename
     filesystems (local/HDFS), ``"pointer"`` on object stores — the
     sink body is protocol-agnostic (append/compact/recover
-    auto-detect the layout)."""
+    auto-detect the layout). ``retain_versions`` stamps the PERSISTED
+    retention horizon every downstream maintenance call defaults to
+    (r16); ``None`` resolves to 2 in pointer mode — one compact cycle
+    of stale-reader grace, because pointer mode exists for exactly the
+    shared object stores where long probe jobs hold pre-flip paths —
+    and 1 in rename mode (see :func:`similarity.ivfpq_write`)."""
     spark = corpus.sparkSession
     # pin STATIC overwrite: under a session-level 'dynamic' setting a
     # re-seed over an existing lake would replace only batch_id=-1 and
@@ -98,7 +104,8 @@ def seed_ann_index(
             id_col=id_col, vec_col=vec_col,
         )
         similarity.opq_write(
-            enc, cents, rot, books, index_path, swap_mode=swap_mode
+            enc, cents, rot, books, index_path, swap_mode=swap_mode,
+            retain_versions=retain_versions,
         )
     else:
         enc, cents, books = similarity.ivfpq_index(
@@ -106,7 +113,8 @@ def seed_ann_index(
             id_col=id_col, vec_col=vec_col,
         )
         similarity.ivfpq_write(
-            enc, cents, books, index_path, swap_mode=swap_mode
+            enc, cents, books, index_path, swap_mode=swap_mode,
+            retain_versions=retain_versions,
         )
 
 
@@ -122,7 +130,7 @@ def ann_index_ingest_sink(
     lake_compact_every: int | None = None,
     compact_check_every: int = 1,
     drift_psi_threshold: float | None = None,
-    retain_versions: int = 1,
+    retain_versions: int | None = None,
 ):
     """Return the ``foreachBatch`` sink body for streaming ANN-index
     ingest: recover → lake-land → idempotent append → scheduled
@@ -148,11 +156,16 @@ def ann_index_ingest_sink(
     many swap cycles so a CONCURRENT probe job that resolved the
     pointer pre-flip can finish its scan (pointer layouts get true
     snapshot isolation; see :func:`similarity.ivfpq_compact`). The
-    sink passes the same horizon to its top-of-batch
-    :func:`similarity.ivfpq_recover`, so recovery never reclaims
-    history the compacts deliberately kept; reclamation happens at
-    the next compact's horizon sweep (or an out-of-band
-    :func:`similarity.ivfpq_vacuum`).
+    default ``None`` (r16) honors the horizon PERSISTED in the index
+    sidecar — stamped at :func:`seed_ann_index` time, where pointer
+    mode defaults to 2 — so pointer-mode ingest is grace-windowed
+    by default on exactly the shared-store deployments pointer mode
+    exists for (the r15 default of 1 kept delete-immediately
+    semantics there; r15 verdict #4). The sink passes the same
+    horizon to its top-of-batch :func:`similarity.ivfpq_recover`, so
+    recovery never reclaims history the compacts deliberately kept;
+    reclamation happens at the next compact's horizon sweep (or an
+    out-of-band :func:`similarity.ivfpq_vacuum`).
     ``lake_compact_every`` folds the lake's closed ``batch_id=N`` dirs
     into size-targeted files every that-many batches (the 24/7
     small-files countermeasure, same transactional
@@ -165,7 +178,7 @@ def ann_index_ingest_sink(
             "(0 would divide-by-zero inside the sink and kill the "
             "stream; use min_appended_frac=None to disable compaction)"
         )
-    if retain_versions < 1:
+    if retain_versions is not None and retain_versions < 1:
         # fail at sink CONSTRUCTION, not at batch 0's recover call —
         # a bad horizon must not start a stream it will immediately
         # kill (same early-validation contract as compact_check_every)
@@ -187,6 +200,41 @@ def ann_index_ingest_sink(
             "the two layers' None semantics differ by design: a sink "
             "must not rebuild on every batch)"
         )
+    if min_appended_frac is None and drift_psi_threshold is not None:
+        # Drift-ONLY scheduler: the PSI trigger needs the sidecar's
+        # `cell_counts` baseline (written since r14). When the index
+        # already exists at sink construction, probe the sidecar NOW
+        # and fail fast — the runtime gate raising the same error at
+        # batch N's first compact check would kill a previously-
+        # running stream mid-flight after an upgrade (r15 advice).
+        # When the index doesn't exist yet (seeded later) the probe
+        # is skipped and the runtime gate still backstops; upgrade
+        # path for legacy indexes: rewrite/compact once to stamp the
+        # baseline before arming drift-only.
+        from pyspark.sql import SparkSession
+
+        spark0 = SparkSession.getActiveSession()
+        if spark0 is not None:
+            try:
+                base = similarity.resolve_index_base(spark0, index_path)
+                meta = spark0.read.parquet(base + "/meta").collect()[0]
+            except Exception:
+                meta = None  # not seeded yet / unreadable: runtime decides
+            if meta is not None and (
+                "cell_counts" not in meta.__fields__
+                or meta["cell_counts"] is None
+            ):
+                raise ValueError(
+                    f"drift_psi_threshold={drift_psi_threshold} is "
+                    f"the ONLY armed compact trigger for {index_path}, "
+                    "but the index sidecar carries no usable "
+                    "cell_counts baseline (written by ivfpq_write "
+                    "since r14) — the scheduler would never fire, and "
+                    "the stream would die at its first compact check. "
+                    "Rewrite/compact the index once to stamp the "
+                    "baseline, or arm min_appended_frac as the "
+                    "fallback trigger."
+                )
     append = similarity.opq_append if opq else similarity.ivfpq_append
     compact = similarity.opq_compact if opq else similarity.ivfpq_compact
 
@@ -280,7 +328,7 @@ def start_ann_index_ingest(
     lake_compact_every: int | None = None,
     compact_check_every: int = 1,
     drift_psi_threshold: float | None = None,
-    retain_versions: int = 1,
+    retain_versions: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Run the streaming ANN-index ingest loop: each micro-batch of

@@ -92,9 +92,14 @@ def _drive_run(
     os.makedirs(staging)
 
     seed_corpus = emb.filter(emb.vec_id < 300)
+    # retain_versions=1 = explicit opt-out of pointer mode's r16
+    # grace-window default (2): this e2e pins CRASH-HEAL convergence,
+    # and delete-immediately keeps the no-debris assertions crisp; the
+    # persisted-horizon defaults have their own tests in
+    # test_ivfpq_pointer.py
     ann_ingest.seed_ann_index(
         seed_corpus, idx, lake, n_clusters=8, m=8, ks=256, seed=42,
-        swap_mode=swap_mode,
+        swap_mode=swap_mode, retain_versions=1,
     )
 
     t0 = time.time() - 100
@@ -411,3 +416,70 @@ def test_compact_due_matches_compact_gate(spark, tmp_path, emb):
     # ~50% appended now
     assert similarity.compact_due(spark, idx, 0.25) is True
     assert similarity.compact_due(spark, idx, 0.75) is False
+
+
+def test_drift_only_sink_fails_fast_on_legacy_sidecar(spark, tmp_path, emb):
+    """r15 advice: the drift-only compact gate used to raise at batch
+    N's FIRST compact check when the sidecar predates the r14
+    cell_counts baseline — a previously-running ingest stream died
+    mid-flight after an upgrade, even though the sink validates its
+    other knobs at construction. When the index exists at sink
+    construction, the sidecar is probed THEN; the fix must not break
+    the seed-later workflow (index absent at construction = probe
+    skipped, the runtime gate still backstops)."""
+    idx = str(tmp_path / "idx")
+    lake = str(tmp_path / "lake")
+    ann_ingest.seed_ann_index(
+        emb.filter(emb.vec_id < 300), idx, lake,
+        n_clusters=8, m=8, ks=256, seed=42,
+    )
+    # strip cell_counts to fake a pre-r14 sidecar
+    legacy = spark.read.parquet(idx + "/meta").drop("cell_counts")
+    legacy.toPandas().to_parquet(str(tmp_path / "legacy.parquet"))
+    (
+        spark.read.parquet(str(tmp_path / "legacy.parquet"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(idx + "/meta")
+    )
+    # drift-ONLY sink over the legacy index: refuse at CONSTRUCTION
+    with pytest.raises(ValueError, match="cell_counts"):
+        ann_ingest.ann_index_ingest_sink(
+            idx, lake, drift_psi_threshold=0.25
+        )
+    # volume fallback armed: constructible (the gate degrades to
+    # volume-only at runtime, with a warning)
+    ann_ingest.ann_index_ingest_sink(
+        idx, lake, min_appended_frac=0.5, drift_psi_threshold=0.25
+    )
+    # index absent at construction: probe skipped, sink constructible
+    ann_ingest.ann_index_ingest_sink(
+        str(tmp_path / "not_yet"), str(tmp_path / "l2"),
+        drift_psi_threshold=0.25,
+    )
+
+
+def test_pointer_sink_defaults_to_grace_window(spark, tmp_path, emb):
+    """r15 verdict #4: the sink's old retain_versions=1 default kept
+    delete-immediately semantics on exactly the shared-object-store
+    deployments pointer mode exists for. The default is now the
+    PERSISTED horizon — 2 at pointer seed — so a default-constructed
+    sink's scheduled compact leaves the superseded version as reader
+    grace, swept by the NEXT compact's horizon."""
+    idx = str(tmp_path / "idx")
+    lake = str(tmp_path / "lake")
+    ann_ingest.seed_ann_index(
+        emb.filter(emb.vec_id < 300), idx, lake,
+        n_clusters=8, m=8, ks=256, seed=42, swap_mode="pointer",
+    )
+    sink = ann_ingest.ann_index_ingest_sink(
+        idx, lake, min_appended_frac=0.1
+    )
+    pre_base = similarity.resolve_index_base(spark, idx)
+    sink(_batch_df(emb, 300, 400), 0)  # 100/400 = 0.25 -> compact fires
+    assert similarity.resolve_index_base(spark, idx) != pre_base
+    # superseded v0 retained: the pre-flip reader's files survive
+    assert similarity._list_versions(spark, idx) == [0, 1]
+    assert spark.read.parquet(pre_base + "/codes").count() == 400
+    sink(_batch_df(emb, 400, 500), 1)  # next compact sweeps v0
+    assert similarity._list_versions(spark, idx) == [1, 2]

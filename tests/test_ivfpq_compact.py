@@ -96,6 +96,9 @@ def test_compact_roundtrip_recall_and_bookkeeping(spark, tmp_path, emb_halves):
         "n_rows": n_total,
         "n_clusters": 16,
         "drift_psi": None,
+        # r16: the effective horizon rides in the result — rename-mode
+        # seeds persist 1, and the default resolves to it
+        "retain_versions": 1,
     }
 
 

@@ -112,10 +112,11 @@ def test_pointer_rewrite_over_live_layout_bumps_version(
 
 def test_pointer_compact_roundtrip_and_skip(spark, tmp_path, emb_halves):
     """Build on half, append the other half, compact: the pointer must
-    flip v0 -> v1, the superseded dir must be gone, the appended
-    fraction measured (~0.5), probe recall meets the fresh-build bar,
-    and an immediate second scheduled compact SKIPS (n_rows yardstick
-    reset) without creating a v2."""
+    flip v0 -> v1, the superseded dir RETAINED (pointer mode's r16
+    persisted default horizon is 2 — one compact cycle of stale-reader
+    grace), the appended fraction measured (~0.5), probe recall meets
+    the fresh-build bar, and an immediate second scheduled compact
+    SKIPS (n_rows yardstick reset) without creating a v2."""
     emb, old, new = emb_halves
     p = str(tmp_path / "ptr")
     enc, cents, books = similarity.ivfpq_index(
@@ -131,8 +132,9 @@ def test_pointer_compact_roundtrip_and_skip(spark, tmp_path, emb_halves):
     assert res["compacted"] is True
     assert res["appended_frac"] == pytest.approx(0.5, abs=0.02)
     assert res["n_rows"] == n_total
+    assert res["retain_versions"] == 2  # pointer seed's persisted default
     assert similarity.resolve_index_base(spark, p) == p + "/v1"
-    assert similarity._list_versions(spark, p) == [1]
+    assert similarity._list_versions(spark, p) == [0, 1]
 
     idx = similarity.ivfpq_read(spark, p)
     assert idx[0].count() == n_total
@@ -143,7 +145,7 @@ def test_pointer_compact_roundtrip_and_skip(spark, tmp_path, emb_halves):
     )
     assert res2["compacted"] is False
     assert res2["appended_frac"] == 0.0
-    assert similarity._list_versions(spark, p) == [1]
+    assert similarity._list_versions(spark, p) == [0, 1]
 
 
 def test_pointer_recover_every_crash_state(spark, tmp_path, emb_halves):
@@ -153,8 +155,11 @@ def test_pointer_recover_every_crash_state(spark, tmp_path, emb_halves):
     * crash BEFORE the flip — complete unreferenced v1 beside live v0:
       recover DISCARDS the finished retrain (live is authoritative —
       it may carry appends newer than the build) and says so;
-    * crash AFTER the flip — pointer at v1, stray superseded v0:
-      recover deletes the stray, plain "ok";
+    * crash AFTER the flip — pointer at v1, superseded v0: a
+      default-horizon recover RETAINS it (within the persisted
+      pointer-mode grace window of 2 — r16: recovery finishes the
+      crashed compact's own cleanup, which would have kept it too),
+      plain "ok";
     * incomplete build stray (codes, no sidecar): deleted, "ok";
     * garbled pointer: readers REFUSE (no silent misread), recover
       repoints to the highest complete version;
@@ -187,14 +192,18 @@ def test_pointer_recover_every_crash_state(spark, tmp_path, emb_halves):
         )
     assert similarity.resolve_index_base(spark, p) == p + "/v1"
     assert similarity._list_versions(spark, p) == [0, 1]
+    # v0 is in-horizon history (persisted pointer default 2): the
+    # default recover keeps it — finishing exactly the cleanup the
+    # crashed compact itself would have done
     assert similarity.ivfpq_recover(spark, p) == "ok"
-    assert similarity._list_versions(spark, p) == [1]
+    assert similarity._list_versions(spark, p) == [0, 1]
     assert similarity.ivfpq_read(spark, p)[0].count() == emb.count()
 
-    # incomplete stray (codes dir, no sidecar) -> deleted, plain ok
+    # incomplete stray NEWER than the pointer (codes dir, no sidecar)
+    # -> deleted, plain ok; the in-horizon v0 still survives
     spark.createDataFrame([(1,)], "x int").write.parquet(p + "/v2/codes")
     assert similarity.ivfpq_recover(spark, p) == "ok"
-    assert similarity._list_versions(spark, p) == [1]
+    assert similarity._list_versions(spark, p) == [0, 1]
 
     # garbled pointer: resolve refuses; recover repoints
     out = fs.create(hp(p + "/_CURRENT"), True)
@@ -447,10 +456,19 @@ def test_pointer_retention_concurrent_reader_survives_compact(
     res2 = similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=2)
     assert res2["compacted"]
     assert similarity._list_versions(spark, p) == [1, 2]
-    # default horizon (1) reclaims everything but live
+    # the DEFAULT horizon is now the persisted one (2, stamped by the
+    # compacts above) — a no-arg compact keeps the grace window
     res3 = similarity.ivfpq_compact(spark, p, emb, seed=42)
     assert res3["compacted"]
-    assert similarity._list_versions(spark, p) == [3]
+    assert res3["retain_versions"] == 2
+    assert similarity._list_versions(spark, p) == [2, 3]
+    # an explicitly NARROWER horizon overrides (loudly — see the
+    # mismatch-warn test) and reclaims everything but live
+    res4 = similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=1)
+    assert res4["compacted"]
+    assert similarity._list_versions(spark, p) == [4]
+    # ...and is now the persisted horizon for the next default call
+    assert similarity._sidecar_horizon(spark, p + "/v4") == 1
 
 
 def test_ivfpq_vacuum_pins_the_horizon(spark, tmp_path, emb_halves):
@@ -523,17 +541,23 @@ def test_recover_respects_retention_horizon(spark, tmp_path, emb_halves):
     )
     assert similarity._list_versions(spark, p) == [0, 1]
 
-    # default-horizon recover reclaims the grace copy (the documented
-    # pre-r15 behavior)
+    # r16 (r15 verdict #2): a NO-ARGUMENT recover honors the PERSISTED
+    # horizon — it can never reclaim history the maintenance jobs'
+    # compacts deliberately kept just because a caller forgot the flag
     assert similarity.ivfpq_recover(spark, p) == "ok"
+    assert similarity._list_versions(spark, p) == [0, 1]
+    # reclaiming now requires an EXPLICIT narrower horizon (warned)
+    assert similarity.ivfpq_recover(spark, p, retain_versions=1) == "ok"
     assert similarity._list_versions(spark, p) == [1]
 
 
 def test_rename_mode_grace_slot_and_vacuum(spark, tmp_path, emb_halves):
     """Rename mode's one previous-version slot: retain_versions=2
     keeps <path>.compact-old as a complete rollback copy (an explicit
-    contract since r15), the next compact's pre-clean replaces it,
-    vacuum reclaims it, and horizons deeper than the slot refuse."""
+    contract since r15), the next compact's pre-clean replaces it, an
+    explicitly-narrower vacuum reclaims it (the default honors the
+    persisted horizon, r16), and horizons deeper than the slot
+    refuse."""
     emb, old, new = emb_halves
     enc, cents, books = similarity.ivfpq_index(
         old, n_clusters=8, m=8, ks=256, seed=42
@@ -552,10 +576,144 @@ def test_rename_mode_grace_slot_and_vacuum(spark, tmp_path, emb_halves):
     assert fs.exists(hp(p + ".compact-old"))
     # the rollback copy is the COMPLETE pre-compact index
     assert _codes_rows(spark, p + ".compact-old") == pre_rows
-    # recover at the same horizon leaves the grace copy alone
+    # recover at the same horizon leaves the grace copy alone — and so
+    # do the DEFAULT recover and vacuum, which honor the horizon the
+    # compact persisted (r16)
     assert similarity.ivfpq_recover(spark, p, retain_versions=2) == "ok"
     assert fs.exists(hp(p + ".compact-old"))
-    # vacuum reclaims it at the default horizon
-    assert similarity.ivfpq_vacuum(spark, p) == 1
-    assert not fs.exists(hp(p + ".compact-old"))
+    assert similarity.ivfpq_recover(spark, p) == "ok"
     assert similarity.ivfpq_vacuum(spark, p) == 0
+    assert fs.exists(hp(p + ".compact-old"))
+    # reclaiming takes an EXPLICIT narrower horizon (warned)
+    assert similarity.ivfpq_vacuum(spark, p, retain_versions=1) == 1
+    assert not fs.exists(hp(p + ".compact-old"))
+    assert similarity.ivfpq_vacuum(spark, p, retain_versions=1) == 0
+
+
+# ---------------------------------------------------------------------------
+# r16: the retention horizon is PERSISTED in the sidecar (r15 verdict #2)
+# ---------------------------------------------------------------------------
+
+
+def test_horizon_persisted_at_seed_and_compact(spark, tmp_path, emb_halves):
+    """ivfpq_write stamps the horizon into the sidecar — 2 by default
+    in pointer mode (shared-store grace window), 1 in rename mode —
+    and every compact re-stamps its effective horizon, so the layout
+    itself carries the durability contract instead of every caller
+    having to repeat a flag."""
+    _, old, _ = emb_halves
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    p_ptr = str(tmp_path / "ptr")
+    p_ren = str(tmp_path / "ren")
+    similarity.ivfpq_write(enc, cents, books, p_ptr, swap_mode="pointer")
+    similarity.ivfpq_write(enc, cents, books, p_ren)
+    assert similarity._sidecar_horizon(spark, p_ptr + "/v0") == 2
+    assert similarity._sidecar_horizon(spark, p_ren) == 1
+
+    # explicit seed horizons persist too; invalid ones refuse at write
+    p3 = str(tmp_path / "ptr3")
+    similarity.ivfpq_write(
+        enc, cents, books, p3, swap_mode="pointer", retain_versions=3
+    )
+    assert similarity._sidecar_horizon(spark, p3 + "/v0") == 3
+    with pytest.raises(ValueError, match="retain_versions"):
+        similarity.ivfpq_write(
+            enc, cents, books, str(tmp_path / "bad"), retain_versions=0
+        )
+    with pytest.raises(ValueError, match="one previous-version slot"):
+        similarity.ivfpq_write(
+            enc, cents, books, str(tmp_path / "bad2"), retain_versions=3
+        )
+
+
+def test_explicit_narrower_horizon_warns(spark, tmp_path, emb_halves, caplog):
+    """An explicit retain_versions NARROWER than the persisted horizon
+    is about to reclaim history the scheduled compacts deliberately
+    kept — it still takes effect (the override is the storage lever),
+    but loudly, on compact, vacuum AND recover."""
+    import logging
+
+    emb, old, _ = emb_halves
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    p = str(tmp_path / "ptr")
+    similarity.ivfpq_write(
+        enc, cents, books, p, swap_mode="pointer", retain_versions=3
+    )
+    logger = similarity.log.name
+    with caplog.at_level(logging.WARNING, logger=logger):
+        caplog.clear()
+        res = similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=2)
+        assert res["compacted"] and res["retain_versions"] == 2
+        assert any("NARROWER" in r.message for r in caplog.records)
+    # matching or wider explicit horizons stay quiet
+    with caplog.at_level(logging.WARNING, logger=logger):
+        caplog.clear()
+        similarity.ivfpq_compact(spark, p, emb, seed=42, retain_versions=2)
+        assert similarity.ivfpq_vacuum(spark, p, retain_versions=2) == 0
+        assert not any("NARROWER" in r.message for r in caplog.records)
+    assert similarity._list_versions(spark, p) == [1, 2]
+    with caplog.at_level(logging.WARNING, logger=logger):
+        caplog.clear()
+        assert similarity.ivfpq_recover(spark, p, retain_versions=1) == "ok"
+        assert any("NARROWER" in r.message for r in caplog.records)
+    assert similarity._list_versions(spark, p) == [2]
+    with caplog.at_level(logging.WARNING, logger=logger):
+        caplog.clear()
+        assert similarity.ivfpq_vacuum(spark, p, retain_versions=1) == 0
+        assert any("NARROWER" in r.message for r in caplog.records)
+
+
+def test_legacy_sidecar_defaults_to_horizon_one(spark, tmp_path, emb_halves):
+    """Pre-r16 sidecars carry no persisted horizon: default-horizon
+    maintenance resolves to 1 — byte-for-byte the old behavior — until
+    a write/compact stamps one. (The upgrade path is one compact.)"""
+    emb, old, _ = emb_halves
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    p = str(tmp_path / "legacy_ptr")
+    similarity.ivfpq_write(enc, cents, books, p, swap_mode="pointer")
+    # strip the r16 column to fake a pre-r16 layout
+    legacy = spark.read.parquet(p + "/v0/meta").drop("retain_versions")
+    legacy.toPandas().to_parquet(str(tmp_path / "legacy.parquet"))
+    (
+        spark.read.parquet(str(tmp_path / "legacy.parquet"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p + "/v0/meta")
+    )
+    assert similarity._sidecar_horizon(spark, p + "/v0") is None
+    res = similarity.ivfpq_compact(spark, p, emb, seed=42)
+    assert res["compacted"] and res["retain_versions"] == 1
+    # old default behavior: superseded version reclaimed immediately —
+    # and the compact STAMPED horizon 1, upgrading the layout
+    assert similarity._list_versions(spark, p) == [1]
+    assert similarity._sidecar_horizon(spark, p + "/v1") == 1
+
+
+def test_vacuum_default_refuses_unreadable_sidecar(spark, tmp_path, emb_halves):
+    """A default-horizon vacuum under crash debris must not guess a
+    horizon and delete history: unreadable live sidecar -> IOError
+    (run ivfpq_recover first), while an explicit horizon still works
+    for operators who know what they're doing."""
+    import shutil
+
+    _, old, _ = emb_halves
+    enc, cents, books = similarity.ivfpq_index(
+        old, n_clusters=8, m=8, ks=256, seed=42
+    )
+    p = str(tmp_path / "ptr")
+    similarity.ivfpq_write(
+        enc, cents, books, p, swap_mode="pointer", retain_versions=2
+    )
+    similarity.ivfpq_compact(spark, p, emb_halves[0], seed=42)
+    assert similarity._list_versions(spark, p) == [0, 1]
+    shutil.rmtree(p + "/v1/meta")  # live sidecar gone: crash debris
+    with pytest.raises(IOError, match="ivfpq_recover"):
+        similarity.ivfpq_vacuum(spark, p)
+    # explicit horizon bypasses the persisted-value resolution
+    assert similarity.ivfpq_vacuum(spark, p, retain_versions=2) == 0
