@@ -6,12 +6,15 @@ Completes SURVEY §2.2's streaming rows:
 * **session windows** — built-in ``F.session_window`` (gap-based, merges
   as events arrive; watermark closes sessions).
 * **custom stateful operator** — gap-based sessionization implemented
-  directly on ``applyInPandasWithState``: per-key state carries the open
-  session; an event-time timeout flushes sessions whose gap elapsed under
-  the watermark. This is the escape hatch for stateful semantics the
-  built-ins can't express (the reference has no equivalent — it delegates
-  all stateful consumption to Kafka consumers; SURVEY §2.2 "streaming:
-  stateful ops").
+  directly on ``applyInPandasWithState``: per-key state carries the
+  key's PENDING sessions (every interval the watermark hasn't
+  finalized — r16: not just the open one, so a within-watermark
+  straggler merges into an already-gap-separated span exactly as
+  ``F.session_window`` would); an event-time timeout flushes sessions
+  once the watermark passes their end+gap. This is the escape hatch
+  for stateful semantics the built-ins can't express (the reference
+  has no equivalent — it delegates all stateful consumption to Kafka
+  consumers; SURVEY §2.2 "streaming: stateful ops").
 
 Scale notes: all three shuffle once on the grouping key; state lives in
 the state store partitioned the same way (RocksDB provider on a real
@@ -31,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -114,23 +118,38 @@ SESSION_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# state: (session_start_us, last_ts_us, n_events, sum_value)
+# state: PARALLEL ARRAYS over the key's PENDING session intervals —
+# every interval whose end+gap the watermark has not yet passed, kept
+# sorted by start. Pre-r16 state held a single open-session tuple and
+# emitted gap-separated intervals the moment a batch sweep separated
+# them; that finalizes sessions EARLIER than the watermark contract, so
+# a later within-watermark straggler within gap of one emitted as a
+# second fragment where F.session_window would merge (r15 advice).
+# Holding sub-watermark intervals costs O(pending sessions per key)
+# state — bounded by the watermark delay over the gap, the same bound
+# F.session_window's own state carries. (State schema changed r16:
+# restarting a pre-r16 checkpoint needs a fresh checkpoint dir.)
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        StructField("start_us", ArrayType(LongType())),
+        StructField("last_us", ArrayType(LongType())),
+        StructField("n", ArrayType(LongType())),
+        StructField("total", ArrayType(DoubleType())),
     ]
 )
 
 
 def make_session_func(gap_seconds: int):
-    """Build the per-key stateful function. Emits one row per CLOSED
-    session; the open session rides in state until either a new event
-    arrives past the gap (close+emit, open new) or the event-time timeout
-    fires (watermark passed last_ts+gap with no new events)."""
+    """Build the per-key stateful function. Emits one row per session
+    FINALIZED by the watermark: an interval is emitted only once the
+    watermark passes its ``end + gap`` — before that, a late event
+    inside the watermark could still merge into it (F.session_window
+    semantics), so it rides in state even when the current batch's
+    sweep already gap-separated it from its successor. Pending
+    intervals flush either on a later batch for the key or via the
+    event-time timeout (armed at the EARLIEST pending ``end + gap``)."""
     gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1000
 
     def fn(
         key: tuple,
@@ -148,29 +167,66 @@ def make_session_func(gap_seconds: int):
                 }
             )
 
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+
+        def unpack() -> list[list]:
+            starts, lasts, ns, totals = state.get
+            return [
+                list(iv) for iv in zip(starts, lasts, ns, totals)
+            ]
+
+        def settle(intervals: list[list]):
+            """Emit every interval the watermark has FINALIZED (no
+            acceptable future event — ts >= watermark — can be within
+            gap of it); hold the rest in state with the timeout armed
+            at the earliest pending finalization."""
+            ready = [iv for iv in intervals if iv[1] + gap_us <= wm_us]
+            held = [iv for iv in intervals if iv[1] + gap_us > wm_us]
+            if held:
+                state.update(
+                    (
+                        [iv[0] for iv in held],
+                        [iv[1] for iv in held],
+                        [int(iv[2]) for iv in held],
+                        [float(iv[3]) for iv in held],
+                    )
+                )
+                # clamped: Spark rejects timeouts at/behind the current
+                # watermark (floor division can land exactly on it)
+                state.setTimeoutTimestamp(
+                    max(
+                        min(iv[1] for iv in held) // 1000 + gap_ms,
+                        wm_ms + 1,
+                    )
+                )
+            elif state.exists:
+                state.remove()
+            return ready
+
         if state.hasTimedOut:
-            start_us, last_us, n, total = state.get
-            state.remove()
-            yield emit(start_us, last_us, n, total)
+            # the watermark passed the earliest pending end+gap: flush
+            # what it finalized, keep the rest pending
+            for iv in settle(unpack()):
+                yield emit(*iv)
             return
 
         rows = pd.concat(list(pdfs)).sort_values("ts_us")
-        # Sorted interval sweep over {open-session span} ∪ {each event
-        # as a point interval}, merging neighbors within gap — the
-        # F.session_window merge semantics. This replaces the r14
+        # Sorted interval sweep over {pending session spans} ∪ {each
+        # event as a point interval}, merging neighbors within gap —
+        # the F.session_window merge semantics. This replaces the r14
         # hull-merge, whose merge test (ts - last_us <= gap) was
         # vacuously true for any ts < last_us: a late event arriving
         # MORE than gap before the open session's start was absorbed
         # into it, so the reported span could contain an internal
         # silence longer than the gap — session_window would emit that
         # event as its own session (r14 advisory). Late events within
-        # the watermark now merge only with spans they are genuinely
-        # within gap of; mutually-adjacent stragglers coalesce with
-        # each other (the batch is sorted, so the sweep sees them in
-        # order).
-        intervals = []
-        if state.exists:
-            intervals.append(list(state.get))
+        # the watermark merge only with spans they are genuinely
+        # within gap of — including spans the sweep separated in an
+        # EARLIER batch, which stay mergeable until the watermark
+        # passes their end+gap (r15 advice; they are in `intervals`
+        # here, not already emitted).
+        intervals = unpack() if state.exists else []
         for ts, val in zip(rows["ts_us"], rows["value"]):
             intervals.append([int(ts), int(ts), 1, float(val)])
         intervals.sort(key=lambda iv: (iv[0], iv[1]))
@@ -183,23 +239,8 @@ def make_session_func(gap_seconds: int):
                 cur[3] += iv[3]
             else:
                 merged.append(iv)
-        # every interval but the LATEST is already gap-separated from
-        # its successor and closes now (append output can't retract an
-        # emit, so — as before this change — a later-batch straggler
-        # cannot reopen it); the latest rides in state until a new
-        # event closes it or the event-time timeout fires
-        *closed, open_iv = merged
-        start_us, last_us, n, total = open_iv
-        state.update((start_us, last_us, n, total))
-        # timeout when watermark passes the gap after the last event;
-        # clamped because Spark rejects timeouts at/behind the current
-        # watermark (possible when this key's data arrived late)
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(
-            max(last_us // 1000 + gap_seconds * 1000, wm + 1)
-        )
-        for c in closed:
-            yield emit(*c)
+        for iv in settle(merged):
+            yield emit(*iv)
 
     return fn
 

@@ -533,3 +533,50 @@ def test_sessionizer_straggler_beyond_gap_is_own_session(spark, tmp_path):
         # the original event: untouched span, flushed by the timeout
         ("2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, 1.0),
     }, u1
+
+
+def test_sessionizer_straggler_merges_into_pending_closed_span(
+    spark, tmp_path
+):
+    """r15 advice: gap-separated spans used to be EMITTED the moment a
+    batch sweep separated them — before the watermark passed their
+    end+gap — so a later within-watermark straggler within gap of one
+    emitted as a second fragment where F.session_window would merge.
+    Spans now ride in state until the watermark finalizes them: the
+    00:35:00 straggler span (gap-separated from the open 01:00:00
+    session in batch 2) absorbs batch 3's 00:35:30 straggler into ONE
+    session instead of two fragments."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b1.jsonl", [("u1", "click", 1.0, "2024-01-01 01:00:00")])
+    # straggler far before the open session: beyond the 60s gap
+    # (separate span) but NOT yet watermark-finalized
+    _write_batch(src, "b2.jsonl", [("u1", "click", 2.0, "2024-01-01 00:35:00")])
+    # second straggler within gap of the FIRST straggler's span — the
+    # old sessionizer had already emitted that span and fragmented here
+    _write_batch(src, "b3.jsonl", [("u1", "click", 4.0, "2024-01-01 00:35:30")])
+    # u2 far ahead: watermark (5:30 - 2h = 3:30) finalizes everything
+    _write_batch(src, "b4.jsonl", [("u2", "view", 8.0, "2024-01-01 05:00:00")])
+    _write_batch(src, "b5.jsonl", [("u2", "view", 16.0, "2024-01-01 05:30:00")])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: stateful.sessionize_stateful(
+            s, gap_seconds=60, watermark="2 hours"
+        ),
+        "sessions_pending_merge",
+    )
+    u1 = {
+        (
+            str(r["session_start"]),
+            str(r["session_end"]),
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in out.filter("key = 'u1'").collect()
+    }
+    assert u1 == {
+        # ONE merged straggler session — not two fragments
+        ("2024-01-01 00:35:00", "2024-01-01 00:35:30", 2, 6.0),
+        ("2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, 1.0),
+    }, u1
