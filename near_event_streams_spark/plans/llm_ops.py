@@ -1484,7 +1484,13 @@ def ann_ivfpq_pointer_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee (the reference's restart-resilience story,
     ``configs.rs:101-127``) only generalizes to object stores through
     a versioned prefix + single-object pointer flip (one atomic
-    PUT)."""
+    PUT).
+
+    The seed stamps ``retain_versions=1`` — an EXPLICIT opt-out of
+    pointer mode's r16 grace-window default (2), so every default
+    maintenance call below runs delete-immediately and the
+    exactly-one-version assertions stay crisp; the retention walk is
+    its own gated query (``ann_index_version_retention``)."""
     from near_event_streams_spark.streaming import ann_ingest
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1496,7 +1502,7 @@ def ann_ivfpq_pointer_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ann_ingest.seed_ann_index(
         seed, idx, lake, n_clusters=16, m=8, ks=256, seed=42,
-        swap_mode="pointer",
+        swap_mode="pointer", retain_versions=1,
     )
     sink = ann_ingest.ann_index_ingest_sink(idx, lake)
     sink(b1, 0)
@@ -1829,6 +1835,120 @@ _ANN_VERSION_RETENTION_SQL = (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
        TRUE AS recall_ok,
        TRUE AS retention_walk_ok,
+       TRUE AS ingested_holds_full_corpus
+FROM ranked WHERE rank <= 5
+"""
+)
+
+
+def ann_retention_horizon_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The retention horizon is PERSISTED IN THE INDEX LAYOUT (r15
+    verdict #2): ``retain_versions`` used to be a per-call knob, so an
+    out-of-band ``ivfpq_recover``/``ivfpq_vacuum`` run with defaults
+    silently reclaimed grace history the scheduled compacts
+    deliberately kept — the docstring warned where the code should
+    have (the silently-narrowed-durability-knob class r13/r14 kept
+    killing). Since r16 the sidecar carries the horizon: pointer-mode
+    seeds stamp 2 (shared object stores are exactly where long probe
+    jobs hold pre-flip paths — r15 verdict #4's safe-by-default), and
+    every maintenance call resolves ``None`` to the persisted value.
+
+    Gated, through the PRODUCTION bootstrap + ``foreachBatch`` sink
+    body with ALL retention knobs left at their defaults: (a) the
+    pointer seed stamps horizon 2 in the sidecar; (b) the sink's
+    default-arg scheduled compact honors it — the superseded version
+    survives the flip and the pre-flip reader finishes its scan
+    value-exact; (c) a NO-ARGUMENT recover and a NO-ARGUMENT vacuum
+    both preserve the retained history (the r15 footgun, closed); (d)
+    an EXPLICITLY narrower vacuum still reclaims it — the storage
+    lever, now warned instead of silent; (e) the usual recall bar on
+    the final index, which holds the full corpus."""
+    from near_event_streams_spark.streaming import ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    root = _ivfpq_scratch_dir(sf_dir, tag="ivfpq_horizon")
+    idx, lake = root + "/idx", root + "/lake"
+
+    # (a) default pointer seed stamps the grace horizon in the sidecar
+    ann_ingest.seed_ann_index(
+        seed, idx, lake, n_clusters=16, m=8, ks=256, seed=42,
+        swap_mode="pointer",
+    )
+    horizon_stamped = (
+        similarity._sidecar_horizon(spark, idx + "/v0") == 2
+    )
+
+    # (b) DEFAULT-knob sink: the scheduled compact resolves the
+    # persisted horizon — superseded version retained, reader survives
+    sink = ann_ingest.ann_index_ingest_sink(idx, lake, min_appended_frac=0.2)
+    pre_base = similarity.resolve_index_base(spark, idx)
+    n_pre = spark.read.parquet(pre_base + "/codes").count()
+    n_b1 = b1.count()
+    sink(b1, 0)  # ~50% appended -> compact fires
+    flipped = similarity.resolve_index_base(spark, idx) != pre_base
+    retained_by_default = similarity._list_versions(spark, idx) == [0, 1]
+    reader_survived = (
+        spark.read.parquet(pre_base + "/codes").count() == n_pre + n_b1
+    )
+
+    # (c) no-argument recover and vacuum HONOR the persisted horizon
+    recover_preserves = (
+        similarity.ivfpq_recover(spark, idx) == "ok"
+        and similarity._list_versions(spark, idx) == [0, 1]
+    )
+    vacuum_preserves = (
+        similarity.ivfpq_vacuum(spark, idx) == 0
+        and similarity._list_versions(spark, idx) == [0, 1]
+    )
+    # (d) the explicit narrower horizon is the storage lever (warned)
+    explicit_reclaims = (
+        similarity.ivfpq_vacuum(spark, idx, retain_versions=1) == 1
+        and len(similarity._list_versions(spark, idx)) == 1
+    )
+
+    idx_t = similarity.ivfpq_read(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(queries, emb, k=5)
+    approx = similarity.ivfpq_topk(
+        queries, emb, k=5, nprobe=16, refine=8, index=idx_t
+    )
+    gate = _ann_recall_invariant(exact, approx, min_recall=0.8)
+    n_emb = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    n_idx = idx_t[0].agg(F.count(F.lit(1)).alias("n_idx"))
+    return (
+        gate.crossJoin(n_emb)
+        .crossJoin(n_idx)
+        .select(
+            "n_exact_pairs",
+            "recall_ok",
+            F.lit(
+                bool(
+                    horizon_stamped
+                    and flipped
+                    and retained_by_default
+                    and reader_survived
+                    and recover_preserves
+                    and vacuum_preserves
+                    and explicit_reclaims
+                )
+            ).alias("horizon_walk_ok"),
+            (F.col("n_idx") == F.col("n_emb")).alias(
+                "ingested_holds_full_corpus"
+            ),
+        )
+    )
+
+
+_ANN_HORIZON_PERSISTED_SQL = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS horizon_walk_ok,
        TRUE AS ingested_holds_full_corpus
 FROM ranked WHERE rank <= 5
 """
@@ -4259,6 +4379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_pointer_swap": ann_ivfpq_pointer_swap,
     "ann_compact_drift_trigger": ann_compact_drift_trigger,
     "ann_index_version_retention": ann_index_version_retention,
+    "ann_retention_horizon_persisted": ann_retention_horizon_persisted,
     "ann_opq_persisted": ann_opq_persisted,
     "knn_label_audit": knn_label_audit,
     "knn_label_audit_ivf": knn_label_audit_ivf,
@@ -4334,6 +4455,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivfpq_pointer_swap": _ANN_POINTER_SWAP_SQL,
     "ann_compact_drift_trigger": _ANN_DRIFT_TRIGGER_SQL,
     "ann_index_version_retention": _ANN_VERSION_RETENTION_SQL,
+    "ann_retention_horizon_persisted": _ANN_HORIZON_PERSISTED_SQL,
     "ann_opq_persisted": _ANN_OPQ_PERSISTED_SQL,
     "knn_label_audit": KNN_LABEL_AUDIT_SQL,
     "knn_label_audit_ivf": KNN_LABEL_AUDIT_IVF_SQL,

@@ -170,6 +170,9 @@ ACCEPTED_ROUND_ON_DOUBLE = {
     # count + booleans only, so the rounded double never reaches the
     # compared output
     "ann_index_version_retention": 1,
+    # r16: persisted-horizon gate, same shared exact-topk CTE, same
+    # count + booleans shape
+    "ann_retention_horizon_persisted": 1,
     "ann_opq_persisted": 1,
     "ann_opq_topk": 1,
     "ann_lsh_topk": 1,
