@@ -188,13 +188,7 @@ def test_bench_non_integer_count_errors_with_usage():
         assert "Traceback" not in proc.stderr, argv
 
 
-def test_contention_guard_band_adjudication():
-    """r14 verdict #3: any banded query whose in-suite median exceeds
-    its band ceiling must get a fresh-process re-solo with BOTH
-    numbers recorded — serious tier (>1.3x) unbounded and heavy-
-    inclusive, mild tier (ceiling..1.3x) capped at MILD_RESOLO_CAP
-    with the heavy tier excluded — so the committed bench artifact
-    self-adjudicates band compliance instead of needing hand solos."""
+def _load_bench():
     import importlib.util
     import os
 
@@ -204,26 +198,42 @@ def test_contention_guard_band_adjudication():
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
+    return bench
+
+
+def test_contention_guard_band_adjudication():
+    """r14 verdict #3 + r15 verdict #1: any banded query whose
+    in-suite median exceeds its band ceiling must get a fresh-process
+    re-solo with BOTH numbers recorded — serious tier (>1.3x)
+    unbounded and heavy-inclusive, mild tier (ceiling..1.3x) capped at
+    MILD_RESOLO_CAP for the non-heavy set, with each over-band HEAVY
+    query getting exactly ONE re-solo of its own (r15 had silently
+    excluded it) — plus in-band control solos and a box-speed factor
+    classifying every adjudication in_band / box_elevated /
+    code_elevated."""
+    bench = _load_bench()
 
     bands = {f"q{i}": [1.0, 2.0] for i in range(12)}
     bands["hv_mild"] = [10.0, 20.0]
     bands["hv_serious"] = [10.0, 20.0]
     timings = {
-        "q0": 1.5,        # in band: untouched
+        "q0": 1.5,        # in band: a control candidate
         "q1": 5.0,        # serious (>2.6): re-solo, lands in band
         "q2": 9.0,        # serious: re-solo comes back WORSE (elevation)
         # six mild over-band queries (2.0 < t <= 2.6) — one past the cap
         "q3": 2.59, "q4": 2.5, "q5": 2.4, "q6": 2.3, "q7": 2.2,
         "q8": 2.1,
-        "q9": 2.0,        # exactly at ceiling: compliant, untouched
+        "q9": 2.0,        # exactly at ceiling: compliant, control
         "unbanded": 99.0,  # no band: never adjudicated
-        "hv_mild": 22.0,   # heavy + mild: excluded from the mild tier
+        "hv_mild": 22.0,   # heavy + mild: ONE re-solo (tier mild-heavy)
         "hv_serious": 40.0,  # heavy + serious: still re-soloed
     }
     solos = {
         "q1": 1.8, "q2": 9.5,
         "q3": 1.9, "q4": 2.2, "q5": 1.9, "q6": 1.9, "q7": 1.9,
-        "hv_serious": 15.0,
+        "hv_serious": 15.0, "hv_mild": 21.0,
+        # in-band controls (the box-speed instrument)
+        "q0": 1.4, "q9": 1.6,
     }
     calls = []
 
@@ -236,25 +246,47 @@ def test_contention_guard_band_adjudication():
     adj = out["band_adjudication"]
 
     # every over-ceiling banded query adjudicated except: the at-cap
-    # mild overflow (q8 — worst-excess-first keeps q3..q7), the heavy
-    # mild one, the exactly-at-ceiling one, and the unbanded one
-    assert set(adj) == {"q1", "q2", "q3", "q4", "q5", "q6", "q7", "hv_serious"}
-    assert "q8" not in calls and "hv_mild" not in calls
-    assert len([n for n in adj if adj[n]["tier"] == "mild"]) == 5
-    # both numbers + the band + the verdict are recorded
-    assert adj["q1"] == {
-        "first_pass": 5.0, "solo": 1.8, "band": [1.0, 2.0],
-        "solo_in_band": True, "tier": "serious",
+    # mild overflow (q8 — worst-excess-first keeps q3..q7), the
+    # exactly-at-ceiling one, and the unbanded one. The heavy mild
+    # query is now IN (r15 advice: it used to ship unadjudicated).
+    assert set(adj) == {
+        "q1", "q2", "q3", "q4", "q5", "q6", "q7",
+        "hv_serious", "hv_mild",
     }
+    assert "q8" not in calls
+    assert len([n for n in adj if adj[n]["tier"] == "mild"]) == 5
+    assert adj["hv_mild"]["tier"] == "mild-heavy"
+    # both numbers + the band + the verdicts are recorded
+    assert adj["q1"]["first_pass"] == 5.0
+    assert adj["q1"]["solo"] == 1.8
+    assert adj["q1"]["band"] == [1.0, 2.0]
+    assert adj["q1"]["solo_in_band"] is True
+    assert adj["q1"]["tier"] == "serious"
     assert adj["q2"]["solo_in_band"] is False
+    # in-band controls: only banded, in-band, non-heavy queries; never
+    # mutate timings
+    assert set(out["controls"]) == {"q0", "q9"}
+    assert timings["q0"] == 1.5 and timings["q9"] == 2.0
+    # box factor = median of solo/band-midpoint ratios over controls +
+    # adjudications: sorted [0.933, 1.0, 1.067, 1.2, 1.267 x4, 1.4,
+    # 1.467, 6.333] -> median 1.267 (q2's outlier cannot move it)
+    assert out["box_factor"] == 1.267
+    # three-way verdicts: solo back under ceiling -> in_band; over but
+    # explained by the box factor -> box_elevated; over even after
+    # normalization -> code_elevated
+    assert adj["q1"]["verdict"] == "in_band"
+    assert adj["q3"]["verdict"] == "in_band"
+    assert adj["q4"]["verdict"] == "box_elevated"
+    assert adj["hv_mild"]["verdict"] == "box_elevated"
+    assert adj["q2"]["verdict"] == "code_elevated"
+    assert adj["hv_serious"]["verdict"] == "in_band"
     # better-of-two reported: improved queries take the solo value,
     # worse re-runs keep the first pass
     assert timings["q1"] == 1.8 and timings["q2"] == 9.0
     assert timings["q4"] == 2.2 and timings["q3"] == 1.9
-    assert timings["q0"] == 1.5 and timings["q9"] == 2.0
     assert timings["unbanded"] == 99.0
     # heavy deltas stay on the heavy line; the rest on the headline sum
-    assert out["heavy_delta"] == 15.0 - 40.0
+    assert out["heavy_delta"] == (15.0 - 40.0) + (21.0 - 22.0)
     assert out["total_delta"] == (
         (1.8 - 5.0) + (1.9 - 2.59) + (2.2 - 2.5)
         + (1.9 - 2.4) + (1.9 - 2.3) + (1.9 - 2.2)
@@ -262,3 +294,52 @@ def test_contention_guard_band_adjudication():
     # contended = the big movers (solo < first/1.3): q1 (1.8 < 3.85),
     # hv_serious (15 < 30.8), q3 (1.9 < 1.992) — not q2 (got worse)
     assert set(out["contended"]) == {"q1", "hv_serious", "q3"}
+
+
+def test_contention_guard_box_normalizes_slow_box_day():
+    """r15 verdict #1, the acceptance scenario: a busy box inflates
+    EVERY solo ~1.4x over bands that are quietest-ever minima. The old
+    guard recorded solo_in_band:false / 'elevation confirmed' for
+    code that did not change; the box-speed factor (median
+    solo/band-midpoint over controls + adjudications) must classify
+    the uniform elevation as box_elevated while the one genuinely
+    regressed query still reads code_elevated."""
+    bench = _load_bench()
+
+    bands = {f"c{i}": [1.0, 2.0] for i in range(5)}
+    bands.update({"qa": [1.0, 2.0], "qb": [1.0, 2.0], "qc": [1.0, 2.0]})
+    timings = {f"c{i}": 1.9 for i in range(5)}  # in band even today
+    timings.update({"qa": 2.2, "qb": 2.3, "qc": 6.0})
+    solos = {
+        # slow box: everything solos ~1.4x its band midpoint
+        "qa": 2.2, "qb": 2.25,
+        # the real regression: slow box cannot explain 5.8s vs mid 1.5
+        "qc": 5.8,
+        # controls (3 largest-ceiling in-band queries)
+        "c0": 2.05, "c1": 2.1, "c2": 2.0,
+    }
+    calls = []
+
+    def fake_rerun(name):
+        calls.append(name)
+        return solos[name]
+
+    out = bench._contention_guard(timings, bands, set(), rerun=fake_rerun)
+    adj = out["band_adjudication"]
+    assert set(adj) == {"qa", "qb", "qc"}
+    # exactly N_CONTROLS in-band controls soloed
+    assert len(out["controls"]) == bench.N_CONTROLS
+    assert set(out["controls"]) <= {f"c{i}" for i in range(5)}
+    # ratios sorted: [1.333, 1.367, 1.4, 1.467, 1.5, 3.867] -> median
+    # (1.4 + 1.467) / 2 = 1.433
+    assert out["box_factor"] == 1.433
+    # the uniform elevation is the box; the 4x one is the code
+    assert adj["qa"]["verdict"] == "box_elevated"
+    assert adj["qb"]["verdict"] == "box_elevated"
+    assert adj["qc"]["verdict"] == "code_elevated"
+    assert adj["qc"]["solo_box_normalized"] == round(5.8 / 1.433, 3)
+    # a fully quiet run never solos controls and reports factor 1.0
+    quiet = {f"c{i}": 1.5 for i in range(5)}
+    out2 = bench._contention_guard(quiet, bands, set(), rerun=fake_rerun)
+    assert out2["band_adjudication"] == {} and out2["controls"] == {}
+    assert out2["box_factor"] == 1.0
