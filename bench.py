@@ -230,15 +230,18 @@ BOX_NORM_TOLERANCE = 1.1
 
 def _box_factor(ratios: list[float]) -> float:
     """Per-run box-speed factor: the MEDIAN of solo/band-midpoint
-    ratios across every fresh-process solo this run collected
-    (controls + adjudicated queries). The committed bands are
-    element-wise MINIMA across sweeps — the quietest box ever observed
-    — so on a slower box-day every solo reads over-ceiling in lockstep
-    (r15: q1 +3%, multimodal +2%, triangle +9%, controls +22%/+34%,
-    uniform); the median of many ratios captures that shared factor
-    while a single genuinely-regressed query stays an outlier that
-    cannot move it. Floored at 1.0: a faster-than-band box must not
-    re-inflate verdicts."""
+    ratios over the given solos. The committed bands are element-wise
+    MINIMA across sweeps — the quietest box ever observed — so on a
+    slower box-day every solo reads over-ceiling in lockstep (r15: q1
+    +3%, multimodal +2%, triangle +9%, controls +22%/+34%, uniform);
+    the median captures that shared factor while a genuinely-regressed
+    outlier cannot move it. The guard feeds this CONTROLS-ONLY when it
+    has >= 2 control ratios: controls are in-band first-pass queries —
+    by construction not regressed — so a regression that elevates MORE
+    queries than there are controls cannot normalize itself away by
+    dominating a pooled median (r16 review); the pooled fallback is
+    used (and labeled) only when controls are unavailable. Floored at
+    1.0: a faster-than-band box must not re-inflate verdicts."""
     if not ratios:
         return 1.0
     s = sorted(ratios)
@@ -273,8 +276,11 @@ def _contention_guard(
     running). The guard now measures the box itself: whenever anything
     is over-band it also re-solos up to ``N_CONTROLS`` in-band banded
     queries (largest ceilings first — ratio least noise-dominated),
-    computes the per-run box-speed factor (:func:`_box_factor`), and
-    classifies every adjudicated query three ways:
+    computes the per-run box-speed factor (:func:`_box_factor` —
+    CONTROLS-ONLY when >= 2 controls are available, since controls are
+    by construction un-regressed; pooled with the adjudicated solos
+    only as a labeled fallback), and classifies every adjudicated
+    query three ways:
 
     * ``in_band`` — the solo is at or under its ceiling;
     * ``box_elevated`` — over the ceiling, but back within it (x
@@ -290,8 +296,8 @@ def _contention_guard(
     methodology; control solos never mutate — they are a measuring
     instrument, not a re-measurement). Returns ``{"reruns",
     "contended", "band_adjudication", "controls", "box_factor",
-    "total_delta", "heavy_delta"}``. ``rerun`` is injectable for the
-    test harness."""
+    "box_factor_source", "total_delta", "heavy_delta"}``. ``rerun``
+    is injectable for the test harness."""
     reruns: dict[str, float] = {}
     contended: list[str] = []
     band_adjudication: dict[str, dict] = {}
@@ -379,10 +385,31 @@ def _contention_guard(
                 "band": bands[name],
                 "ratio": round(rr / _mid(bands[name]), 3),
             }
-    ratios = [c["ratio"] for c in controls.values()] + [
+    control_ratios = [c["ratio"] for c in controls.values()]
+    adj_ratios = [
         e["solo"] / _mid(e["band"]) for e in band_adjudication.values()
     ]
+    # controls-only when we have enough of them: a regression touching
+    # more queries than N_CONTROLS would dominate a pooled median and
+    # classify itself box_elevated (r16 review). The pooled fallback
+    # (rare: nearly everything over-band, or control solos failed) is
+    # weaker — a UNIFORM elevation is then undecidable between box and
+    # global regression — so the artifact labels which source was used.
+    if len(control_ratios) >= 2:
+        ratios, factor_source = control_ratios, "controls"
+    elif control_ratios or adj_ratios:
+        ratios, factor_source = control_ratios + adj_ratios, "pooled"
+    else:
+        ratios, factor_source = [], "none"
     box_factor = round(_box_factor(ratios), 3) if band_adjudication else 1.0
+    if band_adjudication and factor_source == "pooled":
+        print(
+            "# contention-guard: box factor from POOLED ratios "
+            "(insufficient in-band controls) — a uniform elevation "
+            "here is undecidable between box state and a global "
+            "regression; treat box_elevated verdicts as weak",
+            file=sys.stderr,
+        )
     for name, e in band_adjudication.items():
         normalized = e["solo"] / box_factor
         e["solo_box_normalized"] = round(normalized, 3)
@@ -406,9 +433,9 @@ def _contention_guard(
         )
     if band_adjudication:
         print(
-            f"# contention-guard: box-speed factor {box_factor} from "
-            f"{len(ratios)} solo/band-midpoint ratios "
-            f"({len(controls)} in-band controls: "
+            f"# contention-guard: box-speed factor {box_factor} "
+            f"({factor_source}) from {len(ratios)} solo/band-midpoint "
+            f"ratios ({len(controls)} in-band controls: "
             f"{', '.join(controls) or 'none'})",
             file=sys.stderr,
         )
@@ -418,6 +445,7 @@ def _contention_guard(
         "band_adjudication": band_adjudication,
         "controls": controls,
         "box_factor": box_factor,
+        "box_factor_source": factor_source if band_adjudication else "none",
         "total_delta": deltas["total"],
         "heavy_delta": deltas["heavy"],
     }
@@ -749,6 +777,7 @@ def main() -> None:
         # the in-band control solos below.
         "band_adjudication": band_adjudication,
         "box_factor": guard["box_factor"],
+        "box_factor_source": guard["box_factor_source"],
         "guard_controls": guard["controls"],
         "steady_runs": {name: 3 for name, _ in HEADLINE},
         "cold_total": round(cold_total, 3),

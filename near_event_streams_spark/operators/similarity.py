@@ -762,27 +762,46 @@ def _meta_horizon(meta) -> int | None:
     return None
 
 
-def _sidecar_horizon(spark, base: str) -> int | None:
+#: sentinel: the sidecar could not be read at all — distinct from a
+#: READABLE legacy sidecar that simply carries no stamp. Callers must
+#: not treat "can't read the horizon" as "horizon is 1" on any
+#: destructive path: that would reclaim retained history under exactly
+#: the transient-I/O conditions (S3 throttle, crash debris) where
+#: retention matters most (r16 review).
+_HORIZON_UNREADABLE = object()
+
+
+def _sidecar_horizon(spark, base: str):
     """Persisted horizon read straight from one layout directory's
-    sidecar; None when the sidecar is unreadable (crash debris — the
-    caller decides whether that falls back or refuses) or legacy."""
+    sidecar: the stamped int, ``None`` for a readable legacy (pre-r16)
+    sidecar with no stamp, or :data:`_HORIZON_UNREADABLE` when the
+    sidecar cannot be read (missing, torn, transient I/O)."""
     try:
-        return _meta_horizon(
-            spark.read.parquet(base + "/meta").collect()[0]
-        )
+        rows = spark.read.parquet(base + "/meta").collect()
     except Exception:
-        return None
+        return _HORIZON_UNREADABLE
+    if not rows:
+        return _HORIZON_UNREADABLE
+    return _meta_horizon(rows[0])
 
 
 def _resolve_horizon(
-    arg: int | None, persisted: int | None, op: str, path: str
+    arg: int | None, persisted, op: str, path: str
 ) -> int:
     """Effective retention horizon for one maintenance call: an
     explicit ``arg`` wins — WARNING when it is narrower than the
     persisted horizon, because it is about to reclaim history the
     scheduled compacts deliberately kept — else the persisted value,
-    else 1 (the pre-r16 default, so legacy layouts keep their old
-    behavior until a write/compact stamps a horizon)."""
+    else 1 (the pre-r16 default, so READABLE legacy layouts keep
+    their old behavior until a write/compact stamps a horizon).
+
+    ``persisted`` may be :data:`_HORIZON_UNREADABLE`; resolving that
+    with ``arg=None`` to a DESTRUCTIVE horizon is the caller's bug —
+    recover treats it as reclaim-nothing and vacuum refuses, so only
+    an explicit arg (which wins without a warn — there is no known
+    persisted value to compare against) reaches here with it."""
+    if persisted is _HORIZON_UNREADABLE:
+        persisted = None
     if arg is None:
         return persisted if persisted is not None else 1
     if persisted is not None and arg < persisted:
@@ -1423,27 +1442,56 @@ def ivfpq_recover(
 
     if fs.exists(hpath(root + "/meta")):
         old_exists = fs.exists(hpath(old))
-        if not fs.exists(hpath(tmp)) and not old_exists:
+        tmp_exists = fs.exists(hpath(tmp))
+        if not tmp_exists and not old_exists:
             # healthy fast path: no strays and no grace slot — nothing
             # to decide, no sidecar read
             return "ok"
-        if layout_readable(root):
+
+        _in_horizon_memo: list[bool] = []
+
+        def _old_in_horizon() -> bool:
             # `.compact-old` within the horizon is retained history
             # (rename mode's one grace slot), not a stray: the default
             # None resolves the PERSISTED horizon from the live
-            # sidecar (one KB read, taken only when old exists — the
-            # no-slot loop above never pays it); an explicit narrower
-            # horizon reclaims, loudly
-            reclaim_old = old_exists and (
-                _resolve_horizon(
-                    retain_versions,
-                    _sidecar_horizon(spark, root),
-                    "ivfpq_recover",
-                    path,
+            # sidecar (one KB read, memoized, taken only when old
+            # exists — the no-slot loop above never pays it); an
+            # UNREADABLE sidecar with no explicit horizon keeps the
+            # slot (never guess a destructive horizon, r16 review); an
+            # explicit narrower horizon reclaims, loudly.
+            if _in_horizon_memo:
+                return _in_horizon_memo[0]
+            persisted = _sidecar_horizon(spark, root)
+            if retain_versions is None and persisted is _HORIZON_UNREADABLE:
+                log.warning(
+                    "ivfpq_recover(%s): live sidecar unreadable — "
+                    "cannot resolve the persisted retain_versions "
+                    "horizon; keeping the .compact-old grace slot "
+                    "(pass an explicit horizon to reclaim)",
+                    root,
                 )
-                < 2
-            )
-            discarded = fs.exists(hpath(tmp)) and tmp_complete()
+                keep = True
+            else:
+                keep = (
+                    _resolve_horizon(
+                        retain_versions, persisted, "ivfpq_recover", path
+                    )
+                    >= 2
+                )
+            _in_horizon_memo.append(keep)
+            return keep
+
+        if not tmp_exists and _old_in_horizon():
+            # grace-slot steady state: the retained copy stays and no
+            # stray exists — nothing destructive, so skip the full
+            # live-layout validation (per-batch sink path under a
+            # horizon-2 rename setup would otherwise pay a codes
+            # footer scan every batch just to conclude "nothing to
+            # do", r16 review)
+            return "ok"
+        if layout_readable(root):
+            reclaim_old = old_exists and not _old_in_horizon()
+            discarded = tmp_exists and tmp_complete()
             fs.delete(hpath(tmp), True)
             if reclaim_old:
                 fs.delete(hpath(old), True)
@@ -1467,16 +1515,21 @@ def ivfpq_recover(
         # grace copy, exactly as if the compact had finished. The
         # promoted layout's sidecar carries the crashed compact's OWN
         # effective horizon, so the default-None recover finishes the
-        # swap with exactly the cleanup that compact would have done.
-        if (
-            _resolve_horizon(
-                retain_versions,
-                _sidecar_horizon(spark, root),
-                "ivfpq_recover",
-                path,
+        # swap with exactly the cleanup that compact would have done
+        # (tmp_complete() just proved the sidecar readable, so the
+        # unreadable sentinel is a narrow race — resolved by KEEPING
+        # the grace copy, never by guessing a destructive horizon).
+        promoted = _sidecar_horizon(spark, root)
+        if retain_versions is None and promoted is _HORIZON_UNREADABLE:
+            reclaim = False
+        else:
+            reclaim = (
+                _resolve_horizon(
+                    retain_versions, promoted, "ivfpq_recover", path
+                )
+                < 2
             )
-            < 2
-        ):
+        if reclaim:
             fs.delete(hpath(old), True)
         return "promoted_tmp"
     if fs.exists(hpath(old + "/meta")):
@@ -1515,16 +1568,31 @@ def _recover_pointer_layout(
         older = [n for n in versions if n < live_n]
         if not newer and not older:
             return "ok"  # nothing destructive to validate for
-        horizon = (
-            _resolve_horizon(
-                retain_versions,
-                _sidecar_horizon(spark, live_base),
-                "ivfpq_recover",
-                root,
-            )
-            if older
-            else (retain_versions or 1)
-        )
+        if older:
+            persisted = _sidecar_horizon(spark, live_base)
+            if retain_versions is None and persisted is _HORIZON_UNREADABLE:
+                # can't read the stamp and no explicit horizon: reclaim
+                # NOTHING rather than guess — treating "unreadable" as
+                # "legacy, horizon 1" would delete retained grace
+                # history under exactly the transient-I/O / crash
+                # conditions retention exists for (r16 review; the
+                # unreadable live will usually fail layout_readable
+                # below and resolve via repoint anyway)
+                log.warning(
+                    "ivfpq_recover(%s): live sidecar unreadable — "
+                    "cannot resolve the persisted retain_versions "
+                    "horizon; leaving all %d retained version(s) in "
+                    "place (pass an explicit horizon to reclaim)",
+                    root,
+                    len(older),
+                )
+                horizon = live_n + 1  # nothing is ever <= live - this
+            else:
+                horizon = _resolve_horizon(
+                    retain_versions, persisted, "ivfpq_recover", root
+                )
+        else:
+            horizon = retain_versions or 1
         reclaimable = [n for n in older if n <= live_n - horizon]
         if not newer and not reclaimable:
             return "ok"
@@ -1557,13 +1625,17 @@ def _recover_pointer_layout(
     keep = complete[0]
     # the repoint path is already reading sidecars (layout validation),
     # so the default-None horizon resolves from the repointed live's
-    # OWN stamp — the horizon its maintenance jobs ran with
-    horizon = _resolve_horizon(
-        retain_versions,
-        _sidecar_horizon(spark, f"{root}/v{keep}"),
-        "ivfpq_recover",
-        root,
-    )
+    # OWN stamp — the horizon its maintenance jobs ran with. keep was
+    # just validated readable, so the unreadable sentinel is a narrow
+    # race here; it still resolves to reclaim-nothing-below-keep, never
+    # to a guessed destructive horizon.
+    persisted_keep = _sidecar_horizon(spark, f"{root}/v{keep}")
+    if retain_versions is None and persisted_keep is _HORIZON_UNREADABLE:
+        horizon = keep + 1
+    else:
+        horizon = _resolve_horizon(
+            retain_versions, persisted_keep, "ivfpq_recover", root
+        )
     _write_pointer(spark, root, f"v{keep}")
     for n in versions:
         if n == keep:
@@ -1628,20 +1700,12 @@ def ivfpq_vacuum(
     # for the default AND powers the narrower-than-persisted warning
     # for explicit calls. Vacuum is a scheduled maintenance op, not a
     # per-batch hot path, so the read is cheap relative to its job.
-    # It also distinguishes "legacy sidecar" (readable, no stamp ->
-    # pre-r16 default 1) from "unreadable live layout" (default-run
-    # refuses: vacuuming under crash debris with a guessed horizon
-    # could delete the only complete copies' history).
-    persisted = None
-    meta_readable = False
-    try:
-        rows = spark.read.parquet(live_base + "/meta").collect()
-        if rows:
-            meta_readable = True
-            persisted = _meta_horizon(rows[0])
-    except Exception:
-        pass
-    if retain_versions is None and not meta_readable:
+    # _sidecar_horizon distinguishes "legacy sidecar" (readable, no
+    # stamp -> pre-r16 default 1) from "unreadable live layout"
+    # (default-run refuses: vacuuming under crash debris with a
+    # guessed horizon could delete the only complete copies' history).
+    persisted = _sidecar_horizon(spark, live_base)
+    if retain_versions is None and persisted is _HORIZON_UNREADABLE:
         raise IOError(
             f"cannot resolve the persisted retain_versions horizon "
             f"at {live_base} (live sidecar missing or unreadable) — "
@@ -1771,20 +1835,23 @@ def ivfpq_write(
         )
     if swap_mode == "pointer":
         # next version = current+1 when overwriting a live pointer
-        # layout, v0 on a fresh path. A re-seed is a RESET: every
-        # other version dir is deleted after the flip, ignoring any
-        # retention horizon the maintenance compacts were run with —
-        # retained history of an index being thrown away and rebuilt
-        # is not history. Don't re-seed under concurrent readers;
-        # scheduled retrains (ivfpq_compact retain_versions) are the
-        # reader-safe path.
+        # layout, v0 on a fresh path. The post-flip sweep honors the
+        # SAME horizon this write stamps into the new sidecar (r16
+        # review: it used to delete every superseded dir immediately,
+        # so a default re-seed — stamping horizon 2 — yanked files
+        # from a pre-flip reader on exactly the shared stores the
+        # stamp promises to protect; scheduled ivfpq_compact retrains
+        # remain the first-choice reader-safe path). Versions NEWER
+        # than the new seed are never history (stale in-flight builds
+        # of an index being replaced) and are always deleted.
         ptr = _read_pointer(spark, path)
         cur = (
             int(ptr[1:])
             if ptr is not None and _VERSION_RE.match(ptr)
             else None
         )
-        new_name = f"v{cur + 1}" if cur is not None else "v0"
+        new_n = cur + 1 if cur is not None else 0
+        new_name = f"v{new_n}"
         _write_layout(
             enc, centroids, books, path.rstrip("/") + "/" + new_name,
             rot, retain_versions,
@@ -1792,7 +1859,7 @@ def ivfpq_write(
         _write_pointer(spark, path, new_name)
         fs, hp = _hadoop_fs(spark, path)
         for n in _list_versions(spark, path):
-            if f"v{n}" != new_name:
+            if n > new_n or n <= new_n - retain_versions:
                 fs.delete(hp(path.rstrip("/") + f"/v{n}"), True)
         return
     _write_layout(enc, centroids, books, path, rot, retain_versions)

@@ -257,7 +257,15 @@ def sessionize_stateful(
     timeout). Unlike ``session_window_stats`` this formulation controls
     exactly what state is kept and emitted — the template for stateful
     semantics Spark has no built-in for (e.g. per-key decaying counters,
-    order-book state, cross-event pattern matches)."""
+    order-book state, cross-event pattern matches).
+
+    .. warning:: the state schema changed in r16 (single open-session
+       tuple → parallel arrays of pending intervals). Spark's state
+       store validates state schema compatibility on restart, so a
+       query restarted from a pre-r16 checkpoint FAILS at start with a
+       schema-compatibility error (loud, not silent) — drain the old
+       query, then restart with a fresh checkpoint directory. There is
+       no in-place migration path for applyInPandasWithState state."""
     prepared = events.withWatermark(ts_col, watermark).select(
         F.col(key_col).cast("string").alias("key"),
         (F.unix_micros(F.col(ts_col))).alias("ts_us"),

@@ -267,10 +267,11 @@ def test_contention_guard_band_adjudication():
     # mutate timings
     assert set(out["controls"]) == {"q0", "q9"}
     assert timings["q0"] == 1.5 and timings["q9"] == 2.0
-    # box factor = median of solo/band-midpoint ratios over controls +
-    # adjudications: sorted [0.933, 1.0, 1.067, 1.2, 1.267 x4, 1.4,
-    # 1.467, 6.333] -> median 1.267 (q2's outlier cannot move it)
-    assert out["box_factor"] == 1.267
+    # box factor = CONTROLS-ONLY median (>=2 controls available):
+    # [0.933, 1.067] -> 1.0 — the adjudicated queries' own ratios
+    # (incl. q2's 6.3 outlier) never enter the instrument
+    assert out["box_factor"] == 1.0
+    assert out["box_factor_source"] == "controls"
     # three-way verdicts: solo back under ceiling -> in_band; over but
     # explained by the box factor -> box_elevated; over even after
     # normalization -> code_elevated
@@ -330,16 +331,46 @@ def test_contention_guard_box_normalizes_slow_box_day():
     # exactly N_CONTROLS in-band controls soloed
     assert len(out["controls"]) == bench.N_CONTROLS
     assert set(out["controls"]) <= {f"c{i}" for i in range(5)}
-    # ratios sorted: [1.333, 1.367, 1.4, 1.467, 1.5, 3.867] -> median
-    # (1.4 + 1.467) / 2 = 1.433
-    assert out["box_factor"] == 1.433
+    # CONTROLS-ONLY median: [1.333, 1.367, 1.4] -> 1.367 — qc's 3.9x
+    # ratio never enters the instrument, so even a regression touching
+    # MORE queries than there are controls cannot normalize itself
+    assert out["box_factor"] == 1.367
+    assert out["box_factor_source"] == "controls"
     # the uniform elevation is the box; the 4x one is the code
     assert adj["qa"]["verdict"] == "box_elevated"
     assert adj["qb"]["verdict"] == "box_elevated"
     assert adj["qc"]["verdict"] == "code_elevated"
-    assert adj["qc"]["solo_box_normalized"] == round(5.8 / 1.433, 3)
+    assert adj["qc"]["solo_box_normalized"] == round(5.8 / 1.367, 3)
     # a fully quiet run never solos controls and reports factor 1.0
     quiet = {f"c{i}": 1.5 for i in range(5)}
     out2 = bench._contention_guard(quiet, bands, set(), rerun=fake_rerun)
     assert out2["band_adjudication"] == {} and out2["controls"] == {}
     assert out2["box_factor"] == 1.0
+    assert out2["box_factor_source"] == "none"
+
+
+def test_contention_guard_pooled_fallback_is_labeled():
+    """With fewer than 2 usable controls the factor falls back to the
+    pooled (controls + adjudications) median — weaker, because a broad
+    regression can then dominate it — and the artifact must say so via
+    box_factor_source='pooled' (r16 review: the degenerate single-
+    query case used to self-normalize silently)."""
+    bench = _load_bench()
+
+    # every banded query is over-band: no in-band control candidates
+    bands = {"qa": [1.0, 2.0], "qb": [1.0, 2.0]}
+    timings = {"qa": 2.2, "qb": 2.3}
+    solos = {"qa": 2.2, "qb": 2.25}
+
+    out = bench._contention_guard(
+        timings, bands, set(), rerun=lambda n: solos[n]
+    )
+    assert out["controls"] == {}
+    assert out["box_factor_source"] == "pooled"
+    # pooled median of [1.467, 1.5] = 1.483...; both normalize back
+    # under ceiling*1.1 — box_elevated, but labeled weak via the source
+    assert out["box_factor"] == round((2.2 / 1.5 + 2.25 / 1.5) / 2, 3)
+    assert all(
+        e["verdict"] == "box_elevated"
+        for e in out["band_adjudication"].values()
+    )

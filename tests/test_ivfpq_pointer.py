@@ -97,8 +97,10 @@ def test_pointer_rewrite_over_live_layout_bumps_version(
     spark, tmp_path, emb_halves
 ):
     """Re-seeding over an existing pointer layout must write the NEXT
-    version and delete the superseded dir — never mix two builds in
-    one version prefix."""
+    version — never mix two builds in one version prefix — and its
+    post-flip sweep honors the horizon it stamps (r16: the default
+    pointer horizon of 2 keeps the superseded build one cycle as
+    reader grace; an explicit horizon-1 re-seed deletes immediately)."""
     _, old, new = emb_halves
     p = str(tmp_path / "ptr")
     enc, cents, books = similarity.ivfpq_index(old, n_clusters=8, m=8)
@@ -106,8 +108,16 @@ def test_pointer_rewrite_over_live_layout_bumps_version(
     enc2, cents2, books2 = similarity.ivfpq_index(new, n_clusters=4, m=8)
     similarity.ivfpq_write(enc2, cents2, books2, p, swap_mode="pointer")
     assert similarity.resolve_index_base(spark, p) == p + "/v1"
-    assert similarity._list_versions(spark, p) == [1]
+    # default horizon 2: the superseded v0 survives as the grace copy
+    assert similarity._list_versions(spark, p) == [0, 1]
     assert len(similarity.ivfpq_read(spark, p)[1]) == 4
+    # explicit delete-immediately re-seed sweeps everything but live
+    similarity.ivfpq_write(
+        enc, cents, books, p, swap_mode="pointer", retain_versions=1
+    )
+    assert similarity.resolve_index_base(spark, p) == p + "/v2"
+    assert similarity._list_versions(spark, p) == [2]
+    assert len(similarity.ivfpq_read(spark, p)[1]) == 8
 
 
 def test_pointer_compact_roundtrip_and_skip(spark, tmp_path, emb_halves):
