@@ -223,9 +223,19 @@ MILD_RESOLO_CAP = 5
 #: whenever anything is over-band (r15 verdict #1)
 N_CONTROLS = 3
 #: residual tolerance after dividing out the box factor: a solo within
-#: 10% of its ceiling once box-normalized reads box_elevated, not
-#: code_elevated (the factor is a median over few samples)
+#: 10% of its ceiling once box-normalized is NOT code_elevated (the
+#: bands are 3-solo minima and the factor is a median over few samples)
 BOX_NORM_TOLERANCE = 1.1
+#: a measured box factor at or below this means the controls just
+#: proved the box runs at band speed — a within-tolerance elevation is
+#: then plain measurement noise against a quietest-ever band
+#: (``band_noise``), NOT box state (r16 verdict #2: ``box_elevated``
+#: at factor 1.0 claimed a box effect the controls contradicted)
+BAND_NOISE_FACTOR_MAX = 1.05
+#: controls whose solo/band-midpoint ratios disagree by more than this
+#: (max/min) make the scalar median a rough instrument — surface it
+#: (r16 verdict #3: the r16 driver controls spread 1.055..2.236)
+CONTROL_SPREAD_WEAK = 1.5
 
 
 def _box_factor(ratios: list[float]) -> float:
@@ -284,11 +294,24 @@ def _contention_guard(
 
     * ``in_band`` — the solo is at or under its ceiling;
     * ``box_elevated`` — over the ceiling, but back within it (x
-      ``BOX_NORM_TOLERANCE``) once the box factor is divided out:
-      the box is slow today, the code did not change;
+      ``BOX_NORM_TOLERANCE``) once a MEASURED box factor
+      (> ``BAND_NOISE_FACTOR_MAX``) is divided out: the box is slow
+      today, the code did not change;
+    * ``band_noise`` — within tolerance of the ceiling while the
+      controls measured the box AT band speed (factor <=
+      ``BAND_NOISE_FACTOR_MAX``): plain dispersion against a
+      quietest-ever 3-solo-minimum band, attributable to neither box
+      nor code (r16 verdict #2 — the old ``box_elevated`` label here
+      claimed a box effect the controls had just disproven);
     * ``code_elevated`` — over the ceiling even box-normalized: a
       real candidate regression (re-band only with provenance via
       ``--band-for`` if it persists with unchanged code+plan).
+
+    When >= 2 control ratios exist the guard also records their
+    max/min ``control_spread`` and warns above ``CONTROL_SPREAD_WEAK``
+    — heterogeneous control ratios mean per-query contention
+    sensitivity differs and the scalar median factor is a rough
+    instrument (r16 verdict #3).
 
     Every re-solo records first-pass + solo + the band + the
     normalized solo + verdict under ``band_adjudication``; MUTATES
@@ -296,8 +319,8 @@ def _contention_guard(
     methodology; control solos never mutate — they are a measuring
     instrument, not a re-measurement). Returns ``{"reruns",
     "contended", "band_adjudication", "controls", "box_factor",
-    "box_factor_source", "total_delta", "heavy_delta"}``. ``rerun``
-    is injectable for the test harness."""
+    "box_factor_source", "control_spread", "total_delta",
+    "heavy_delta"}``. ``rerun`` is injectable for the test harness."""
     reruns: dict[str, float] = {}
     contended: list[str] = []
     band_adjudication: dict[str, dict] = {}
@@ -410,13 +433,39 @@ def _contention_guard(
             "regression; treat box_elevated verdicts as weak",
             file=sys.stderr,
         )
+    # control-ratio spread (max/min): how uniformly this box's
+    # contention hits different queries. Above CONTROL_SPREAD_WEAK the
+    # scalar median factor is a rough instrument — say so in the
+    # artifact, same honesty principle as box_factor_source (r16 #3).
+    control_spread = (
+        round(max(control_ratios) / max(min(control_ratios), 1e-9), 3)
+        if len(control_ratios) >= 2
+        else None
+    )
+    if control_spread is not None and control_spread > CONTROL_SPREAD_WEAK:
+        print(
+            f"# contention-guard: control-ratio spread {control_spread}x "
+            f"(ratios {sorted(control_ratios)}) exceeds "
+            f"{CONTROL_SPREAD_WEAK}x — per-query sensitivity to this "
+            "box's contention is heterogeneous, the median factor is a "
+            "rough instrument; treat box_elevated verdicts as weak",
+            file=sys.stderr,
+        )
     for name, e in band_adjudication.items():
         normalized = e["solo"] / box_factor
         e["solo_box_normalized"] = round(normalized, 3)
         if e["solo"] <= e["band"][1]:
             e["verdict"] = "in_band"
         elif normalized <= e["band"][1] * BOX_NORM_TOLERANCE:
-            e["verdict"] = "box_elevated"
+            # only claim "the box is slow" when a real factor was
+            # measured; at factor ~1.0 the controls just proved the
+            # box is AT band speed, so a within-tolerance elevation is
+            # noise against a 3-solo-minimum band, not box state
+            e["verdict"] = (
+                "box_elevated"
+                if box_factor > BAND_NOISE_FACTOR_MAX
+                else "band_noise"
+            )
         else:
             e["verdict"] = "code_elevated"
         extra = (
@@ -446,6 +495,7 @@ def _contention_guard(
         "controls": controls,
         "box_factor": box_factor,
         "box_factor_source": factor_source if band_adjudication else "none",
+        "control_spread": control_spread,
         "total_delta": deltas["total"],
         "heavy_delta": deltas["heavy"],
     }
@@ -778,6 +828,10 @@ def main() -> None:
         "band_adjudication": band_adjudication,
         "box_factor": guard["box_factor"],
         "box_factor_source": guard["box_factor_source"],
+        # r17: max/min of the control solo/band-midpoint ratios —
+        # above CONTROL_SPREAD_WEAK the median factor is a rough
+        # instrument and box_elevated verdicts read weak (r16 #3)
+        "control_spread": guard["control_spread"],
         "guard_controls": guard["controls"],
         "steady_runs": {name: 3 for name, _ in HEADLINE},
         "cold_total": round(cold_total, 3),

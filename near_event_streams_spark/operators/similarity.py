@@ -1664,9 +1664,13 @@ def ivfpq_vacuum(
     longer silently reclaim grace history the scheduled compacts
     deliberately kept (the r15-advice footgun). An explicit argument
     overrides, WARNING when narrower than the persisted horizon; with
-    the default, an UNREADABLE live sidecar raises ``IOError`` (run
-    :func:`ivfpq_recover` first) instead of guessing a horizon and
-    deleting history under crash debris.
+    the default, an UNREADABLE live sidecar on a path that contains
+    index state raises ``IOError`` (run :func:`ivfpq_recover` first)
+    instead of guessing a horizon and deleting history under crash
+    debris — while a NEVER-SEEDED path (no pointer, versions, grace
+    slot, or layout dirs) returns 0: a scheduled vacuum cron pointed
+    at a not-yet-seeded index has nothing to reclaim and must not die
+    (r16 advice).
 
     * Pointer layout: deletes every ``v<N>`` with
       ``N <= live - horizon`` (horizon 1 keeps only the live
@@ -1706,6 +1710,25 @@ def ivfpq_vacuum(
     # guessed horizon could delete the only complete copies' history).
     persisted = _sidecar_horizon(spark, live_base)
     if retain_versions is None and persisted is _HORIZON_UNREADABLE:
+        # Never-seeded path (or plain-rename root with no index yet):
+        # a scheduled default vacuum pointed at an index that does not
+        # exist has nothing to reclaim and must return 0, not die —
+        # the remediation in the error below (ivfpq_recover) would
+        # itself raise FileNotFoundError on an empty path (r16
+        # advice). The IOError is reserved for paths that DO contain
+        # index state (a pointer, version dirs, grace slot, or layout
+        # subdirs) whose live sidecar is unreadable: crash debris,
+        # where guessing a horizon could delete the only complete
+        # copies' history.
+        has_state = (
+            ptr is not None
+            or bool(_list_versions(spark, root))
+            or fs.exists(hpath(root + ".compact-old"))
+            or fs.exists(hpath(f"{live_base}/meta"))
+            or fs.exists(hpath(f"{live_base}/codes"))
+        )
+        if not has_state:
+            return 0
         raise IOError(
             f"cannot resolve the persisted retain_versions horizon "
             f"at {live_base} (live sidecar missing or unreadable) — "

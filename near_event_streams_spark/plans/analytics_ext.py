@@ -29,6 +29,7 @@ from near_event_streams_spark.plans._common import (
     half_up6_spark,
     half_up_signed_duck,
     half_up_signed_spark,
+    ts_us,
 )
 
 # --------------------------------------------------------------------------
@@ -5231,10 +5232,17 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hand-rolled gaps-islands ``sessionize_events``: same keyed
     shuffle, but the session merge runs inside Spark's dedicated
     session-window aggregation (the exact operator the streaming path
-    uses with a watermark). Session end = last event + gap, end
-    EXCLUSIVE: an event landing exactly at the previous end starts a
-    NEW session — the oracle's gaps-islands flag uses >= gap, not >,
-    for precisely that boundary."""
+    uses with a watermark). Session end = last event + gap, and the
+    merge is INCLUSIVE: an event landing exactly at the previous
+    session's end (ts - prev = gap) MERGES into it — verified
+    empirically on Spark 4.1 (two events exactly gap apart yield ONE
+    session spanning [t, t+2*gap)) and pinned by
+    ``session_window_exact_gap``, whose grid-aligned input exercises
+    this boundary pervasively. The oracle's gaps-islands flag
+    therefore breaks strictly (``> gap``) — r17 fix: it used
+    ``>= gap`` (claiming an exclusive end Spark does not have), a
+    divergence invisible at sf0.01 only because microsecond-random
+    timestamps never land exactly 30 minutes apart."""
     ev = _t(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     return (
@@ -5265,7 +5273,7 @@ WITH ev AS (
   SELECT *,
     CASE WHEN ts_us - LAG(ts_us) OVER
            (PARTITION BY user_id ORDER BY ts_us, event_id)
-         >= 1800000000
+         > 1800000000
          THEN 1 ELSE 0 END AS is_new
   FROM ev
 ), sessed AS (
@@ -5283,6 +5291,133 @@ SELECT user_id,
 FROM sessed
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start_us
+"""
+
+
+def session_window_exact_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` over a 10-minute GRID of event times
+    (timestamps floored to the grid, exact integer arithmetic) with
+    the gap EQUAL to the grid step — every adjacent-cell pair sits
+    exactly gap apart, so the merge boundary is exercised on
+    essentially every session edge, instead of never
+    (microsecond-random timestamps cannot land exactly gap apart,
+    which is how ``session_window_native``'s pre-r17 ``>=`` oracle
+    stayed green while contradicting Spark). Pins the INCLUSIVE
+    contract cross-engine: grid neighbors (diff == gap) merge into
+    one session; a break needs an empty cell between events
+    (diff >= 2*gap). Same contract as the r17 stateful sessionizer
+    (inclusive sweep, strict watermark finalization).
+
+    Scale: the grid floor is a scalar projection in the scan stage;
+    one shuffle on user_id into Spark's dedicated session-window
+    aggregation — identical plan shape to ``session_window_native``.
+    """
+    grid_us = 600 * 1_000_000  # 10-minute grid == the session gap
+    us = ts_us()
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # exact integer grid floor (us - us % grid): long % long stays
+        # in the integer domain on both engines — no double rounding
+        F.timestamp_micros(us - (us % F.lit(grid_us))).alias("gts"),
+        "value",
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("gts", "10 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value"), "session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+SESSION_EXACT_GAP_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000) % 600000000)
+           AS gus,
+         value
+  FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN gus - LAG(gus) OVER (PARTITION BY user_id ORDER BY gus)
+         > 600000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), sessed AS (
+  SELECT *,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY gus
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(gus) AS session_start_us,
+       MAX(gus) + 600000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+FROM sessed
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count over a moving row frame — the one window
+    aggregate Spark's engine does not take directly
+    (``COUNT(DISTINCT) OVER`` is unsupported): expressed as
+    ``size(array_distinct(collect_list))`` over the frame, which stays
+    whole-stage JVM (no UDF) with per-row state bounded by the frame
+    width. DuckDB supports windowed DISTINCT natively, so the oracle
+    is the literal ``COUNT(DISTINCT ...) OVER`` — a cross-engine
+    proof the rewrite is exact, not approximate.
+
+    Scale: one shuffle on user_id; the 10-row frame keeps the
+    collect buffer O(frame) per row independent of corpus size, and
+    the per-user partitions are the same skew surface every other
+    user_id window query already carries.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", ts_us().alias("ts_us"), "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "n_distinct_types_10",
+            F.size(
+                F.array_distinct(F.collect_list("event_type").over(w))
+            ).cast("long"),
+        )
+        .select("user_id", "event_id", "n_distinct_types_10")
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_ROLLING_DISTINCT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(COUNT(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_distinct_types_10
+FROM ev
+ORDER BY user_id, event_id
 """
 
 
@@ -5566,6 +5701,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hierarchy_subtree_rollup": hierarchy_subtree_rollup,
     "graph_triangle_census": graph_triangle_census,
     "session_window_native": session_window_native,
+    "session_window_exact_gap": session_window_exact_gap,
+    "window_rolling_distinct": window_rolling_distinct,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "scan_multiformat_roundtrip": scan_multiformat_roundtrip,
     "dq_column_profile": dq_column_profile,
@@ -5665,6 +5802,8 @@ ORACLE_SQL: dict[str, str] = {
     "hierarchy_subtree_rollup": HIERARCHY_SQL,
     "graph_triangle_census": TRIANGLE_SQL,
     "session_window_native": SESSION_WINDOW_SQL,
+    "session_window_exact_gap": SESSION_EXACT_GAP_SQL,
+    "window_rolling_distinct": WINDOW_ROLLING_DISTINCT_SQL,
     "agg_bitmap_distinct": BITMAP_DISTINCT_SQL,
     "scan_multiformat_roundtrip": MULTIFORMAT_SQL,
     "dq_column_profile": DQ_COLUMN_PROFILE_SQL,

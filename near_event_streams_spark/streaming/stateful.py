@@ -142,10 +142,12 @@ SESSION_STATE_SCHEMA = StructType(
 def make_session_func(gap_seconds: int):
     """Build the per-key stateful function. Emits one row per session
     FINALIZED by the watermark: an interval is emitted only once the
-    watermark passes its ``end + gap`` — before that, a late event
-    inside the watermark could still merge into it (F.session_window
-    semantics), so it rides in state even when the current batch's
-    sweep already gap-separated it from its successor. Pending
+    watermark STRICTLY passes its ``end + gap`` — before that, a late
+    event inside the watermark (including one at exactly
+    ``end + gap``, which merges: F.session_window's inclusive
+    semantics) could still merge into it, so it rides in state even
+    when the current batch's sweep already gap-separated it from its
+    successor. Pending
     intervals flush either on a later batch for the key or via the
     event-time timeout (armed at the EARLIEST pending ``end + gap``)."""
     gap_us = gap_seconds * 1_000_000
@@ -180,9 +182,14 @@ def make_session_func(gap_seconds: int):
             """Emit every interval the watermark has FINALIZED (no
             acceptable future event — ts >= watermark — can be within
             gap of it); hold the rest in state with the timeout armed
-            at the earliest pending finalization."""
-            ready = [iv for iv in intervals if iv[1] + gap_us <= wm_us]
-            held = [iv for iv in intervals if iv[1] + gap_us > wm_us]
+            at the earliest pending finalization. STRICT (end+gap <
+            wm): at wm == end+gap an event at exactly ts == wm is
+            still acceptable AND merges under the inclusive sweep, so
+            finalizing at <= made exactly-gap-spaced session
+            boundaries depend on whether the watermark happened to
+            land on end+gap between batches (r16 advice)."""
+            ready = [iv for iv in intervals if iv[1] + gap_us < wm_us]
+            held = [iv for iv in intervals if iv[1] + gap_us >= wm_us]
             if held:
                 state.update(
                     (
@@ -233,6 +240,13 @@ def make_session_func(gap_seconds: int):
         merged = [intervals[0]]
         for iv in intervals[1:]:
             cur = merged[-1]
+            # INCLUSIVE merge is the contract: F.session_window merges
+            # events spaced EXACTLY gap apart (verified empirically —
+            # two events at t and t+gap yield ONE native session
+            # [t, t+2*gap), pinned by the exact-gap test), so the
+            # sweep must too. Consistency with finalization comes from
+            # settle() being STRICT (end+gap < wm), not from
+            # strictening the merge (r16 advice, option 2).
             if iv[0] - cur[1] <= gap_us:
                 cur[1] = max(cur[1], iv[1])
                 cur[2] += iv[2]

@@ -210,7 +210,11 @@ def test_contention_guard_band_adjudication():
     query getting exactly ONE re-solo of its own (r15 had silently
     excluded it) — plus in-band control solos and a box-speed factor
     classifying every adjudication in_band / box_elevated /
-    code_elevated."""
+    band_noise / code_elevated. r16 verdict #2: at a measured factor
+    of ~1.0 the controls have just PROVEN the box runs at band speed,
+    so a within-tolerance elevation must read band_noise (dispersion
+    against a quietest-ever band), not box_elevated (a box effect the
+    controls contradict)."""
     bench = _load_bench()
 
     bands = {f"q{i}": [1.0, 2.0] for i in range(12)}
@@ -272,15 +276,18 @@ def test_contention_guard_band_adjudication():
     # (incl. q2's 6.3 outlier) never enter the instrument
     assert out["box_factor"] == 1.0
     assert out["box_factor_source"] == "controls"
-    # three-way verdicts: solo back under ceiling -> in_band; over but
-    # explained by the box factor -> box_elevated; over even after
-    # normalization -> code_elevated
+    # verdicts: solo back under ceiling -> in_band; within tolerance
+    # at a factor the controls measured as ~1.0 (box at band speed)
+    # -> band_noise, NOT box_elevated (r16 verdict #2); over even
+    # after normalization -> code_elevated
     assert adj["q1"]["verdict"] == "in_band"
     assert adj["q3"]["verdict"] == "in_band"
-    assert adj["q4"]["verdict"] == "box_elevated"
-    assert adj["hv_mild"]["verdict"] == "box_elevated"
+    assert adj["q4"]["verdict"] == "band_noise"
+    assert adj["hv_mild"]["verdict"] == "band_noise"
     assert adj["q2"]["verdict"] == "code_elevated"
     assert adj["hv_serious"]["verdict"] == "in_band"
+    # control-ratio spread recorded (r16 verdict #3): 1.067 / 0.933
+    assert out["control_spread"] == round(1.067 / 0.933, 3)
     # better-of-two reported: improved queries take the solo value,
     # worse re-runs keep the first pass
     assert timings["q1"] == 1.8 and timings["q2"] == 9.0
@@ -336,17 +343,22 @@ def test_contention_guard_box_normalizes_slow_box_day():
     # MORE queries than there are controls cannot normalize itself
     assert out["box_factor"] == 1.367
     assert out["box_factor_source"] == "controls"
-    # the uniform elevation is the box; the 4x one is the code
+    # the uniform elevation is the box (a real factor > 1.05 was
+    # measured, so box_elevated is the honest label); the 4x one is
+    # the code
     assert adj["qa"]["verdict"] == "box_elevated"
     assert adj["qb"]["verdict"] == "box_elevated"
     assert adj["qc"]["verdict"] == "code_elevated"
     assert adj["qc"]["solo_box_normalized"] == round(5.8 / 1.367, 3)
+    # homogeneous controls: spread 1.4/1.333, well under the weak bar
+    assert out["control_spread"] == round(1.4 / 1.333, 3)
     # a fully quiet run never solos controls and reports factor 1.0
     quiet = {f"c{i}": 1.5 for i in range(5)}
     out2 = bench._contention_guard(quiet, bands, set(), rerun=fake_rerun)
     assert out2["band_adjudication"] == {} and out2["controls"] == {}
     assert out2["box_factor"] == 1.0
     assert out2["box_factor_source"] == "none"
+    assert out2["control_spread"] is None
 
 
 def test_contention_guard_pooled_fallback_is_labeled():
@@ -374,3 +386,40 @@ def test_contention_guard_pooled_fallback_is_labeled():
         e["verdict"] == "box_elevated"
         for e in out["band_adjudication"].values()
     )
+    # no controls -> no spread to report
+    assert out["control_spread"] is None
+
+
+def test_contention_guard_control_spread_weak_signal(capsys):
+    """r16 verdict #3: the r16 driver controls ratioed 1.055/1.969/
+    2.236 — a 2.1x spread around the median the verdicts divided by.
+    Heterogeneous fake controls above CONTROL_SPREAD_WEAK must record
+    control_spread in the guard output AND print the treat-as-weak
+    warning, mirroring box_factor_source honesty."""
+    bench = _load_bench()
+
+    bands = {f"c{i}": [3.0, 4.0] for i in range(4)}
+    bands["qx"] = [1.0, 2.0]
+    timings = {f"c{i}": 3.5 for i in range(4)}
+    timings["qx"] = 2.4  # mild over-band -> triggers control solos
+    solos = {
+        "qx": 2.3,
+        # heterogeneous contention sensitivity: ratios 1.057 / 1.971
+        # / 2.229 vs band midpoint 3.5 (mirrors the r16 driver run)
+        "c0": 3.7, "c1": 6.9, "c2": 7.8,
+    }
+
+    out = bench._contention_guard(
+        timings, bands, set(), rerun=lambda n: solos[n]
+    )
+    ratios = sorted(c["ratio"] for c in out["controls"].values())
+    assert ratios == [1.057, 1.971, 2.229]
+    assert out["control_spread"] == round(2.229 / 1.057, 3)
+    assert out["control_spread"] > bench.CONTROL_SPREAD_WEAK
+    err = capsys.readouterr().err
+    assert "control-ratio spread" in err
+    assert "treat box_elevated verdicts as weak" in err
+    # and the median factor still classifies qx: 2.3 / 1.971 = 1.167
+    # -> back under ceiling*1.1 with a REAL factor -> box_elevated
+    assert out["box_factor"] == 1.971
+    assert out["band_adjudication"]["qx"]["verdict"] == "box_elevated"

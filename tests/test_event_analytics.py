@@ -245,3 +245,100 @@ def test_cusum_alarms_planted_step_change(spark, tmp_path_factory):
     r = rows[0]
     assert r["n_alarms"] == 7
     assert r["max_cusum"] == 150.0  # 10 shifted steps x (20 - 5)
+
+
+def test_session_window_exact_gap_inclusive_boundary(spark, edge_dir):
+    """r17 registry addition: grid-aligned timestamps make EVERY
+    adjacent-cell pair sit exactly gap apart, so this pins Spark's
+    inclusive session_window merge (diff == gap merges; verified
+    empirically on Spark 4.1) on data where the boundary actually
+    fires — microsecond-random testdata never exercises it, which is
+    how the pre-r17 session_window_native oracle could claim an
+    exclusive end and stay green."""
+    rows = entry.queries()["session_window_exact_gap"](
+        spark, edge_dir
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+
+    # u3: cells 00:10 / 00:20 / 00:30 — each neighbor EXACTLY one gap
+    # (10 min) apart -> ONE merged session spanning all three cells
+    u3 = by_user[3]
+    assert len(u3) == 1
+    assert u3[0]["session_start_us"] == _us(_ts(0, 10))
+    assert u3[0]["session_end_us"] == _us(_ts(0, 40))  # last cell + gap
+    assert u3[0]["n_events"] == 3
+
+    # u5: cells 01:00(x2) / 02:00 / 02:30 — every inter-cell gap is
+    # > 10 min, so three sessions; the same-cell pair collapses
+    u5 = sorted(by_user[5], key=lambda r: r["session_start_us"])
+    assert [(r["session_start_us"], r["n_events"]) for r in u5] == [
+        (_us(_ts(1, 0)), 2),
+        (_us(_ts(2, 0)), 1),
+        (_us(_ts(2, 30)), 1),
+    ]
+
+    # u1: three events inside ONE cell -> one session of the cell span
+    u1 = by_user[1]
+    assert len(u1) == 1 and u1[0]["n_events"] == 3
+    assert u1[0]["session_start_us"] == _us(_ts(0, 0))
+    assert u1[0]["session_end_us"] == _us(_ts(0, 10))
+
+
+def test_session_window_native_merges_exact_gap_pair(
+    spark, tmp_path_factory
+):
+    """r17 fix: session_window_native's oracle used >= gap (exclusive
+    end) while Spark's native session_window MERGES a pair exactly gap
+    apart. Two events exactly 30 minutes apart must come back as ONE
+    session ending at last + gap — the batch twin of the stateful
+    sessionizer's inclusive-merge contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("exact_gap_events")
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [_ts(1, 0), _ts(1, 30)], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["view", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    rows = entry.queries()["session_window_native"](
+        spark, str(d)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 2
+    assert r["session_start_us"] == _us(_ts(1, 0))
+    assert r["session_end_us"] == _us(_ts(2, 0))  # 01:30 + 30min gap
+    assert r["session_value"] == 3.0
+
+
+def test_window_rolling_distinct_frame_semantics(spark, edge_dir):
+    """r17 registry addition: size(array_distinct(collect_list)) over
+    a 10-row frame == COUNT(DISTINCT) OVER (the DuckDB oracle). Pins
+    the frame semantics on crafted data: running distinct grows only
+    on genuinely new types, same-instant ties ordered by event_id."""
+    rows = entry.queries()["window_rolling_distinct"](
+        spark, edge_dir
+    ).collect()
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(
+            r["n_distinct_types_10"]
+        )
+
+    assert by_user[1] == [1, 1, 1]          # view, view, view
+    assert by_user[3] == [1, 2, 3]          # click, view, purchase
+    # u5: purchase/error same instant (event_id tie), purchase, error
+    assert by_user[5] == [1, 2, 2, 2]
+    # u7: view+click at the same instant -> second row sees both
+    assert by_user[7] == [1, 2]

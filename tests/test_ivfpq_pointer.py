@@ -727,3 +727,24 @@ def test_vacuum_default_refuses_unreadable_sidecar(spark, tmp_path, emb_halves):
         similarity.ivfpq_vacuum(spark, p)
     # explicit horizon bypasses the persisted-value resolution
     assert similarity.ivfpq_vacuum(spark, p, retain_versions=2) == 0
+
+
+def test_vacuum_default_on_never_seeded_path_is_noop(spark, tmp_path):
+    """r16 advice: a scheduled default vacuum pointed at a
+    not-yet-seeded index (nonexistent path, or an empty dir with no
+    pointer / version dirs / grace slot / layout) has nothing to
+    reclaim and must return 0 — not die with an IOError whose own
+    remediation (ivfpq_recover) would raise FileNotFoundError on the
+    same empty path. The refusal is reserved for paths that DO hold
+    index state under an unreadable live sidecar (previous test)."""
+    missing = str(tmp_path / "never_seeded")
+    assert similarity.ivfpq_vacuum(spark, missing) == 0
+    # an existing-but-empty directory is equally stateless
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert similarity.ivfpq_vacuum(spark, str(empty)) == 0
+    # the recover remediation on the stateless path is indeed the
+    # advertised FileNotFoundError — the vacuum no-op is what keeps a
+    # nightly cron alive, recover stays the crash-debris tool
+    with pytest.raises(FileNotFoundError):
+        similarity.ivfpq_recover(spark, missing)

@@ -580,3 +580,75 @@ def test_sessionizer_straggler_merges_into_pending_closed_span(
         ("2024-01-01 00:35:00", "2024-01-01 00:35:30", 2, 6.0),
         ("2024-01-01 01:00:00", "2024-01-01 01:00:00", 1, 1.0),
     }, u1
+
+
+def test_sessionizer_exactly_gap_spacing_merges_like_native(spark, tmp_path):
+    """r16 advice: settle() finalized once end+gap <= watermark while
+    the sweep merged at ts - end <= gap (inclusive), so a pair of
+    events spaced exactly gap apart merged or fragmented depending on
+    whether the watermark happened to reach exactly end+gap between
+    their batches. The CONTRACT is the native one — F.session_window
+    merges exactly-gap-spaced events (verified below: one native
+    session), i.e. the inclusive merge is correct — so the fix is
+    STRICT finalization (end+gap < wm): an interval is held while an
+    event at exactly end+gap is still acceptable. Exactly-gap spacing
+    is now ALWAYS one merged session, same-batch or cross-batch."""
+    src = tmp_path / "src"
+    src.mkdir()
+    # u1: both boundary events in ONE batch (same sweep)
+    _write_batch(
+        src,
+        "b1.jsonl",
+        [
+            ("u1", "click", 1.0, "2024-01-01 01:00:00"),
+            ("u1", "click", 2.0, "2024-01-01 01:01:00"),  # exactly 60s
+        ],
+    )
+    # u2: the same exact-gap spacing split ACROSS batches — the
+    # timing-dependent case from the advice
+    _write_batch(src, "b2.jsonl", [("u2", "click", 4.0, "2024-01-01 01:00:00")])
+    _write_batch(src, "b3.jsonl", [("u2", "click", 8.0, "2024-01-01 01:01:00")])
+    # u3 far ahead: watermark (5:30 - 2h = 3:30) finalizes everything
+    _write_batch(src, "b4.jsonl", [("u3", "view", 16.0, "2024-01-01 05:00:00")])
+    _write_batch(src, "b5.jsonl", [("u3", "view", 32.0, "2024-01-01 05:30:00")])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: stateful.sessionize_stateful(
+            s, gap_seconds=60, watermark="2 hours"
+        ),
+        "sessions_exact_gap",
+    )
+    got = {
+        key: {
+            (
+                str(r["session_start"]),
+                str(r["session_end"]),
+                r["n_events"],
+                r["session_value"],
+            )
+            for r in out.filter(f"key = '{key}'").collect()
+        }
+        for key in ("u1", "u2")
+    }
+    assert got["u1"] == {
+        ("2024-01-01 01:00:00", "2024-01-01 01:01:00", 2, 3.0),
+    }, got
+    assert got["u2"] == {
+        ("2024-01-01 01:00:00", "2024-01-01 01:01:00", 2, 12.0),
+    }, got
+    # the native F.session_window on the same data agrees: ONE merged
+    # session — exactly-gap-spaced events DO merge (inclusive), which
+    # is why the stateful sweep stays inclusive and the finalization
+    # went strict rather than the other way around
+    native = stateful.session_window_stats(
+        spark.createDataFrame(
+            [
+                ("u1", "click", 1.0, datetime(2024, 1, 1, 1, 0, 0)),
+                ("u1", "click", 2.0, datetime(2024, 1, 1, 1, 1, 0)),
+            ],
+            SCHEMA,
+        ),
+        gap="1 minute",
+    )
+    assert native.count() == 1

@@ -422,12 +422,25 @@ def test_unreadable_manifest_is_not_retirement(spark, tmp_path):
     upsert.merge_upsert(_batch(spark, [("a", 1, "a1")]), path, ["k"], "seq")
     # Replace v1's manifest FILE with a DIRECTORY: open() raises
     # IsADirectoryError — an OSError that is not FileNotFoundError,
-    # standing in for "store unreadable, not reclaimed".
+    # standing in for "store unreadable, not reclaimed". Save the
+    # manifest bytes first so the read-back below can actually prove
+    # non-retirement (r16 advice: the old test only rmdir'd the
+    # stand-in and never restored, so nothing verified the claim).
     manifest = os.path.join(path, "v1", "manifest.json")
+    with open(manifest, "rb") as f:
+        manifest_bytes = f.read()
     os.remove(manifest)
     os.makedirs(manifest)
     with pytest.raises(IsADirectoryError):
         upsert.read_state_at(spark, path, 1)
-    # restore and prove the version was never retired
+    # restore the manifest and prove the version was never retired:
+    # the transient unreadability left the committed rows intact
     os.rmdir(manifest)
+    with open(manifest, "wb") as f:
+        f.write(manifest_bytes)
+    got = {
+        (r["k"], r["seq"], r["val"])
+        for r in upsert.read_state_at(spark, path, 1).collect()
+    }
+    assert got == {("a", 1, "a1")}
     shutil.rmtree(path)
