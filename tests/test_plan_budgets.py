@@ -324,3 +324,28 @@ def test_round9_query_stays_within_shuffle_budget(spark, name):
         f"{name}: {n} shuffle exchanges > budget {ROUND9_BUDGETS[name]}:"
         f"\n{plan[:2000]}"
     )
+
+
+ROUND17_BUDGETS = {
+    # grid floor is a scan-stage projection; partial session agg feeds
+    # ONE user_id shuffle into MergingSessions + presentation sort —
+    # identical budget to session_window_native
+    "session_window_exact_gap": 2,
+    # one user_id-keyed window shuffle (10-row frame collect_list,
+    # whole-stage size/array_distinct projection) + presentation sort
+    "window_rolling_distinct": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROUND17_BUDGETS))
+def test_round17_query_stays_within_shuffle_budget(spark, name):
+    import __spark_entry__ as entry
+
+    spark.catalog.clearCache()
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = plan_text(df, mode="simple")
+    n = count_exchanges(plan)
+    assert n <= ROUND17_BUDGETS[name], (
+        f"{name}: {n} shuffle exchanges > budget {ROUND17_BUDGETS[name]}:"
+        f"\n{plan[:2000]}"
+    )
