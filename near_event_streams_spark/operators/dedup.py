@@ -877,6 +877,14 @@ def connected_components(
     * iterations needed = component diameter (near-dup clusters are tiny;
       the ``max_iter`` guard is for adversarial chains).
     """
+    # r17: the edge cache is hash-partitioned on the per-superstep join
+    # key (``nbr``) — ``distinct`` leaves it partitioned on the PAIR,
+    # so every iteration used to re-shuffle the full edge list to join
+    # the label vector; now only the O(nodes) labels move per round
+    # (the pagerank/label_propagation contract, guide §2.4).
+    nparts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     sym = (
         edges.select(
             F.col(a_col).alias("node"), F.col(b_col).alias("nbr")
@@ -887,6 +895,7 @@ def connected_components(
             )
         )
         .distinct()
+        .repartition(nparts, "nbr")
         .persist()
     )
     labels = (
@@ -906,6 +915,12 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("nbr_comp").alias("min_nbr_comp"))
         )
+        # the convergence flag rides INSIDE the checkpointed frame
+        # (min-label strictly decreases, so changed ⇔ a neighbor label
+        # undercut ours): the former old-vs-new full join per
+        # iteration re-shuffled both label vectors just to detect
+        # convergence — now it is a filter/limit scan of rows already
+        # materialized by the checkpoint (r17, guide §2.4)
         new_labels = (
             labels.join(nbr_labels, "node", "left")
             .select(
@@ -913,17 +928,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("min_nbr_comp", "comp")
                 ).alias("comp"),
+                (
+                    F.coalesce("min_nbr_comp", "comp") < F.col("comp")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     sym.unpersist()

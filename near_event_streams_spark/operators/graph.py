@@ -20,7 +20,7 @@ the power-of-ten scale (exact-input IEEE division — deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -67,62 +67,69 @@ def pagerank(
     # superstep joins on src, so the big side never re-shuffles — only
     # the O(nodes) rank vector moves each round. (Without this the
     # union's doubled partition count also fragments every superstep
-    # into task-overhead-dominated splits.)
+    # into task-overhead-dominated splits.) r17: the out-degree is
+    # FOLDED INTO the cached edge list once at build — it is loop-
+    # constant, and the former per-superstep ``join(outdeg, "src")``
+    # re-paid a join of the full edge stream every round for a value
+    # that never changes (guide §2.4: establish a partitioning/
+    # decoration once, not once per pass).
     spark = edges.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    sym = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .repartition(nparts, "src")
-        .persist()
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    outdeg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sym = raw.join(outdeg, "src").repartition(nparts, "src").persist()
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
         .persist()  # reused every superstep; caller may clearCache after
     )
-    outdeg = (
-        sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    )
-    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
-    teleport = _idiv(
-        F.lit((_DAMP_DEN - _DAMP_NUM) * SCALE).cast("long"),
-        F.lit(_DAMP_DEN).cast("long") * F.col("n"),
-    )
-    ranks = nodes.crossJoin(n).select(
-        "node", _idiv(F.lit(SCALE).cast("long"), F.col("n")).alias("pr")
+    # r17: N is read ONCE as a driver scalar (one bounded count over
+    # the cached node vector — the e.count() contract) and teleport /
+    # the uniform start become PLAIN LITERALS. The former 1-row
+    # ``crossJoin(broadcast(n agg))`` re-ran the aggregate and paid a
+    # fresh broadcast build inside EVERY superstep's checkpoint job —
+    # pure fixed latency, 6× per query. Python ``//`` on non-negative
+    # ints == SQL ``div`` here, so the values are bit-identical.
+    n_nodes = nodes.count()
+    teleport = F.lit(
+        (_DAMP_DEN - _DAMP_NUM) * SCALE // (_DAMP_DEN * n_nodes)
+    ).cast("long")
+    ranks = nodes.select(
+        "node", F.lit(SCALE // n_nodes).cast("long").alias("pr")
     )
     if checkpoint:
         ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
+        # r17: dst-nodes with no in-mass are handled by UNIONING a
+        # zero-contribution seed row per node into the aggregate
+        # instead of LEFT-JOINING the node vector onto the aggregated
+        # result — one O(nodes) union input replaces a per-superstep
+        # join (build + probe of two O(nodes) sides) and the
+        # coalesce; Σ over {0} ∪ contribs == coalesce(Σ contribs, 0).
         contrib = (
             ranks.join(sym, ranks["node"] == sym["src"])
-            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 _idiv(F.col("pr"), F.col("deg")).alias("c"),
             )
+            .unionByName(
+                nodes.select("node", F.lit(0).cast("long").alias("c"))
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(n)
-            .select(
-                "node",
-                (
-                    teleport
-                    + _idiv(
-                        F.lit(_DAMP_NUM).cast("long")
-                        * F.coalesce(
-                            F.col("in_mass"), F.lit(0).cast("long")
-                        ),
-                        F.lit(_DAMP_DEN).cast("long"),
-                    )
-                ).alias("pr"),
-            )
+        ranks = contrib.select(
+            "node",
+            (
+                teleport
+                + _idiv(
+                    F.lit(_DAMP_NUM).cast("long") * F.col("in_mass"),
+                    F.lit(_DAMP_DEN).cast("long"),
+                )
+            ).alias("pr"),
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
@@ -157,8 +164,10 @@ def label_propagation(
     Scale shape mirrors :func:`pagerank`: the edge list persists
     hash-partitioned on ``src`` so each superstep's join re-shuffles
     only the O(nodes) label vector; the adopt step is one (dst, label)
-    count aggregate plus a per-dst rank window over the already-reduced
-    label counts (≤ distinct-labels rows per node, never raw edges);
+    count aggregate plus a per-dst struct-MIN aggregate over the
+    already-reduced label counts unioned with a zero-count own-label
+    seed (≤ distinct-labels rows per node, never raw edges — and no
+    per-node sort window, no keep-own-label join);
     ``localCheckpoint`` truncates the label vector's lineage per
     superstep.
     """
@@ -180,54 +189,99 @@ def label_propagation(
     labels = nodes.select("node", F.col("node").alias("label"))
     if checkpoint:
         labels = labels.localCheckpoint(eager=True)
-    w = Window.partitionBy("node").orderBy(
-        F.desc("cnt"), F.asc("label")
-    )
     for _ in range(iterations):
+        # r17: keep-own-label fallback is a ZERO-COUNT SEED row
+        # (node, own_label, 0) unioned into the neighbor-label counts
+        # instead of a per-superstep left join of the label vector onto
+        # the winners: any real neighbor label (cnt >= 1) beats the
+        # seed, a node with no in-neighbors keeps its own label via the
+        # seed, and a seed matching a neighbor label adds 0 — winner
+        # identical in all three cases, one join fewer per superstep.
         counts = (
             labels.join(sym, labels["node"] == sym["src"])
             .select(F.col("dst").alias("node"), "label")
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .unionByName(
+                labels.select(
+                    "node", "label", F.lit(0).cast("long").alias("cnt")
+                )
+            )
         )
-        best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
-        labels = labels.join(best, "node", "left").select(
-            "node",
-            F.coalesce(F.col("new_label"), F.col("label")).alias(
-                "label"
-            ),
+        # adopt = arg-max by (cnt DESC, label ASC), expressed as ONE
+        # struct-MIN aggregate over the reduced (node, label) counts —
+        # byte-identical winner to the former row_number window (struct
+        # ordering is lexicographic: -cnt ascending = cnt descending,
+        # then label ascending) but with a map-side partial aggregate
+        # and NO per-node sort (r17; guide §2.3 "aggregate before you
+        # shuffle" — the window shuffled and sorted every (node, label)
+        # row to rank them, the min-agg reduces them in-stage)
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("_negcnt"),
+                        F.col("label").alias("_l"),
+                    )
+                ).alias("_best")
+            )
+            .select("node", F.col("_best._l").alias("label"))
         )
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)
     return labels
 
 
+#: adjacency tables whose total entry count is at or below this
+#: broadcast to the closure join (8 B/entry → ≤ ~80 MB framed); larger
+#: graphs take the equi-join path. Same size-adaptive contract as
+#: ``dedup._verify_pairs(max_broadcast_docs=)``.
+TRIANGLE_MAX_BROADCAST_ENTRIES = 10_000_000
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """Exact global triangle count + clustering coefficient by
-    DEGREE-ORIENTED wedge join — the provably work-optimal single-pass
-    formulation (O(m^1.5) worst case, vs O(Σdeg²) for naive wedge
-    enumeration): orient every undirected edge from its
+    DEGREE-ORIENTED adjacency intersection — the work-optimal O(m^1.5)
+    formulation: orient every undirected edge from its
     lexicographically-smaller (degree, id) endpoint to the larger, so
-    each node's OUT-degree is bounded by ~√(2m); every triangle then
-    appears exactly once as an oriented wedge u→v, u→w (v before w in
-    the same total order) closed by the oriented edge v→w.
+    each node's OUT-degree is bounded by ~√(2m); every triangle
+    {x ≺ y ≺ z} is then counted exactly once at its oriented edge
+    (x, y), as z ∈ N⁺(x) ∩ N⁺(y).
 
-    All three steps are equi-joins/aggregates — no theta join, no
-    driver collect; the output is one summary row (node/edge/triangle
-    counts and the global clustering coefficient 3·T / #wedges, with
-    the ratio rounded via the engine-exact integer HALF_UP helper).
+    r17 (optimization): the closure used to be a wedge JOIN — a1(u,v) ⋈
+    a2(u,w) materialized every oriented wedge (O(m^1.5) ROWS through an
+    exchange; 135M rows at sf0.1) and re-joined them against the edge
+    list. The count is instead computed per EDGE: collect each node's
+    oriented out-neighborhood once (O(m) total entries, per-array
+    bounded by √(2m) thanks to the orientation) and sum
+    ``|N⁺(u) ∩ N⁺(v)|`` over oriented edges with a JVM-codegen
+    ``array_intersect`` — identical total (each wedge is tested exactly
+    once inside the intersection), same O(m^1.5) work bound, but the
+    only rows ever shuffled are the O(m) edges and the O(m)-entry
+    adjacency table, never the wedges (guide §2.3/§2.4: shuffle keys
+    and bounded metadata, not the quadratic intermediate). When the
+    adjacency table is small enough it broadcasts and the closure runs
+    entirely in the edge scan stage; past
+    ``TRIANGLE_MAX_BROADCAST_ENTRIES`` the closure is two equi-joins —
+    the shuffled bytes are Σ_edges |N⁺(u)|+|N⁺(v)| = O(m^1.5) ~8-byte
+    entries, still strictly less than the wedge join moved (the wedge
+    rows were ~32 B each AND re-joined; see OPTIMIZATION_r17.md for
+    the sf0.1 A/B against the 15.6-21.6 s wedge-join band).
+
+    No theta join, no driver collect of data (the adjacency-size gate
+    reads one count from the already-persisted edge cache); the output
+    is one summary row (node/edge/triangle counts and the global
+    clustering coefficient 3·T / #wedges, with the ratio rounded via
+    the engine-exact integer HALF_UP helper).
     """
     from near_event_streams_spark.functions.rounding import half_up6_spark
 
     # e feeds deg + the orientation join + the edge count; deg feeds
     # two endpoint joins + the node/wedge aggregate; oriented feeds the
-    # two wedge legs + the closure probe. Without persist each consumer
+    # adjacency build + the closure probe. Without persist each consumer
     # recomputes the whole upstream subtree — the classic diamond-reuse
     # trap this operator's budget gate pins. The cache handles are
     # caller-owned (spark.catalog.clearCache()), the same contract as
@@ -258,17 +312,33 @@ def triangle_count(
     oriented = ed.select(
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lt, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).persist()
-    a1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
-    a2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
-    wedges = a1.join(a2, "u").filter(
-        (F.col("dx") < F.col("dy"))
-        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    # oriented out-neighborhoods: O(m) entries total, each array ≤
+    # √(2m) by the degree orientation (the bound that keeps a hot
+    # node's row from exploding)
+    adj = (
+        oriented.groupBy("u")
+        .agg(F.collect_list("v").alias("nbrs"))
+        .persist()
     )
-    tri = wedges.join(
-        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
-        ["x", "y"],
+    n_edges_val = e.count()  # also warms the persist for every consumer
+    small = n_edges_val <= TRIANGLE_MAX_BROADCAST_ENTRIES
+    au = adj.select(F.col("u").alias("_au"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("_av"), F.col("nbrs").alias("nv"))
+    closure = (
+        oriented.join(
+            F.broadcast(au) if small else au,
+            oriented["u"] == au["_au"],
+        )
+        # inner on v: an edge whose head has no out-neighbors closes no
+        # triangle and contributes exactly 0 to the sum
+        .join(
+            F.broadcast(av) if small else av,
+            oriented["v"] == av["_av"],
+        )
+        .select(
+            F.size(F.array_intersect("nu", "nv")).cast("long").alias("t")
+        )
     )
     # one distributed plan: each summary is a 1-row scalar aggregate,
     # combined by 1-row cross joins (no driver-side counts)
@@ -279,7 +349,9 @@ def triangle_count(
         ).alias("n_wedges"),
     )
     edges_agg = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    tri_agg = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri_agg = closure.agg(
+        F.coalesce(F.sum("t"), F.lit(0).cast("long")).alias("n_triangles")
+    )
     return (
         nodes_agg.crossJoin(edges_agg)
         .crossJoin(tri_agg)

@@ -629,12 +629,13 @@ def neardup_image_pairs(
     the MinHash banding in ``dedup.py`` but deterministic.
 
     Plan: posexplode bands → self-join on ``(band_idx, band_value)``
-    (candidates only from shared buckets) → distinct ``a < b`` pairs →
-    Hamming verify via ``zip_with(bit_count(xor))`` on the two band
-    arrays (JVM codegen, no Python). At 100 TB the candidate volume is
-    governed by bucket occupancy, exactly like every banded-LSH family
-    here; a degenerate band value (e.g. all-zero bytes from flat
-    images) is the skew knob to watch.
+    (candidates only from shared buckets, both sides carrying their
+    n_bands-byte hash) → Hamming verify via ``zip_with(bit_count(xor))``
+    on the two band arrays (JVM codegen, no Python, in the collision
+    stream itself) → distinct verified ``a < b`` pairs. At 100 TB the
+    candidate volume is governed by bucket occupancy, exactly like
+    every banded-LSH family here; a degenerate band value (e.g.
+    all-zero bytes from flat images) is the skew knob to watch.
 
     ``max_bucket`` is that knob: buckets holding more than ``max_bucket``
     hashes are DROPPED from candidate generation (one count aggregate +
@@ -649,9 +650,21 @@ def neardup_image_pairs(
     Returns ``(a_id, b_id, hamming)`` for verified pairs.
     """
     assert 0 <= max_hamming < n_bands, (max_hamming, n_bands)
-    hs = hashed.filter(F.col("decoded")).select("media_id", "bands")
+    # r17: persist the decoded hashes — both sides of the band-bucket
+    # self-join (and, formerly, two verify joins) consume this frame,
+    # and without the cache every consumer re-ran the full decode+dHash
+    # mapInPandas pass over the payload column (3× the Python-boundary
+    # cost for one logical pass — guide §4/§8: decode once). Persist
+    # handle is caller-owned (clearCache), the jaccard_pairs contract.
+    hs = (
+        hashed.filter(F.col("decoded"))
+        .select("media_id", "bands")
+        .persist()
+    )
     ex = hs.select(
-        "media_id", F.posexplode("bands").alias("band_idx", "band_val")
+        "media_id",
+        "bands",
+        F.posexplode("bands").alias("band_idx", "band_val"),
     )
     if max_bucket is not None:
         w = Window.partitionBy("band_idx", "band_val")
@@ -660,42 +673,65 @@ def neardup_image_pairs(
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
+    # the 8-byte hash rides THROUGH the bucket join (it IS the decision
+    # data — a fixed n_bands-byte array, not a payload), so the Hamming
+    # verify is a codegen filter on the collision stream itself: the
+    # former (a_id, b_id) distinct + two hash-fetch joins are gone
+    # (r17; guide §2.4 — the re-attach joins were a second and third
+    # pass over the hash table for bytes the join already held)
     a = ex.select(
-        F.col("media_id").alias("a_id"), "band_idx", "band_val"
+        F.col("media_id").alias("a_id"),
+        F.col("bands").alias("a_bands"),
+        "band_idx",
+        "band_val",
     )
     b = ex.select(
-        F.col("media_id").alias("b_id"), "band_idx", "band_val"
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    ha = hs.select(
-        F.col("media_id").alias("a_id"), F.col("bands").alias("a_bands")
-    )
-    hb = hs.select(
-        F.col("media_id").alias("b_id"), F.col("bands").alias("b_bands")
+        F.col("media_id").alias("b_id"),
+        F.col("bands").alias("b_bands"),
+        "band_idx",
+        "band_val",
     )
     return (
-        cand.join(ha, "a_id")
-        .join(hb, "b_id")
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
             "b_id",
             hamming_distance(
-                F.col("a_bands"), F.col("b_bands")
+                F.col("a_bands"), F.col("b_bands"), n_bands=n_bands
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
-def hamming_distance(a_bands, b_bands):
-    """Hamming distance between two band-array hashes, as a pure JVM
-    codegen expression: ``Σ_j bit_count(a[j] XOR b[j])`` via
-    ``zip_with`` + ``aggregate`` — no Python in the verify path."""
+def hamming_distance(a_bands, b_bands, n_bands: int | None = None):
+    """Hamming distance between two band-array hashes, no Python in
+    the verify path.
+
+    When ``n_bands`` is known (every dedup call site: the hash width
+    is a construction constant), the sum is STATICALLY UNROLLED into
+    ``bit_count(a[1]^b[1]) + … + bit_count(a[n]^b[n])`` — a flat
+    whole-stage-codegen expression. The generic ``zip_with`` +
+    ``aggregate`` fallback (``n_bands=None``) is evaluated through
+    Spark's INTERPRETED higher-order-function path (lambda variables
+    block codegen), which profiled ~30× slower per row on the sf0.1
+    collision stream (r17: the 3.8M-row band join spent ~4 s in the
+    fold vs ~0.3 s unrolled — guide §1.2 per-task work)."""
+    if n_bands is not None:
+        terms = [
+            F.bit_count(
+                F.element_at(a_bands, j).bitwiseXOR(
+                    F.element_at(b_bands, j)
+                )
+            )
+            for j in range(1, n_bands + 1)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(
             a_bands,

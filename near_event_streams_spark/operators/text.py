@@ -856,7 +856,10 @@ def bpe_learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split("w", "").alias("sym"), "freq")
-        .localCheckpoint(eager=True)  # merge loop input; lineage root
+        # merge loop input; lineage root. LAZY local checkpoint (r17):
+        # the first pair-count job materializes it — same truncation,
+        # one fewer job
+        .localCheckpoint(eager=False)
     )
     out_rows = []
     for it in range(1, n_merges + 1):
@@ -897,10 +900,16 @@ def bpe_learn_merges(
         )
         merged = left + right
         out_rows.append((it, left, right, merged, cnt))
+        # r17: LAZY local checkpoint — still truncates lineage (each
+        # iteration's plan reads the previous checkpoint, never the
+        # re-derived corpus scan), but materialization folds into the
+        # NEXT iteration's pair-count job instead of being its own
+        # eager job: n_merges+1 jobs total instead of 2·n_merges, and
+        # the final iteration's fold (consumed by no one) never runs
         words = words.select(
             bpe_merge_fold("sym", left, right, merged).alias("sym"),
             "freq",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     spark = docs.sparkSession
     return spark.createDataFrame(
         out_rows,

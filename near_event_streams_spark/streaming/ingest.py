@@ -749,6 +749,7 @@ def image_neardup_decide(
                     multimodal.hamming_distance(
                         F.col("bands"),
                         F.col("reg_sig").cast("array<int>"),
+                        n_bands=n_bands,
                     )
                     <= max_hamming
                 )
@@ -775,7 +776,7 @@ def image_neardup_decide(
             (F.col("_a_id") < F.col("_b_id"))
             & (
                 multimodal.hamming_distance(
-                    F.col("_a_bands"), F.col("_b_bands")
+                    F.col("_a_bands"), F.col("_b_bands"), n_bands=n_bands
                 )
                 <= max_hamming
             )
