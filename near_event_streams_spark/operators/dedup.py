@@ -251,6 +251,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_sets: bool | None = None,
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard ≥ threshold — EXACT, via
     PPJoin (probe/index prefixes + length + positional filters).
@@ -293,8 +294,16 @@ def jaccard_pairs(
     den = 10000
 
     # sets is referenced again by verification; without persist Spark
-    # re-derives the shingle arrays from raw text each time.
-    sets = shingle_id_sets(docs, id_col, text_col).persist()
+    # re-derives the shingle arrays from raw text each time. ``_sets``
+    # (r17): invariant-gate queries that run this exact pipeline NEXT
+    # TO an LSH pipeline over the SAME corpus pass the one persisted
+    # shingle frame instead of paying the split→bigram→hash→distinct
+    # build once per pipeline; the caller owns the persist handle.
+    sets = (
+        _sets
+        if _sets is not None
+        else shingle_id_sets(docs, id_col, text_col).persist()
+    )
     ids = sets.select("doc_id", "sz", F.explode("sh").alias("sid"))
     dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "sid")
@@ -355,6 +364,7 @@ def containment_pairs(
     broadcast_sets: bool | None = None,
     max_broadcast_docs: int = 500_000,
     max_df: int | None = None,
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """ORDERED pairs with shingle-set containment
     ``C(A→B) = |A∩B| / |A| ≥ threshold`` — the superset-duplicate
@@ -410,8 +420,13 @@ def containment_pairs(
     # extra candidates, never lost ones; the verify stays exact.
     num = math.floor(threshold * 10000)
     den = 10000
+    # ``_sets`` (r17): a shared UNFILTERED persisted shingle frame —
+    # the min_shingles filter is applied here either way, so results
+    # are identical; the caller owns the persist handle.
     sets = (
-        shingle_id_sets(docs, id_col, text_col)
+        _sets.filter(F.col("sz") >= min_shingles)
+        if _sets is not None
+        else shingle_id_sets(docs, id_col, text_col)
         .filter(F.col("sz") >= min_shingles)
         .persist()
     )
@@ -508,6 +523,7 @@ def containment_lsh_pairs(
     text_col: str = "text",
     broadcast_sets: bool | None = None,
     max_broadcast_docs: int = 500_000,
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate-candidate containment dedup — the LSH escape hatch
     for :func:`containment_pairs`, whose exact PPJoin must inverted-
@@ -585,8 +601,12 @@ def containment_lsh_pairs(
     num = math.floor(threshold * 10000)
     den = 10000
     k = num_probe_slots
+    # ``_sets`` (r17): shared unfiltered persisted shingle frame — see
+    # :func:`containment_pairs`; the filter keeps results identical.
     sets = (
-        shingle_id_sets(docs, id_col, text_col)
+        _sets.filter(F.col("sz") >= min_shingles)
+        if _sets is not None
+        else shingle_id_sets(docs, id_col, text_col)
         .filter(F.col("sz") >= min_shingles)
         .persist()
     )
@@ -596,8 +616,24 @@ def containment_lsh_pairs(
     df_cap = max(min_df_cap, int(hot_df_fraction * n_docs))
     ids = sets.select("doc_id", "sz", F.explode("sh").alias("sid"))
     dfreq = ids.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
-    idf = ids.join(dfreq, "sid")
-    rare = F.col("df") <= df_cap
+    # r17 (guide §3.2): the slot aggregate only needs to KNOW WHICH
+    # shingles are hot, not every shingle's df — so instead of joining
+    # the full dfreq table back onto the raw shingle stream (an
+    # exchange of the whole exploded stream on sid, plus dfreq's own,
+    # and at corpus scale dfreq outgrows any broadcast threshold and
+    # the join degrades to a full sort-merge), broadcast the HOT SET
+    # as a left-join blacklist. Its size is bounded BY CONSTRUCTION at
+    # any corpus size: Σ_sid df = S (the total shingle stream), so
+    # #hot ≤ S/df_cap ≤ S/(hot_df_fraction·n_docs) =
+    # avg_shingles_per_doc/hot_df_fraction — ~20× the mean doc size in
+    # entries at the 0.05 default, INDEPENDENT of corpus row count.
+    # The stream then flows scan→probe→partial-agg with no exchange
+    # before the per-doc slot aggregate.
+    hot = dfreq.filter(F.col("df") > df_cap).select(
+        "sid", F.lit(True).alias("_hot")
+    )
+    idf = ids.join(F.broadcast(hot), "sid", "left")
+    rare = F.col("_hot").isNull()
     # Slot j keeps the ARGMIN SHINGLE ID (min over the pool of the
     # struct (salted hash, sid) — deterministic under hash ties), not
     # the min hash VALUE. Candidates then join the probe's k argmin
@@ -836,10 +872,13 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     band_size: int = 4,
     broadcast_sets: bool | None = None,
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH buckets → exact-Jaccard verify
-    of candidates only. Returns verified (a_doc_id, b_doc_id, jaccard)."""
-    sets = shingle_id_sets(docs).persist()
+    of candidates only. Returns verified (a_doc_id, b_doc_id, jaccard).
+    ``_sets`` (r17): shared persisted shingle frame — see
+    :func:`jaccard_pairs`; the caller owns the persist handle."""
+    sets = _sets if _sets is not None else shingle_id_sets(docs).persist()
     sh = sets.select("doc_id", F.explode("sh").alias("sid"))
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes), num_hashes, band_size

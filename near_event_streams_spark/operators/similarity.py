@@ -349,6 +349,30 @@ def ivf_index(
     downstream recall/coverage gates were re-verified at sf0.001/0.01/
     0.1 (all thresholds hold; the gates are thresholds, not pins).
     """
+    assigned, centroids, _ = _ivf_index_with_sample(
+        corpus, n_clusters, seed, id_col, vec_col, fit_sample
+    )
+    return assigned, centroids
+
+
+def _ivf_index_with_sample(
+    corpus: DataFrame,
+    n_clusters: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    fit_sample: int,
+) -> tuple[DataFrame, list[list[float]], np.ndarray]:
+    """:func:`ivf_index` body, also returning the collected coarse-fit
+    sample matrix ``xs`` (``fit_sample`` rows in the seeded
+    ``_sample_order``). :func:`ivfpq_index` / :func:`opq_index` slice
+    their PQ-residual training sample from it on the driver instead of
+    re-collecting a second ordered sample through a full corpus pass
+    (r17, guide §1.2/§5: the old residual ``orderBy(...).limit(...)``
+    re-evaluated the assignment UDF over EVERY corpus row and paid a
+    second TakeOrdered job to fetch rows that are — by construction,
+    same seed, same total order — a PREFIX of the sample already on the
+    driver)."""
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
@@ -389,7 +413,7 @@ def ivf_index(
         nearest(F.col("embedding")).alias("cluster"),
     )
     centroids = [list(map(float, c)) for c in cmat]
-    return assigned, centroids
+    return assigned, centroids, xs
 
 
 def _fit_kmeans_sample(
@@ -587,20 +611,58 @@ def ivfpq_index(
     as a Spark broadcast; encoding is one Arrow-batched vectorized pass
     over the corpus — no shuffle beyond :func:`ivf_index`'s own
     assignment."""
-    from pyspark.sql import SparkSession
-    from pyspark.sql.functions import pandas_udf
-
     assert 2 <= ks <= 256, ks  # codes must fit one byte each
-    assigned, centroids = ivf_index(
-        corpus, n_clusters, seed, id_col, vec_col
+    assigned, centroids, coarse_xs = _ivf_index_with_sample(
+        corpus, n_clusters, seed, id_col, vec_col, fit_sample=32768
     )
-    spark = SparkSession.getActiveSession()
     cmat = np.asarray(centroids, dtype=np.float64)
+    resid = _residual_sample(
+        assigned, cmat, seed, train_sample, coarse_xs, coarse_budget=32768
+    )
+    books = _train_pq_codebooks(resid, m=m, ks=ks, seed=seed)
+    enc = _encode_pq(assigned, cmat, books)
+    return enc, centroids, books
 
-    # bounded, deterministic training sample ranked by seeded value
-    # hash (uniform over the corpus, layout/insertion-order
-    # independent — see _sample_order); no RNG in the distributed
-    # path, so re-runs build identical codes
+
+def _residual_sample(
+    assigned: DataFrame,
+    cmat: np.ndarray,
+    seed: int,
+    train_sample: int,
+    coarse_xs: np.ndarray | None = None,
+    coarse_budget: int = 32768,
+) -> np.ndarray:
+    """Bounded, deterministic PQ-training residual sample: the top
+    ``train_sample`` corpus rows in the seeded ``_sample_order``, minus
+    their coarse centroid.
+
+    r17 (optimization): when the coarse-fit sample ``coarse_xs`` is on
+    hand and covers the requested rows (``train_sample`` ≤ its length,
+    or the corpus is smaller than the coarse budget — the default
+    4096 ≤ 32768 always qualifies), the residual sample is its PREFIX:
+    both samples rank by the SAME seeded value-hash total order
+    (``_sample_order(seed)``, ties broken by the unique ``vec_id``), so
+    the top-``train_sample`` rows of ``assigned`` ARE the first
+    ``train_sample`` rows already collected — and the cluster of each
+    is recomputed on the driver with the exact argmin formulation the
+    assignment UDF uses (same float64 ``norms − 2·x@C.T`` expression,
+    same first-minimum tie rule), so the residuals are bit-identical to
+    the old second ``orderBy().limit().toPandas()`` collection. That
+    collection re-evaluated the assignment pandas UDF over EVERY corpus
+    row plus a full TakeOrdered pass — one entire extra corpus scan per
+    index build (guide §1.2/§4). A coarse sample SHORTER than its
+    budget means the corpus itself is exhausted — the prefix slice then
+    degenerates to "all rows", which is exactly what the distributed
+    top-``train_sample`` would fetch. The distributed path remains for
+    the (never-default) ``train_sample`` > coarse-budget case."""
+    if coarse_xs is not None and (
+        train_sample <= len(coarse_xs) or len(coarse_xs) < coarse_budget
+    ):
+        xs = coarse_xs[:train_sample]
+        cnorms = (cmat**2).sum(axis=1)
+        d = cnorms[None, :] - 2.0 * (xs @ cmat.T)
+        clusters = np.argmin(d, axis=1)
+        return xs - cmat[clusters]
     samp = (
         assigned.orderBy(*_sample_order(seed))
         .limit(train_sample)
@@ -610,10 +672,7 @@ def ivfpq_index(
     xs = np.stack(
         [np.asarray(v, dtype=np.float64) for v in samp["embedding"]]
     )
-    resid = xs - cmat[samp["cluster"].to_numpy()]
-    books = _train_pq_codebooks(resid, m=m, ks=ks, seed=seed)
-    enc = _encode_pq(assigned, cmat, books)
-    return enc, centroids, books
+    return xs - cmat[samp["cluster"].to_numpy()]
 
 
 def _encode_pq(
@@ -2285,20 +2344,16 @@ def opq_index(
     broadcast / Arrow-encode shape; the only extra broadcast payload is
     the dim×dim rotation. Returns ``(enc, centroids, R, books)``."""
     assert 2 <= ks <= 256, ks
-    assigned, centroids = ivf_index(
-        corpus, n_clusters, seed, id_col, vec_col
+    assigned, centroids, coarse_xs = _ivf_index_with_sample(
+        corpus, n_clusters, seed, id_col, vec_col, fit_sample=32768
     )
     cmat = np.asarray(centroids, dtype=np.float64)
-    samp = (
-        assigned.orderBy(*_sample_order(seed))
-        .limit(train_sample)
-        .select("embedding", "cluster")
-        .toPandas()
+    # r17: residual sample sliced from the coarse-fit sample (same
+    # seeded total order) — see _residual_sample for the equivalence
+    # argument and the corpus pass this saves
+    resid = _residual_sample(
+        assigned, cmat, seed, train_sample, coarse_xs, coarse_budget=32768
     )
-    xs = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in samp["embedding"]]
-    )
-    resid = xs - cmat[samp["cluster"].to_numpy()]
     rot, books = _train_opq(resid, m=m, ks=ks, seed=seed)
     enc = _encode_pq(assigned, cmat, books, rot)
     return enc, centroids, rot, books

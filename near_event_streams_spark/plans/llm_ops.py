@@ -174,12 +174,25 @@ def dedup_containment_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide deterministically — so the 0.9-recall invariant has
     slack."""
     docs = load_table(spark, sf_dir, "documents")
-    found = dedup.containment_lsh_pairs(
-        docs, threshold=0.9, min_shingles=5
-    ).select("a_doc_id", "b_doc_id")
-    exact = dedup.containment_pairs(
-        docs, threshold=0.9, min_shingles=5
-    ).select("a_doc_id", "b_doc_id")
+    # r17: share one persisted shingle frame between the LSH pipeline
+    # and its exact ground-truth twin, and persist both pair sets for
+    # the multi-reference tail — same rationale as
+    # dedup_minhash_lsh_docs (guide §1.3 diamond reuse)
+    sets = dedup.shingle_id_sets(docs).persist()
+    found = (
+        dedup.containment_lsh_pairs(
+            docs, threshold=0.9, min_shingles=5, _sets=sets
+        )
+        .select("a_doc_id", "b_doc_id")
+        .persist()
+    )
+    exact = (
+        dedup.containment_pairs(
+            docs, threshold=0.9, min_shingles=5, _sets=sets
+        )
+        .select("a_doc_id", "b_doc_id")
+        .persist()
+    )
     keys = ["a_doc_id", "b_doc_id"]
     n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))
     n_hit = found.join(exact, keys).agg(F.count(F.lit(1)).alias("n_hit"))
@@ -257,11 +270,22 @@ def dedup_minhash_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails if the exact count drifts OR the LSH path loses recall/precision.
     """
     docs = load_table(spark, sf_dir, "documents")
-    found = dedup.minhash_lsh_dedup(docs, threshold=0.8).select(
-        "a_doc_id", "b_doc_id"
+    # r17: the LSH pipeline and its exact ground-truth twin each built
+    # (and persisted) an IDENTICAL shingle frame from raw text — share
+    # one build; and the pair sets feed two joins + three aggregates
+    # below, so persist them once instead of re-running both whole
+    # pipelines per reference (guide §1.3 diamond reuse). Handles are
+    # caller-owned (clearCache), the operators' documented contract.
+    sets = dedup.shingle_id_sets(docs).persist()
+    found = (
+        dedup.minhash_lsh_dedup(docs, threshold=0.8, _sets=sets)
+        .select("a_doc_id", "b_doc_id")
+        .persist()
     )
-    exact = dedup.jaccard_pairs(docs, threshold=0.8).select(
-        "a_doc_id", "b_doc_id"
+    exact = (
+        dedup.jaccard_pairs(docs, threshold=0.8, _sets=sets)
+        .select("a_doc_id", "b_doc_id")
+        .persist()
     )
     keys = ["a_doc_id", "b_doc_id"]
     n_true = exact.agg(F.count(F.lit(1)).alias("n_true"))

@@ -223,6 +223,34 @@ def test_ivfpq_index_layout_and_determinism(spark):
     assert (books1 == books2).all()
 
 
+def test_residual_sample_slice_matches_distributed_collection(spark):
+    """r17: the PQ residual training sample sliced from the coarse-fit
+    sample must be BIT-IDENTICAL to the old distributed
+    ``orderBy(_sample_order).limit(train_sample)`` collection, for both
+    a train budget below the coarse sample's length and one above the
+    corpus size (exhausted-corpus degenerate case)."""
+    import numpy as np
+
+    from near_event_streams_spark.operators import similarity
+    from near_event_streams_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, cents, coarse_xs = similarity._ivf_index_with_sample(
+        emb, 8, 42, "vec_id", "embedding", fit_sample=32768
+    )
+    cmat = np.asarray(cents, dtype=np.float64)
+    for train_sample in (64, 5_000_000):
+        sliced = similarity._residual_sample(
+            assigned, cmat, 42, train_sample, coarse_xs,
+            coarse_budget=32768,
+        )
+        distributed = similarity._residual_sample(
+            assigned, cmat, 42, train_sample, coarse_xs=None
+        )
+        assert sliced.shape == distributed.shape, train_sample
+        assert (sliced == distributed).all(), train_sample
+
+
 def test_opq_rotation_orthogonal_and_recall(spark):
     """OPQ: the learned rotation must be orthogonal (R·Rᵀ = I — it's a
     rotation, not a projection: norms/cosines survive), training must
