@@ -921,10 +921,22 @@ def connected_components(
     # so every iteration used to re-shuffle the full edge list to join
     # the label vector; now only the O(nodes) labels move per round
     # (the pagerank/label_propagation contract, guide §2.4).
-    nparts = int(
+    from near_event_streams_spark.operators.graph import (
+        GRAPH_MAX_BROADCAST_NODES,
+        _edge_cache_partitions,
+    )
+
+    nparts_conf = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    sym = (
+    # r17: the distinct directed edge set is persisted and counted
+    # first so the per-superstep cache partition count derives from the
+    # measured edge count (graph._edge_cache_partitions — fewer, larger
+    # map tasks keep the per-iteration partial aggregation effective);
+    # the O(nodes) label vector then broadcasts into each iteration's
+    # join when the edge count bounds it (nodes <= 2*edges), the same
+    # deliberate gate as pagerank/label_propagation.
+    base = (
         edges.select(
             F.col(a_col).alias("node"), F.col(b_col).alias("nbr")
         )
@@ -934,21 +946,29 @@ def connected_components(
             )
         )
         .distinct()
-        .repartition(nparts, "nbr")
         .persist()
     )
+    n_sym = base.count()
+    nparts = _edge_cache_partitions(n_sym, nparts_conf)
+    bcast_vec = n_sym <= 2 * GRAPH_MAX_BROADCAST_NODES
+    sym = base.repartition(nparts, "nbr").persist()
+    # LAZY checkpoints (r17, the BPE/pagerank lesson): the plan is
+    # truncated identically, but materialization folds into the next
+    # job that consumes the frame — here the per-iteration `_changed`
+    # count — instead of each checkpoint being its own job.
     labels = (
         sym.groupBy("node")
         .agg(F.least(F.min("nbr"), F.first("node")).alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # candidate labels: own label + the label of every neighbor
+        lv = labels.withColumnRenamed("node", "nbr").withColumnRenamed(
+            "comp", "nbr_comp"
+        )
         nbr_labels = (
             sym.join(
-                labels.withColumnRenamed("node", "nbr").withColumnRenamed(
-                    "comp", "nbr_comp"
-                ),
+                F.broadcast(lv) if bcast_vec else lv,
                 "nbr",
             )
             .groupBy("node")
@@ -971,12 +991,19 @@ def connected_components(
                     F.coalesce("min_nbr_comp", "comp") < F.col("comp")
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # this count is the job that materializes the lazy checkpoint
+        # (limit(1) short-circuits per partition but still computes
+        # every partition, so the checkpoint is complete afterwards)
         changed = new_labels.filter("_changed").limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    # NOTE: base stays persisted (same caller-owned contract as the
+    # graph operators' edge caches) — unpersisting it here would force
+    # a same-session re-invocation to re-run the full upstream pair
+    # pipeline just to re-derive the sizing count.
     sym.unpersist()
     return labels.select("node", F.col("comp").alias("component"))
 

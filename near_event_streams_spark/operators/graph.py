@@ -27,6 +27,38 @@ from pyspark.sql import functions as F
 SCALE = 10**8  # fixed-point units per unit of rank
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 
+#: node vectors at or below this row count broadcast to the superstep
+#: join (~40-80 B/entry hashed → ≤ ~80 MB); larger graphs fall back to
+#: the shuffle join against the src-partitioned edge cache. Same
+#: size-adaptive contract as ``TRIANGLE_MAX_BROADCAST_ENTRIES`` — the
+#: former code left the choice to the planner's stats guess on a
+#: checkpointed LogicalRDD, which happened to broadcast locally but is
+#: an accident of estimate propagation, not a decision (guide §3.1:
+#: pick the strategy deliberately).
+GRAPH_MAX_BROADCAST_NODES = 1_000_000
+
+#: target rows per partition for the per-superstep edge cache. The
+#: iterative operators aggregate O(edges) rows into O(nodes) per
+#: superstep; with the cache split across every core, each map task
+#: holds the FULL node-key hash table and partial aggregation stops
+#: reducing anything (32 tasks x n_nodes partials ~ half the input
+#: re-shuffled, measured r17 at sf0.1). Deriving the partition count
+#: from the measured edge count (guide §2.2 "fewer, larger partitions",
+#: capped at spark.sql.shuffle.partitions so a real cluster's budget
+#: still applies) keeps map tasks big enough that the partial agg
+#: collapses the shuffle at ANY graph size.
+EDGE_CACHE_ROWS_PER_PARTITION = 262_144
+
+
+def _edge_cache_partitions(n_edges: int, conf_partitions: int) -> int:
+    """Size-derived partition count for an O(edges) superstep cache:
+    ceil(n_edges / EDGE_CACHE_ROWS_PER_PARTITION), at least 2, never
+    above the session shuffle-partition budget (the cluster-scale
+    cap — past it, per-partition row counts grow with the data and
+    AQE handles the downstream stages)."""
+    sized = -(-n_edges // EDGE_CACHE_ROWS_PER_PARTITION)  # ceil div
+    return max(2, min(conf_partitions, sized))
+
 
 def _idiv(a, b):
     """Exact integral division (SQL ``div``) with none of double's
@@ -58,9 +90,13 @@ def pagerank(
     (no OUT-edges) are dropped, the standard simplified variant — feed
     a symmetrized edge list if mass conservation matters.
 
-    ``checkpoint=True`` materializes each iteration via
+    ``checkpoint=True`` truncates each iteration's lineage via LAZY
     ``localCheckpoint`` — mandatory beyond a few supersteps (lineage
     doubles per round) and the reason each superstep is computed once.
+    Lazy (r17, the BPE-trainer lesson): an eager checkpoint was its own
+    job per superstep; the lazy form keeps the identical plan
+    truncation but folds materialization into the one job that
+    consumes the final rank vector — 1 job instead of iterations+1.
     Set False only for plan-inspection tests.
     """
     # Cache the edge list HASH-PARTITIONED ON THE JOIN KEY: every
@@ -74,10 +110,18 @@ def pagerank(
     # that never changes (guide §2.4: establish a partitioning/
     # decoration once, not once per pass).
     spark = edges.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts_conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # r17: the raw edge list is persisted and counted FIRST so the
+    # cache partition count can be derived from the measured edge count
+    # (see _edge_cache_partitions) instead of pinning the session
+    # shuffle budget — the decorated cache is then built from this
+    # in-memory frame (no second edge-build pass) and the raw handle is
+    # released once the decorated cache is materialized.
     raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).persist()
+    n_edges = raw.count()
+    nparts = _edge_cache_partitions(n_edges, nparts_conf)
     outdeg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     sym = raw.join(outdeg, "src").repartition(nparts, "src").persist()
     nodes = (
@@ -94,6 +138,12 @@ def pagerank(
     # pure fixed latency, 6× per query. Python ``//`` on non-negative
     # ints == SQL ``div`` here, so the values are bit-identical.
     n_nodes = nodes.count()
+    # broadcast the O(nodes) rank vector into the superstep join when
+    # the driver-known count allows it; identical rows either way.
+    # (raw stays persisted under the caller-owned clearCache contract —
+    # an eager unpersist here would force every fresh invocation in the
+    # same session to re-run the edge build for the sizing count.)
+    bcast_vec = n_nodes <= GRAPH_MAX_BROADCAST_NODES
     teleport = F.lit(
         (_DAMP_DEN - _DAMP_NUM) * SCALE // (_DAMP_DEN * n_nodes)
     ).cast("long")
@@ -101,7 +151,7 @@ def pagerank(
         "node", F.lit(SCALE // n_nodes).cast("long").alias("pr")
     )
     if checkpoint:
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=False)
     for _ in range(iterations):
         # r17: dst-nodes with no in-mass are handled by UNIONING a
         # zero-contribution seed row per node into the aggregate
@@ -109,8 +159,9 @@ def pagerank(
         # result — one O(nodes) union input replaces a per-superstep
         # join (build + probe of two O(nodes) sides) and the
         # coalesce; Σ over {0} ∪ contribs == coalesce(Σ contribs, 0).
+        rv = F.broadcast(ranks) if bcast_vec else ranks
         contrib = (
-            ranks.join(sym, ranks["node"] == sym["src"])
+            rv.join(sym, rv["node"] == sym["src"])
             .select(
                 F.col("dst").alias("node"),
                 _idiv(F.col("pr"), F.col("deg")).alias("c"),
@@ -132,7 +183,7 @@ def pagerank(
             ).alias("pr"),
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         F.col("pr").alias("pagerank_units"),
@@ -167,55 +218,72 @@ def label_propagation(
     count aggregate plus a per-dst struct-MIN aggregate over the
     already-reduced label counts unioned with a zero-count own-label
     seed (≤ distinct-labels rows per node, never raw edges — and no
-    per-node sort window, no keep-own-label join);
+    per-node sort window, no keep-own-label join); LAZY
     ``localCheckpoint`` truncates the label vector's lineage per
-    superstep.
+    superstep while folding materialization into the single job that
+    consumes the final vector (r17 — see :func:`pagerank`).
     """
     spark = edges.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    sym = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .repartition(nparts, "src")
-        .persist()
-    )
+    nparts_conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # r17: size-derived edge-cache partitioning + deliberate broadcast
+    # of the O(nodes) label vector — see :func:`pagerank` for both.
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    n_edges = raw.count()
+    nparts = _edge_cache_partitions(n_edges, nparts_conf)
+    sym = raw.repartition(nparts, "src").persist()
     nodes = (
         sym.select(F.col("src").alias("node"))
         .unionByName(sym.select(F.col("dst").alias("node")))
         .distinct()
         .persist()  # reused every superstep; caller owns clearCache
     )
+    n_nodes = nodes.count()
+    bcast_vec = n_nodes <= GRAPH_MAX_BROADCAST_NODES
     labels = nodes.select("node", F.col("node").alias("label"))
     if checkpoint:
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=False)
     for _ in range(iterations):
-        # r17: keep-own-label fallback is a ZERO-COUNT SEED row
-        # (node, own_label, 0) unioned into the neighbor-label counts
+        # r17: keep-own-label fallback is a WEIGHT-0 SEED row
+        # (node, own_label, w=0) unioned into the neighbor-label stream
         # instead of a per-superstep left join of the label vector onto
         # the winners: any real neighbor label (cnt >= 1) beats the
         # seed, a node with no in-neighbors keeps its own label via the
         # seed, and a seed matching a neighbor label adds 0 — winner
         # identical in all three cases, one join fewer per superstep.
-        counts = (
-            labels.join(sym, labels["node"] == sym["src"])
-            .select(F.col("dst").alias("node"), "label")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        #
+        # ONE exchange per superstep (guide §2.4): the stream is
+        # explicitly hash-repartitioned on ``node`` once, and BOTH
+        # aggregates run on that partitioning without further shuffles
+        # — HashPartitioning(node) satisfies the clustering requirement
+        # of the (node, label) count AND the per-node struct-MIN (a
+        # subset-key partitioning co-locates every row of each node).
+        # The former shape shuffled twice per superstep: once for the
+        # (node, label) count, once more for the per-node argmin.
+        lv = F.broadcast(labels) if bcast_vec else labels
+        weighted = (
+            lv.join(sym, lv["node"] == sym["src"])
+            .select(
+                F.col("dst").alias("node"),
+                "label",
+                F.lit(1).cast("long").alias("w"),
+            )
             .unionByName(
                 labels.select(
-                    "node", "label", F.lit(0).cast("long").alias("cnt")
+                    "node", "label", F.lit(0).cast("long").alias("w")
                 )
             )
+            .repartition(nparts, "node")
+        )
+        counts = weighted.groupBy("node", "label").agg(
+            F.sum("w").alias("cnt")
         )
         # adopt = arg-max by (cnt DESC, label ASC), expressed as ONE
         # struct-MIN aggregate over the reduced (node, label) counts —
         # byte-identical winner to the former row_number window (struct
         # ordering is lexicographic: -cnt ascending = cnt descending,
-        # then label ascending) but with a map-side partial aggregate
-        # and NO per-node sort (r17; guide §2.3 "aggregate before you
-        # shuffle" — the window shuffled and sorted every (node, label)
-        # row to rank them, the min-agg reduces them in-stage)
+        # then label ascending) with NO per-node sort (r17; guide §2.3)
         labels = (
             counts.groupBy("node")
             .agg(
@@ -229,7 +297,7 @@ def label_propagation(
             .select("node", F.col("_best._l").alias("label"))
         )
         if checkpoint:
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
